@@ -1,0 +1,77 @@
+"""Text normalization + tokenization (reference operators O2/O3/O4).
+
+The reference's canonical normalization is ``cleanup_lines_list``
+(``master.py:44-61``), applied once at ingest:
+
+1. strip ALL ASCII punctuation (``str.translate`` with
+   ``string.punctuation`` — exactly the 32 POSIX punct chars; removes
+   apostrophes/hyphens *inside* words, keeps digits);
+2. strip surrounding whitespace;
+3. drop blank lines;
+4. lowercase, then ``encode("ascii","ignore")`` — non-ASCII chars are
+   silently DELETED (not transliterated).
+
+Tokenization is plain whitespace ``str.split()``
+(``scripts/wordcount_map.py:11``, ``scripts/invertedindex_map.py:11``).
+
+Both the Spark column expressions and the DuckDB-oracle SQL fragments live
+here so the two stay in lock-step:
+
+- Java ``\\p{Punct}`` inside a character class == RE2 ``[[:punct:]]`` ==
+  Python ``string.punctuation`` (the same 32 ASCII chars).
+- Java ``[^\\x00-\\x7F]`` == RE2 ``[^\\x00-\\x7F]`` for the ASCII fold.
+
+Everything is JVM-side whole-stage-codegen (``regexp_replace``/``split``/
+``explode``) — no Python UDFs in this hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Spark column expression replicating ``master.py:44-61`` semantics."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"[\p{Punct}]", "")  # rule 1: de-punctuate
+    c = F.lower(c)  # rule 4a: lowercase
+    c = F.regexp_replace(c, r"[^\x00-\x7F]", "")  # rule 4b: ASCII fold (delete)
+    return F.trim(c)  # rule 2: trim
+
+
+def tokenize(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "word",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """1 row -> N token rows: normalize then whitespace-split + explode.
+
+    Mirrors the map-side emit of ``scripts/wordcount_map.py:4-16`` but as a
+    generator expression Catalyst can pipeline inside one codegen stage.
+    Empty tokens (from blank/whitespace-only lines — normalization rule 3)
+    are filtered out.
+    """
+    keep = keep_cols if keep_cols is not None else [c for c in df.columns if c != text_col]
+    tok = F.explode(F.split(normalize_text(F.col(text_col)), r"\s+")).alias(out_col)
+    return df.select(*keep, tok).filter(F.col(out_col) != "")
+
+
+# --- DuckDB-oracle SQL fragments (kept adjacent so they never drift) -----
+
+def sql_normalize(expr: str) -> str:
+    """DuckDB SQL replicating :func:`normalize_text` exactly (RE2 regex)."""
+    return (
+        "trim(regexp_replace(lower(regexp_replace("
+        f"{expr}, '[[:punct:]]', '', 'g')), '[^\\x00-\\x7F]', '', 'g'))"
+    )
+
+
+def sql_tokens_cte(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    """A CTE body producing ``(id_col, word)`` token rows in DuckDB,
+    equivalent to :func:`tokenize` over the same table."""
+    return (
+        f"SELECT {id_col}, unnest(regexp_split_to_array("
+        f"{sql_normalize(text_col)}, '\\s+')) AS word FROM {table}"
+    )

@@ -1,0 +1,142 @@
+"""Reference-parity text operators: wordcount + inverted index family.
+
+These re-express the reference's two built-in "queries" over the synthetic
+``documents`` table so the driver's DuckDB oracle can verify them:
+
+- wordcount: ``scripts/wordcount_map.py:4-16`` (emit ``(token, 1)``) +
+  ``scripts/wordcount_reduce.py:3-11`` (sum) + global key sort at merge
+  (``scripts/kv_store_server.py:267``). In Spark the whole job is one
+  ``tokenize -> groupBy -> count`` chain; the shuffle replaces the KV-store
+  mapper-output files and partial aggregation (map-side combine) fixes the
+  reference's biggest inefficiency (it shipped one ``1`` per occurrence —
+  shuffle size == token count; SURVEY.md §4 "Map-side combine: none").
+
+- inverted index: ``scripts/invertedindex_map.py:4-18`` (map-side set
+  dedup of ``(token, doc)`` pairs) + ``scripts/invertedindex_reduce.py:3-17``
+  (posting-list build). Spark: ``distinct`` pairs (partial-agg dedup is the
+  map-side combiner) + ``collect_set``. Posting lists are set-ordered in the
+  reference (nondeterministic), so the oracle-checked form sorts and joins
+  them into a canonical string.
+
+Scale notes (100 TB): groupBy(token) hash-partitions on the full token —
+strictly better than the reference's letter->reducer round-robin
+(``scripts/reducer.py:27-34``), which is Zipf-skewed. AQE skew handling
+covers hot tokens. ``collect_set`` per token is bounded by the corpus doc
+count per token; for web-scale posting lists you'd switch to the
+``inverted_index_pairs`` shape (flat, no per-key array materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_map_reduce_spark.functions.text import sql_tokens_cte, tokenize
+from gcp_map_reduce_spark.plans.registry import query
+from gcp_map_reduce_spark.sources.tables import load_table
+
+
+def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, word) token stream for the synthetic documents table."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tokenize(docs, text_col="text", out_col="word", keep_cols=["doc_id"])
+
+
+_TOKENS_CTE = f"WITH toks AS ({sql_tokens_cte()}) "
+
+
+@query(
+    "wordcount",
+    oracle=_TOKENS_CTE
+    + "SELECT word, count(*) AS cnt FROM toks WHERE word <> '' GROUP BY word",
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token -> occurrence count over the whole corpus (flagship query)."""
+    return doc_tokens(spark, sf_dir).groupBy("word").agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "wordcount_topk",
+    oracle=_TOKENS_CTE
+    + "SELECT word, count(*) AS cnt FROM toks WHERE word <> '' GROUP BY word "
+    "ORDER BY cnt DESC, word LIMIT 20",
+)
+def wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens; tiebreak on word so the result set is deterministic.
+
+    The reference has no limit/top-k (SURVEY.md §2.2); this is the extended
+    surface. ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject —
+    a per-partition top-k + single merge, no global sort at scale.
+    """
+    return (
+        wordcount(spark, sf_dir)
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@query(
+    "inverted_index_pairs",
+    oracle=_TOKENS_CTE
+    + "SELECT DISTINCT word, doc_id FROM toks WHERE word <> ''",
+)
+def inverted_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduped (word, doc_id) pairs — the scalable flat form of the index
+    (reference map-side shape, ``scripts/invertedindex_map.py:13-16``)."""
+    return doc_tokens(spark, sf_dir).select("word", "doc_id").distinct()
+
+
+@query(
+    "inverted_index",
+    oracle=_TOKENS_CTE
+    + "SELECT word, count(DISTINCT doc_id) AS n_docs, "
+    "string_agg(DISTINCT doc_id, ',' ORDER BY doc_id) AS docs "
+    "FROM toks WHERE word <> '' GROUP BY word",
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word -> sorted posting list (canonical comma-joined string form).
+
+    ``sort_array(collect_set(...))`` pins the set-iteration nondeterminism
+    the reference exhibits (``scripts/invertedindex_reduce.py:14-15``).
+    """
+    pairs = inverted_index_pairs(spark, sf_dir)
+    return pairs.groupBy("word").agg(
+        F.count("doc_id").alias("n_docs"),
+        F.array_join(
+            F.sort_array(F.collect_set("doc_id")).cast("array<string>"), ","
+        ).alias("docs"),
+    )
+
+
+@query(
+    "doc_search",
+    oracle=_TOKENS_CTE
+    + "SELECT DISTINCT doc_id FROM toks WHERE word = 'spark'",
+)
+def doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup over the inverted index (reference O16/O24: the FaaS
+    Web-UI search handler looks a word up in the final output). Expressed
+    as a filter on the pair stream; with the index persisted as a table
+    partitioned by first letter this is a partition-pruned scan."""
+    return (
+        inverted_index_pairs(spark, sf_dir)
+        .filter(F.col("word") == "spark")
+        .select("doc_id")
+    )
+
+
+@query(
+    "token_stats_per_doc",
+    oracle=_TOKENS_CTE
+    + "SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_distinct,"
+    " CAST(SUM(length(word)) AS DOUBLE) / count(*) AS avg_word_len"
+    " FROM toks WHERE word <> '' GROUP BY doc_id",
+)
+def token_stats_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (extended text-analysis surface)."""
+    toks = doc_tokens(spark, sf_dir)
+    return toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("word").alias("n_distinct"),
+        (F.sum(F.length("word")).cast("double") / F.count("*")).alias("avg_word_len"),
+    )

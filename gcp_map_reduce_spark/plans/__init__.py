@@ -1,0 +1,3 @@
+from gcp_map_reduce_spark.plans.registry import ORACLES, QUERIES, query
+
+__all__ = ["ORACLES", "QUERIES", "query"]

@@ -1,0 +1,7 @@
+"""Catalog — importing this module registers every query in the registry.
+
+Add one import line per operator module; modules self-register via the
+``@query`` decorator.
+"""
+
+from gcp_map_reduce_spark.operators import wordcount  # noqa: F401

@@ -1,0 +1,50 @@
+"""Parquet table sources for the driver-provided synthetic star schema.
+
+Replaces the reference's KV-store "catalog" (directory-per-category JSON
+files read back by ``("get", category, key)`` commands,
+``scripts/kv_store_server.py:197-244``) with Spark's parquet reader +
+temp-view catalog. Filters and projections over these sources reach the
+scan as PushedFilters/ReadSchema — the reference's accidental storage-side
+filter (``scripts/kv_store_server.py:79,103``) becomes real pushdown.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table. Schema comes from parquet footer metadata —
+    explicit and columnar; no inference pass (contrast the reference's
+    schema-by-convention dicts, SURVEY.md §1.3)."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (so ``spark.sql`` works) and
+    return the DataFrames keyed by name."""
+    out = {}
+    for name in TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
