@@ -58,6 +58,24 @@ def tokenize(
     return df.select(*keep, tok).filter(F.col(out_col) != "")
 
 
+def reference_shuffle_filter(col: Column | str) -> Column:
+    """The reference's accidental key-drop semantic, made explicit.
+
+    Its shuffle assigns keys to reducers by FIRST LETTER over the fixed
+    alphabet a-z (``scripts/reducer.py:27-34``); the KV-server-side filter
+    ``key[0].lower() in group`` (``scripts/kv_store_server.py:78-79,103``)
+    means any key whose first char is not a letter (digits survive
+    normalization!) belongs to NO reducer and is silently dropped from the
+    final output — verified against the checked-in golden
+    (``final-output-wordcount.json`` has zero digit-leading tokens while the
+    corpus has 778). Apply this predicate for byte-faithful golden parity;
+    the engine's own queries do NOT apply it (hash partitioning covers the
+    full key space — dropping data is a reference bug, not a feature).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike("^[a-z]")
+
+
 # --- DuckDB-oracle SQL fragments (kept adjacent so they never drift) -----
 
 def sql_normalize(expr: str) -> str:
