@@ -1,0 +1,612 @@
+"""Relational operator suite: joins, aggregations, windows, set ops, top-k.
+
+The reference has NONE of these (SURVEY.md §2.2 — its only relational-ish
+op is the per-key merge of mapper outputs, a group-by-key). They are part
+of the engine's extended surface, expressed purely with Spark built-ins so
+Catalyst/Tungsten handle planning (broadcast vs shuffle join, partial
+aggregation, TakeOrderedAndProject for top-k).
+
+Oracle determinism rules used throughout (see functions/numeric.py):
+- double SUM/AVG go through exact DECIMAL accumulation, surfaced as double;
+- timestamps are never emitted raw — formatted to strings or extracted to
+  ints so Spark/DuckDB/pandas timezone plumbing can't drift;
+- every ORDER BY ... LIMIT has a unique-key tiebreak so the selected SET of
+  rows is deterministic (the driver's compare is order-insensitive but the
+  membership must match).
+
+Scale notes (100 TB):
+- region/nation (and at most supplier) are broadcast — explicitly hinted so
+  the plan survives stale stats; customer/orders/lineitem join on their
+  keys via shuffle hash/sort-merge with AQE skew splitting.
+- Aggregations are all partial->final (map-side combine); no collect()
+  anywhere; top-k is per-partition top-k + single merge, never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gcp_map_reduce_spark.functions.numeric import dec, dsum
+from gcp_map_reduce_spark.plans.registry import query
+from gcp_map_reduce_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# SQL fragment: exact decimal sum of a 2-dec double column, as double.
+def _dsum_sql(expr: str, alias: str, cast: str = "DECIMAL(12,2)") -> str:
+    return f"CAST(SUM(CAST({expr} AS {cast})) AS DOUBLE) AS {alias}"
+
+
+# -- TPC-H-style analytics ------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary. Single scan -> partial/final
+    HashAggregate; the shipdate filter is pushed to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty, price = dec("l_quantity", precision=12), dec("l_extendedprice", precision=12)
+    disc, tax = dec("l_discount", 2, 4), dec("l_tax", 2, 4)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join + agg + top-k (tiebreak on l_orderkey)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
+    )
+    price = dec("l_extendedprice", precision=12)
+    disc = dec("l_discount", 2, 4)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way join. nation/region/supplier are broadcast
+    (dimension tables); the fact-side joins shuffle on their keys."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    price = dec("l_extendedprice", precision=12)
+    disc = dec("l_discount", 2, 4)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style scan-heavy filter+agg: every predicate reaches the
+    parquet scan (PushedFilters), projection prunes to 4 columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice", precision=12) * dec("l_discount", 2, 4))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# -- join variants --------------------------------------------------------
+
+@query(
+    "join_broadcast_enrich",
+    oracle="""
+SELECT r_name, count(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)
+def join_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact->dim star join with explicit broadcast hints: zero shuffle on
+    the join itself (only the final 5-group agg shuffles)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal", "total_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customers having at least one big order. Semi joins
+    never duplicate the left side — no post-join distinct needed."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no orders at all."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_outer_counts",
+    oracle="""
+SELECT c_custkey, count(o_orderkey) AS n_orders,
+  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+)
+def join_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + agg: order count / spend per customer including
+    zero-order customers (null-safe count/sum semantics)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice", precision=12)), F.lit(0))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+# -- window functions -----------------------------------------------------
+
+@query(
+    "window_rank_orders",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number (deterministic tiebreak).
+    At scale this is the grouped-top-k pattern: one hash shuffle on the
+    partition key, per-partition sort, no global sort."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_lag_events",
+    oracle="""
+SELECT user_id, event_id, value,
+  value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+FROM events
+""",
+)
+def window_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-over-event delta via lag()."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+""",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend: explicit ROWS frame, exact decimal sum."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice", precision=12)).over(w).cast("double").alias(
+            "running_spend"
+        ),
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts)))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM flagged GROUP BY user_id
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session counting with a 30-min inactivity gap — the batch analog of
+    streaming session windows (see streaming/). Pure window functions; the
+    per-user ordering shuffle is the only exchange."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.floor(F.col("ts").cast("double"))
+    new_session = F.when(
+        (epoch - F.lag(epoch).over(w) > 1800) | F.lag("ts").over(w).isNull(), 1
+    ).otherwise(0)
+    return (
+        ev.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# -- set operations -------------------------------------------------------
+
+_CUST_1995 = (
+    "SELECT DISTINCT o_custkey FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'"
+)
+_CUST_2000 = (
+    "SELECT DISTINCT o_custkey FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'"
+)
+
+
+def _cust_year(spark, sf_dir, lo=None, hi=None):
+    orders = _t(spark, sf_dir, "orders")
+    if lo:
+        orders = orders.filter(F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+    if hi:
+        orders = orders.filter(F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+    return orders.select("o_custkey").distinct()
+
+
+@query("set_union", oracle=f"{_CUST_1995} UNION {_CUST_2000}")
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _cust_year(spark, sf_dir, "1995-01-01 00:00:00", "1996-01-01 00:00:00")
+    b = _cust_year(spark, sf_dir, "2000-01-01 00:00:00", None)
+    return a.union(b).distinct()
+
+
+@query("set_intersect", oracle=f"{_CUST_1995} INTERSECT {_CUST_2000}")
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _cust_year(spark, sf_dir, "1995-01-01 00:00:00", "1996-01-01 00:00:00")
+    b = _cust_year(spark, sf_dir, "2000-01-01 00:00:00", None)
+    return a.intersect(b)
+
+
+@query("set_except", oracle=f"{_CUST_1995} EXCEPT {_CUST_2000}")
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _cust_year(spark, sf_dir, "1995-01-01 00:00:00", "1996-01-01 00:00:00")
+    b = _cust_year(spark, sf_dir, "2000-01-01 00:00:00", None)
+    return a.exceptAll(b).distinct()
+
+
+# -- grouping sets / distinct aggs / top-k --------------------------------
+
+@query(
+    "agg_rollup",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n"), dsum("o_totalprice", "total", 2)
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity", "total_qty", 2)
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count_distinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+        dsum("c_acctbal", "total_bal"),
+    )
+
+
+@query("approx_distinct")  # HLL sketches differ across engines -> rows-only
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the scale path for distinct
+    counting — fixed-size sketch, no exact-distinct shuffle explosion.
+    No oracle: DuckDB's approx sketch differs by design; correctness is
+    bounded-error vs the exact `agg_distinct` (asserted in unit tests)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("n_orders_approx")
+    )
+
+
+@query(
+    "topk_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+""",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: compiles to TakeOrderedAndProject (per-partition heap
+    + driver merge of k rows), not a full distributed sort."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select("o_orderkey", "o_custkey", "o_totalprice").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    ).limit(15)
+
+
+@query(
+    "orders_above_cust_avg",
+    oracle="""
+WITH cavg AS (
+  SELECT o_custkey AS k,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_orderkey, o_custkey, o_totalprice, avg_price
+FROM orders JOIN cavg ON o_custkey = k
+WHERE o_totalprice > 2 * avg_price
+""",
+)
+def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern (orders > 2x their customer's average),
+    decorrelated into agg + self-join — the plan Catalyst would produce
+    for the subquery form."""
+    orders = _t(spark, sf_dir, "orders")
+    cavg = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        (F.sum(dec("o_totalprice", precision=12)).cast("double") / F.count("*")).alias(
+            "avg_price"
+        )
+    )
+    return (
+        orders.join(cavg, orders.o_custkey == cavg.k)
+        .filter(F.col("o_totalprice") > 2 * F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "avg_price")
+    )
+
+
+# -- temporal / json scalar functions -------------------------------------
+
+@query(
+    "orders_by_month",
+    oracle="""
+SELECT strftime(o_orderdate, '%Y-%m') AS ym, o_orderpriority, count(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders GROUP BY ym, o_orderpriority
+""",
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"), "o_orderpriority"
+    ).agg(F.count("*").alias("n"), dsum("o_totalprice", "total"))
+
+
+@query(
+    "events_hourly",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
+  count(*) AS n, count(DISTINCT user_id) AS n_users,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY hour, event_type
+""",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window aggregation over the event stream table —
+    the batch counterpart of the streaming windowed agg (streaming/)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+        dsum("value", "total_value"),
+    )
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+SELECT event_type,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  count(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the props payload column (the reference
+    only ever used JSON as a storage format, never queried it — O15)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.count("*").alias("n"),
+    )

@@ -50,6 +50,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
+        # parquet reader rejects; read as raw long and convert in the source
+        # layer (sources/tables.py) — values are whole microseconds.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = [
     "region",
@@ -36,7 +37,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     schema-by-convention dicts, SURVEY.md §1.3)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ts is INT64 TIMESTAMP(NANOS) read via nanosAsLong (session.py);
+        # values are whole microseconds, so `div 1000` is lossless. Integer
+        # division on longs — float math would lose precision at 1e18 nanos.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
