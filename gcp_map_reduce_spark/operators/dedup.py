@@ -1,0 +1,341 @@
+"""Deduplication operators for training-data pipelines.
+
+Not present in the reference (its only dedup is the map-side ``set`` on
+(token, doc) pairs, ``scripts/invertedindex_map.py:8-16`` — exact distinct).
+These are the standard large-corpus dedup ladder:
+
+- exact: hash-groupBy on content (or normalized content);
+- n-gram Jaccard: exact set-similarity via shingle inverted index + join;
+- MinHash + LSH banding: the 100 TB path — constant-size signatures, only
+  band-collision candidates are verified, never all pairs;
+- SimHash: 64-bit fingerprints, near-dup = small Hamming distance, banded
+  by 16-bit chunks.
+
+Scale notes: the shingle self-join in ``dedup_ngram_jaccard`` is quadratic
+in the hottest shingle's doc-frequency — fine as the exactness oracle /
+verifier, but at 100 TB you run ``dedup_minhash`` (bounded shuffle: k
+signature longs per doc) and verify only its candidates. Hot-shingle
+skew is handled by dropping top-percentile shingles (like stop-words),
+controlled by ``max_shingle_df``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gcp_map_reduce_spark.functions.text import normalize_text, sql_normalize
+from gcp_map_reduce_spark.plans.registry import query
+from gcp_map_reduce_spark.sources.tables import load_table
+
+# -- exact dedup ----------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one group per byte-identical text, keeping the smallest
+    doc_id. Hash-groupBy => map-side partial agg, single shuffle on the
+    128-bit digest (no skew: hashes are uniform)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle=f"""
+SELECT md5({sql_normalize('text')}) AS text_hash,
+       min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after §1.4 normalization (case/punct/ASCII folding) —
+    catches trivially-reformatted copies; only groups with >1 member."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(normalize_text(F.col("text"))).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# -- shingling (shared by jaccard / minhash / simhash) --------------------
+
+
+def doc_shingles(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """DISTINCT (doc_id, shingle) where shingle = n consecutive normalized
+    tokens. Built with lead() windows over the token stream — stays in one
+    codegen stage after the per-doc sort; no Python.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many docs
+    (stop-shingles) — the skew guard for the self-join path at scale.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text(F.col("text")), r"\s+")).alias(
+            "pos", "word"
+        ),
+    ).filter(F.col("word") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
+    sh = toks.select(
+        "doc_id", F.concat_ws(" ", *parts).alias("sh"), parts[-1].alias("_last")
+    ).filter(F.col("_last").isNotNull())
+    out = sh.select("doc_id", "sh").distinct()
+    if max_shingle_df is not None:
+        hot = (
+            out.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("sh")
+        )
+        out = out.join(hot, "sh", "left_anti")
+    return out
+
+
+_SHINGLES_SQL = f"""
+toks AS (
+  SELECT doc_id, regexp_split_to_array({sql_normalize('text')}, '\\s+') AS w
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3
+)
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isect
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, isect,
+  CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) AS jaccard
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= 0.8
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: 3-shingle Jaccard >= 0.8 via inverted-index
+    self-join. Jaccard is integer-arithmetic + one double division, so it
+    hash-matches the oracle bit-for-bit."""
+    sh = doc_shingles(spark, sf_dir, n=3)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("isect"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    jac = F.col("isect").cast("double") / (
+        F.col("sza") + F.col("szb") - F.col("isect")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "isect", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+# -- MinHash + LSH (the scale path) ---------------------------------------
+
+NUM_HASHES = 32  # signature length k
+BANDS = 8  # b bands of r = k/b rows; P(collide) = 1-(1-j^r)^b
+
+
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, k: int = NUM_HASHES
+) -> DataFrame:
+    """(doc_id, h0..h{k-1}) — k independent min-hashes per document.
+
+    Each hash family member is xxhash64 seeded by its index (JVM-side,
+    vectorized); min-aggregation is the map-side-combinable reduction, so
+    shuffle volume is k longs per doc regardless of doc length.
+    """
+    sh = doc_shingles(spark, sf_dir, n=3)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
+            for i in range(k)
+        ]
+    )
+
+
+@query("dedup_minhash")  # xxhash64 family not reproducible in ANSI SQL -> rows-only
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates, verified by signature similarity.
+
+    Pipeline: signatures -> band hashes -> explode bands -> self-join on
+    (band_id, band_hash) -> distinct candidate pairs -> estimated Jaccard =
+    fraction of agreeing signature positions; keep >= 0.7.
+
+    At 100 TB this is THE dedup plan: per-doc state is k=32 longs, the
+    band join only touches colliding buckets, and AQE splits any hot
+    bucket. Recall vs the exact operator is asserted in unit tests.
+    """
+    sig = minhash_signatures(spark, sf_dir)
+    r = NUM_HASHES // BANDS
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(*[F.col(f"h{band * r + j}") for j in range(r)])
+                    for band in range(BANDS)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree / F.lit(float(NUM_HASHES))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= 0.7)
+    )
+
+
+# -- SimHash --------------------------------------------------------------
+
+SIMHASH_BITS = 64
+_CHUNK_BITS = 16  # band width for the Hamming-distance join
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc from token-frequency-weighted bit votes.
+
+    For each bit j: vote = sum over distinct tokens of (+cnt if bit j of
+    xxhash64(token) set else -cnt); bit j of the fingerprint = vote > 0.
+    All 64 votes are one wide aggregate — single shuffle on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(normalize_text(F.col("text")), r"\s+")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("th", F.xxhash64("word"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    fp = sum(
+        F.when(F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for j in range(SIMHASH_BITS)
+    )
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+@query("dedup_simhash")  # xxhash64-based fingerprint -> rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= 3.
+
+    Banding: split the 64-bit fingerprint into 4 chunks of 16 bits; any
+    pair within distance 3 agrees on >= 1 chunk (pigeonhole), so the join
+    key is (chunk_id, chunk_value) — never all-pairs."""
+    fp = simhash_fingerprints(spark, sf_dir)
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * _CHUNK_BITS)
+                    .bitwiseAND(F.lit((1 << _CHUNK_BITS) - 1))
+                    .alias(f"c{i}")
+                    for i in range(SIMHASH_BITS // _CHUNK_BITS)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )

@@ -1,0 +1,49 @@
+"""Semantic tests for the non-oracle dedup operators: MinHash-LSH and
+SimHash are approximations — verify them against the exact n-gram Jaccard
+operator (which IS oracle-checked) instead of an SQL oracle."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_ORACLE
+
+
+def _pairs(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_minhash_recall_vs_exact(spark):
+    from gcp_map_reduce_spark.operators.dedup import (
+        dedup_minhash,
+        dedup_ngram_jaccard,
+    )
+
+    exact = _pairs(dedup_ngram_jaccard(spark, SF_ORACLE))  # jaccard >= 0.8
+    approx = _pairs(dedup_minhash(spark, SF_ORACLE))  # est_jaccard >= 0.7
+    assert exact, "fixture should contain planted near-duplicates"
+    # With b=8,r=4 bands, P(candidate | j>=0.8) ~ 1-(1-0.8^4)^8 ~ 0.988 per
+    # pair; the planted dups are j~0.99 where recall is ~1. Require >= 90%.
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, (recall, len(exact), len(approx))
+
+
+def test_simhash_finds_planted_dups(spark):
+    from gcp_map_reduce_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        dedup_simhash,
+    )
+
+    exact = _pairs(dedup_ngram_jaccard(spark, SF_ORACLE))
+    sim = _pairs(dedup_simhash(spark, SF_ORACLE))
+    assert exact
+    # SimHash at hamming<=3 is conservative; it should still find a
+    # meaningful share of the ~0.99-jaccard planted dups and not explode.
+    assert len(sim & exact) >= max(1, len(exact) // 3), (len(sim & exact), len(exact))
+
+
+def test_minhash_signatures_shape(spark):
+    from gcp_map_reduce_spark.operators.dedup import NUM_HASHES, minhash_signatures
+
+    sig = minhash_signatures(spark, "/root/testdata/sf0.001")
+    assert len(sig.columns) == 1 + NUM_HASHES
+    row = sig.limit(1).collect()[0]
+    assert all(isinstance(row[f"h{i}"], int) for i in range(NUM_HASHES))
