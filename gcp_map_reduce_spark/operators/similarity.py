@@ -1,0 +1,245 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Not in the reference (its only "search" is the inverted-index word lookup,
+O24). This is the ANN ladder for training-data pipelines:
+
+- ``similarity_bruteforce``: exact cosine top-k — the correctness baseline,
+  O(|Q|*N); queries are broadcast so candidates never shuffle.
+- ``similarity_lsh_ann``: random-hyperplane LSH — sign-bit sketches, banded
+  bucket join, exact re-rank of candidates only. The 100 TB path: per-row
+  state is one long, the join touches only colliding buckets.
+- ``embedding_norms`` / ``embedding_centroids``: supporting numerics.
+
+FP determinism for the oracle (two distinct mechanisms):
+- WITHIN-row reductions (dot, norm): strict left-fold in double. Spark's
+  ``F.aggregate`` folds the array in order; the DuckDB oracle uses
+  ``list_reduce(list_transform(range(...), ...))`` which folds in the same
+  order, and IEEE double ops are deterministic given identical operand
+  order -> bit-identical results (verified empirically, 0 ulp difference).
+- ACROSS-row reductions (centroids): summation order is nondeterministic
+  in any parallel engine, so doubles won't do. Instead each float32-origin
+  value is scaled by 1e12 (exact in double: the 24-bit mantissa times 5^12
+  stays under 2^53), floored to BIGINT, and summed in exact integer
+  arithmetic; the mean is one double division of identical integers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gcp_map_reduce_spark.plans.registry import query
+from gcp_map_reduce_spark.sources.tables import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors in the demo queries
+TOP_K = 5
+
+# DuckDB fragment: ordered left-fold dot product of two DOUBLE-cast lists.
+_SQL_DOT = (
+    "list_reduce(list_transform(range(1, len({a})+1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+    "(acc, v) -> acc + v)"
+)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Ordered left-fold double dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _with_norm2(df: DataFrame) -> DataFrame:
+    """Add e (array<double>) and n2 (double squared L2 norm)."""
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    return df.withColumn("e", e).withColumn("n2", _dot(F.col("e"), F.col("e")))
+
+
+@query(
+    "embedding_norms",
+    oracle=f"""
+SELECT vec_id, label,
+  {_SQL_DOT.format(a='embedding', b='embedding')} AS norm2
+FROM embeddings
+""",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squared L2 norm per vector — per-row array fold, no shuffle at all."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _with_norm2(emb).select("vec_id", "label", F.col("n2").alias("norm2"))
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+SELECT label, i - 1 AS dim_idx,
+  CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS sum_scaled,
+  count(*) AS n,
+  CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE)
+    / (count(*) * 1e12) AS mean_val
+FROM (
+  SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+  FROM embeddings
+) GROUP BY label, i
+""",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, flat (label, dim_idx, ...) shape — the k-means-
+    style reduction. Cross-row sums use the exact integer-scaling scheme
+    (module docstring); posexplode + groupBy gets map-side partial agg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim_idx", "x"
+        ),
+    )
+    scaled = F.floor(F.col("x") * F.lit(1e12))
+    return flat.groupBy("label", "dim_idx").agg(
+        F.sum(scaled).alias("sum_scaled"),
+        F.count("*").alias("n"),
+        (F.sum(scaled).cast("double") / (F.count("*") * F.lit(1e12))).alias(
+            "mean_val"
+        ),
+    )
+
+
+@query(
+    "similarity_bruteforce",
+    oracle=f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+    {_SQL_DOT.format(a='q.embedding', b='c.embedding')} AS dot,
+    {_SQL_DOT.format(a='q.embedding', b='q.embedding')} AS qn2,
+    {_SQL_DOT.format(a='c.embedding', b='c.embedding')} AS cn2
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, cand_id, dot / sqrt(qn2 * cn2) AS cosine
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) <= {TOP_K}
+""",
+)
+def similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for the first N_QUERIES vectors vs the corpus.
+
+    Plan shape: the tiny query set is broadcast; every candidate partition
+    computes its local pairs; the only exchange is the per-query top-k
+    window over |Q| * N rows of (id, id, double). At 100 TB you precompute
+    norms once and run ``similarity_lsh_ann`` instead.
+    """
+    emb = _with_norm2(load_table(spark, sf_dir, "embeddings"))
+    qs = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("n2").alias("qn2"),
+        )
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("e").alias("ce"),
+        F.col("n2").alias("cn2"),
+    )
+    pairs = cands.crossJoin(qs).filter(F.col("cand_id") != F.col("query_id"))
+    cosine = _dot(F.col("qe"), F.col("ce")) / F.sqrt(F.col("qn2") * F.col("cn2"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        pairs.select("query_id", "cand_id", cosine.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
+# -- random-hyperplane LSH (scale path) -----------------------------------
+
+N_PLANES = 16
+_LSH_BANDS = 4  # 4 bands x 4 bits; candidates share >= 1 band value
+_PLANE_SEED = 42
+
+
+def _hyperplanes(dim: int = 64) -> list[list[float]]:
+    """Deterministic random hyperplanes (fixed seed -> reproducible plans)."""
+    rng = np.random.RandomState(_PLANE_SEED)
+    return rng.standard_normal((N_PLANES, dim)).tolist()
+
+
+def lsh_sketch(df: DataFrame, dim: int = 64) -> DataFrame:
+    """Add a ``sketch`` long column: sign bits of N_PLANES projections.
+
+    The plane matrix is embedded as literal arrays — JVM-side arithmetic,
+    no Python in the row path, identical on every executor.
+    """
+    planes = _hyperplanes(dim)
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    bits = []
+    for j, p in enumerate(planes):
+        lit_p = F.array(*[F.lit(v) for v in p])
+        proj = _dot(e, lit_p)
+        bits.append(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return df.withColumn("sketch", sum(bits))
+
+
+@query("similarity_lsh_ann")  # plane literals not expressible in the oracle -> rows-only
+def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: random-hyperplane buckets -> banded candidate join ->
+    exact cosine re-rank of candidates only.
+
+    At 100 TB: sketches are one long per row; the candidate join keys on
+    (band_id, band_bits) so only same-bucket pairs materialize, and AQE
+    splits hot buckets. Recall vs brute force asserted in unit tests.
+    """
+    emb = lsh_sketch(_with_norm2(load_table(spark, sf_dir, "embeddings")))
+    band_bits = N_PLANES // _LSH_BANDS
+    mask = (1 << band_bits) - 1
+
+    def bands(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col("vec_id").alias(f"{prefix}_id"),
+            F.col("e").alias(f"{prefix}e"),
+            F.col("n2").alias(f"{prefix}n2"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(F.col("sketch"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        for b in range(_LSH_BANDS)
+                    ]
+                )
+            ).alias("band_id", f"{prefix}_band"),
+        )
+
+    qs = bands(emb.filter(F.col("vec_id") < N_QUERIES), "q")
+    cs = bands(emb, "c")
+    cand = (
+        qs.join(
+            cs,
+            (qs.band_id == cs.band_id)
+            & (F.col("q_band") == F.col("c_band"))
+            & (F.col("q_id") != F.col("c_id")),
+        )
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("cand_id"),
+            "qe",
+            "ce",
+            "qn2",
+            "cn2",
+        )
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    cosine = _dot(F.col("qe"), F.col("ce")) / F.sqrt(F.col("qn2") * F.col("cn2"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        cand.select("query_id", "cand_id", cosine.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )

@@ -1,0 +1,41 @@
+"""Semantic tests for the approximate similarity operator (no SQL oracle):
+LSH-ANN recall is measured against the exact brute-force operator, which
+IS oracle-checked."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_ORACLE
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    from gcp_map_reduce_spark.operators.similarity import (
+        similarity_bruteforce,
+        similarity_lsh_ann,
+    )
+
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity_bruteforce(spark, SF_ORACLE).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity_lsh_ann(spark, SF_ORACLE).collect()
+    }
+    assert exact
+    # 4 bands x 4 bits on 16 hyperplanes: a pair at cosine ~0.37 (typical
+    # top-1 here) collides with good probability; require modest recall —
+    # the operator's contract is "approximate", verified not vacuous.
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, (recall, len(exact), len(approx))
+
+
+def test_lsh_sketch_is_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from gcp_map_reduce_spark.operators.similarity import lsh_sketch
+    from gcp_map_reduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").limit(20)
+    a = {r["vec_id"]: r["sketch"] for r in lsh_sketch(emb).select("vec_id", "sketch").collect()}
+    b = {r["vec_id"]: r["sketch"] for r in lsh_sketch(emb).select("vec_id", "sketch").collect()}
+    assert a == b and all(isinstance(v, int) for v in a.values())
