@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with the no-op sink (full execution, zero driver
+collection) after a warm-up action that pays the JVM/codegen startup cost
+once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+HEADLINE = [
+    # reference-parity text path
+    "wordcount",
+    "inverted_index",
+    # scan-heavy relational
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    # join-heavy relational
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_outer_counts",
+    # windows
+    "window_rank_orders",
+    "sessionize_events",
+    # temporal agg
+    "events_hourly",
+    # dedup ladder
+    "dedup_exact",
+    "dedup_minhash",
+    # similarity
+    "similarity_bruteforce",
+    # text analysis
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from gcp_map_reduce_spark.plans import registry
+    from gcp_map_reduce_spark.session import get_spark
+
+    registry.load_catalog()
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM, parquet reader, and per-query whole-stage-codegen
+    # compilation (plan shapes are identical across scale factors, so a
+    # pass at the smallest SF pre-compiles every generated class and the
+    # timed runs measure compute, not JIT)
+    warm_dir = "/root/testdata/sf0.001"
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    for name in HEADLINE:
+        try:
+            registry.QUERIES[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass  # warm-up is best-effort; the timed run surfaces real errors
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -4,4 +4,12 @@ Add one import line per operator module; modules self-register via the
 ``@query`` decorator.
 """
 
-from gcp_map_reduce_spark.operators import dedup, relational, similarity, text_analysis, wordcount  # noqa: F401
+from gcp_map_reduce_spark.operators import (  # noqa: F401,I001
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    text_analysis,
+    udf_plugin,
+    wordcount,
+)  # noqa: F401

@@ -1,0 +1,120 @@
+"""Structured Streaming parity for the reference's FaaS trigger (O23).
+
+The reference's streaming story (report PDF pp. 6-8, no code in repo): a
+bucket upload triggers the master Cloud Function, which re-runs the WHOLE
+map-reduce job over the corpus — at-file-granularity full recompute, not
+incremental. Two modes here:
+
+1. ``run_file_trigger_wordcount`` — faithful semantics: a file-source
+   stream watches a directory; ``foreachBatch`` re-runs the batch wordcount
+   over everything seen so far and overwrites the output (exactly the
+   reference's "every upload recomputes final-output"). Trigger
+   ``availableNow`` drains pending files then stops (test/CI friendly);
+   pass ``continuous=True`` for an always-on watcher.
+
+2. ``run_incremental_event_counts`` — the idiomatic upgrade: streaming
+   aggregation with a watermark; state is per-window partial aggregates,
+   late rows beyond the watermark are dropped, output is append-mode —
+   this is what you actually run at 100 TB (no recompute, bounded state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_map_reduce_spark.functions.text import tokenize
+
+
+def run_file_trigger_wordcount(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    continuous: bool = False,
+):
+    """Watch ``input_dir`` for text files; on each batch, recompute the
+    full wordcount over the accumulated corpus and overwrite
+    ``output_dir`` (reference full-recompute semantics).
+
+    Returns the StreamingQuery (already started). With the default
+    availableNow trigger it drains pending files and finishes.
+    """
+    lines = (
+        spark.readStream.format("text")
+        .load(input_dir)
+        .withColumn("doc", F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1))
+        .select("doc", F.col("value").alias("line"))
+    )
+
+    # Accumulate corpus across batches (the reference keys recompute off
+    # the whole bucket, so batches must see all prior files).
+    corpus_dir = f"{output_dir}/_corpus"
+
+    def recompute(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(corpus_dir)
+        corpus = batch_df.sparkSession.read.parquet(corpus_dir)
+        toks = tokenize(corpus, text_col="line", out_col="word", keep_cols=["doc"])
+        (
+            toks.groupBy("word")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy("word")
+            .write.mode("overwrite")
+            .parquet(f"{output_dir}/final")
+        )
+
+    writer = (
+        lines.writeStream.foreachBatch(recompute)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if not continuous:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_incremental_event_counts(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "event_counts",
+):
+    """Incremental windowed aggregation over an event-file stream.
+
+    Reads parquet files as they land, keeps per-(window, event_type)
+    partial counts in state, emits finalized windows once the watermark
+    passes (append mode). In-memory sink named ``query_name`` so callers /
+    tests can query the result table.
+    """
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    ev = spark.readStream.schema(schema).parquet(events_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
