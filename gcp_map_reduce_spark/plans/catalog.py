@@ -8,6 +8,7 @@ from gcp_map_reduce_spark.operators import (  # noqa: F401,I001
     dedup,
     multimodal,
     relational,
+    relational_ext,
     similarity,
     text_analysis,
     udf_plugin,
