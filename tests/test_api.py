@@ -1,0 +1,64 @@
+"""Control-plane parity tests (reference app.py routes, driven through the
+Flask test client — same request/response shapes, no live server)."""
+
+from __future__ import annotations
+
+import json
+
+
+def _corpus(tmp_path):
+    inp = tmp_path / "raw"
+    inp.mkdir()
+    (inp / "doc1.txt").write_text("Alpha beta ALPHA!\n\ngamma\n")
+    (inp / "doc2.txt").write_text("beta gamma beta\n")
+    return str(inp)
+
+
+def test_launch_and_fetch_functions(spark, tmp_path):
+    from gcp_map_reduce_spark.api import get_final_output, launch_map_reduce
+
+    inp = _corpus(tmp_path)
+    store = str(tmp_path / "store")
+    launch_map_reduce(spark, "wordcount", inp, store)
+    got = {
+        r["word"]: r["cnt"]
+        for r in get_final_output(spark, "wordcount", store).collect()
+    }
+    assert got == {"alpha": 2, "beta": 3, "gamma": 2}
+
+    launch_map_reduce(spark, "invertedindex", inp, store)
+    idx = {
+        r["word"]: list(r["docs"])
+        for r in get_final_output(spark, "invertedindex", store).collect()
+    }
+    assert idx["beta"] == ["doc1.txt", "doc2.txt"]
+    assert idx["alpha"] == ["doc1.txt"]
+
+
+def test_flask_facade_routes(spark, tmp_path):
+    from gcp_map_reduce_spark.api import create_app
+
+    inp = _corpus(tmp_path)
+    store = str(tmp_path / "store")
+    app = create_app(spark, inp, store)
+    client = app.test_client()
+
+    resp = client.post(
+        "/launch_map_reduce",
+        data=json.dumps({"operation_name": "wordcount"}),
+        content_type="application/json",
+    )
+    assert resp.status_code == 200 and resp.get_json()["status"] == "SUCCESS"
+
+    resp = client.get("/final_output?operation_name=wordcount")
+    assert resp.status_code == 200
+    assert resp.get_json() == {"alpha": 2, "beta": 3, "gamma": 2}
+
+
+def test_unknown_operation_rejected(spark, tmp_path):
+    import pytest
+
+    from gcp_map_reduce_spark.api import launch_map_reduce
+
+    with pytest.raises(ValueError, match="unknown operation"):
+        launch_map_reduce(spark, "nope", _corpus(tmp_path), str(tmp_path / "s"))
