@@ -154,6 +154,45 @@ def similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEAR_DUP_COSINE = 0.45  # corpus max pairwise cosine is ~0.51; a realistic
+# production threshold (0.9+) would be vacuous on this synthetic data
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+SELECT * FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+      / sqrt({_SQL_DOT.format(a='a.embedding', b='a.embedding')}
+             * {_SQL_DOT.format(a='b.embedding', b='b.embedding')}) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cosine >= {NEAR_DUP_COSINE}
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (semantic dedup): all pairs
+    with cosine >= threshold.
+
+    This is the exact all-pairs form — the correctness baseline and the
+    verifier for candidate sets. At 100 TB the same filter runs over
+    ``similarity_lsh_ann``-style bucket candidates instead of the full
+    cross join (document-level note; both live in this module)."""
+    emb = _with_norm2(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ae"), F.col("n2").alias("an2")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("be"), F.col("n2").alias("bn2")
+    )
+    cosine = _dot(F.col("ae"), F.col("be")) / F.sqrt(F.col("an2") * F.col("bn2"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+    )
+
+
 # -- random-hyperplane LSH (scale path) -----------------------------------
 
 N_PLANES = 16
