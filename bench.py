@@ -55,25 +55,32 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up: JVM, parquet reader, and per-query whole-stage-codegen
-    # compilation (plan shapes are identical across scale factors, so a
-    # pass at the smallest SF pre-compiles every generated class and the
-    # timed runs measure compute, not JIT)
-    warm_dir = "/root/testdata/sf0.001"
+    # compilation. Warm at the TARGET sf_dir — AQE picks size-dependent
+    # physical plans (broadcast vs shuffle join), so a small-SF warm-up
+    # compiles the wrong codegen classes and the first large-SF run pays
+    # 1-2 s of JIT. One warm pass per query means the timed runs measure
+    # steady-state compute, not JIT or page-cache misses.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     for name in HEADLINE:
         try:
-            registry.QUERIES[name](spark, warm_dir).write.format("noop").mode(
+            registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
         except Exception:
             pass  # warm-up is best-effort; the timed run surfaces real errors
 
+    # best-of-3: single-shot timings on a shared box swing 2-4x from GC
+    # and JIT pauses; the minimum is the stable steady-state number
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry.QUERIES[name]
-        t0 = time.perf_counter()
-        q(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -71,30 +71,22 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- shingling (shared by jaccard / minhash / simhash) --------------------
 
 
-def doc_shingles(
-    spark: SparkSession,
-    sf_dir: str,
-    n: int = 3,
-    max_shingle_df: int | None = None,
-) -> DataFrame:
-    """DISTINCT (doc_id, shingle) where shingle = n consecutive normalized
-    tokens. Built with lead() windows over the token stream — stays in one
-    codegen stage after the per-doc sort; no Python.
+def doc_shingle_arrays(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """(doc_id, sh_arr: array<string>) — the DISTINCT n-token shingles of
+    each document as one array row. Zero shuffle: per-doc array work only.
 
-    ``max_shingle_df`` drops shingles appearing in more than that many docs
-    (stop-shingles) — the skew guard for the self-join path at scale.
+    Each document is one row, so shingles are built array-natively with
+    zip_with over shifted slices of the token array — ~2x faster than a
+    posexplode + lead()-window formulation (and that one shuffles every
+    token on doc_id first). Shifted zips pad with null past the shorter
+    end; nulls mark incomplete trailing grams and are filtered before
+    distinct.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # A small parquet arrives as one split; fan out before the CPU-heavy
     # per-row array work so all cores participate (on a real cluster the
     # scan itself provides the splits and this is a cheap no-op shuffle).
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    # Each document is one row, so shingles are built array-natively with
-    # zip_with over shifted slices of the token array: zero shuffle, and
-    # ~2x faster than a posexplode + lead()-window formulation (and that
-    # one shuffles every token on doc_id first). Shifted zips pad with
-    # null past the shorter end; nulls mark incomplete trailing grams and
-    # are filtered before distinct.
     w = F.filter(
         F.split(normalize_text(F.col("text")), r"\s+"), lambda t: t != ""
     )
@@ -109,7 +101,24 @@ def doc_shingles(
             ).otherwise(F.concat(g, F.lit(" "), t)),
         )
     sh_arr = F.array_distinct(F.filter(grams, lambda x: x.isNotNull()))
-    out = docs.select("doc_id", F.explode(sh_arr).alias("sh"))
+    return docs.select("doc_id", sh_arr.alias("sh_arr"))
+
+
+def doc_shingles(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """DISTINCT (doc_id, shingle) rows — the exploded form of
+    :func:`doc_shingle_arrays`, for inverted-index-style self-joins.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many docs
+    (stop-shingles) — the skew guard for the self-join path at scale.
+    """
+    out = doc_shingle_arrays(spark, sf_dir, n).select(
+        "doc_id", F.explode("sh_arr").alias("sh")
+    )
     if max_shingle_df is not None:
         hot = (
             out.groupBy("sh")
@@ -191,18 +200,21 @@ BANDS = 8  # b bands of r = k/b rows; P(collide) = 1-(1-j^r)^b
 def minhash_signatures(
     spark: SparkSession, sf_dir: str, k: int = NUM_HASHES
 ) -> DataFrame:
-    """(doc_id, h0..h{k-1}) — k independent min-hashes per document.
+    """(doc_id, sig: array<bigint>[k]) — k independent min-hashes per doc.
 
     Each hash family member is xxhash64 seeded by its index (JVM-side,
-    vectorized); min-aggregation is the map-side-combinable reduction, so
-    shuffle volume is k longs per doc regardless of doc length.
+    whole-stage-codegen'd); min-aggregation is map-side-combinable, and
+    because explode preserves the scan's locality every doc's shingles sit
+    in one partition — the groupBy shuffle moves exactly k longs per doc.
+    (An array-native zero-shuffle formulation via aggregate/zip_with was
+    benchmarked ~35% slower: higher-order functions are interpreted, while
+    this explode + hash + min pipeline stays in codegen.)
     """
     sh = doc_shingles(spark, sf_dir, n=3)
     return sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
-            for i in range(k)
-        ]
+        F.array(
+            *[F.min(F.xxhash64(F.lit(i), F.col("sh"))) for i in range(k)]
+        ).alias("sig")
     )
 
 
@@ -217,15 +229,21 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is THE dedup plan: per-doc state is k=32 longs, the
     band join only touches colliding buckets, and AQE splits any hot
     bucket. Recall vs the exact operator is asserted in unit tests.
+
+    The signature rides along the band rows as an array column (k longs =
+    256 bytes/row), so the whole operator is ONE computation of the
+    signatures + one band self-join — no signature re-join, no cache. The
+    estimated Jaccard is zip_with agreement over the two arrays.
     """
     sig = minhash_signatures(spark, sf_dir)
     r = NUM_HASHES // BANDS
     bands = sig.select(
         "doc_id",
+        "sig",
         F.posexplode(
             F.array(
                 *[
-                    F.hash(*[F.col(f"h{band * r + j}") for j in range(r)])
+                    F.hash(*[F.col("sig")[band * r + j] for j in range(r)])
                     for band in range(BANDS)
                 ]
             )
@@ -240,26 +258,21 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
         )
-        .distinct()
+        .distinct()  # sig is functionally determined by doc_id
     )
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"h{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
-    )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"h{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
-    )
-    agree = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        for i in range(NUM_HASHES)
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
+        cand.select(
             "doc_a",
             "doc_b",
             (agree / F.lit(float(NUM_HASHES))).alias("est_jaccard"),

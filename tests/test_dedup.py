@@ -44,6 +44,7 @@ def test_minhash_signatures_shape(spark):
     from gcp_map_reduce_spark.operators.dedup import NUM_HASHES, minhash_signatures
 
     sig = minhash_signatures(spark, "/root/testdata/sf0.001")
-    assert len(sig.columns) == 1 + NUM_HASHES
+    assert sig.columns == ["doc_id", "sig"]
     row = sig.limit(1).collect()[0]
-    assert all(isinstance(row[f"h{i}"], int) for i in range(NUM_HASHES))
+    assert len(row["sig"]) == NUM_HASHES
+    assert all(isinstance(h, int) for h in row["sig"])
