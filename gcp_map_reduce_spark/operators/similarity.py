@@ -193,6 +193,116 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- IVF-Flat (coarse-quantizer cells, probe-then-rerank) ------------------
+
+IVF_CELLS = 16  # codebook size K (65k+ at real scale)
+IVF_NPROBE = 2  # cells probed per query
+
+
+@query(
+    "similarity_ivf_ann",
+    oracle=f"""
+WITH seeds AS (
+  SELECT vec_id AS cell_id, embedding AS ce FROM embeddings
+  WHERE vec_id < {IVF_CELLS}
+),
+dists AS (
+  SELECT v.vec_id, s.cell_id,
+    {_SQL_DOT.format(a='v.embedding', b='v.embedding')}
+      - 2 * {_SQL_DOT.format(a='v.embedding', b='s.ce')}
+      + {_SQL_DOT.format(a='s.ce', b='s.ce')} AS d
+  FROM embeddings v CROSS JOIN seeds s
+),
+assign AS (
+  SELECT vec_id, cell_id FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) = 1
+),
+probes AS (
+  SELECT vec_id, cell_id FROM dists
+  WHERE vec_id < {N_QUERIES}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS cand_id
+  FROM probes p JOIN assign a ON p.cell_id = a.cell_id AND a.vec_id <> p.vec_id
+)
+SELECT query_id, cand_id,
+  {_SQL_DOT.format(a='q.embedding', b='c.embedding')}
+    / sqrt({_SQL_DOT.format(a='q.embedding', b='q.embedding')}
+           * {_SQL_DOT.format(a='c.embedding', b='c.embedding')}) AS cosine
+FROM cand JOIN embeddings q ON query_id = q.vec_id
+          JOIN embeddings c ON cand_id = c.vec_id
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) <= {TOP_K}
+""",
+)
+def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: assign every vector to its nearest codebook cell,
+    probe the IVF_NPROBE nearest cells per query, exact-cosine re-rank
+    only within probed cells.
+
+    The codebook here is data-sampled (the first K vectors) — at real
+    scale you would refine it with a few Lloyd iterations (the
+    ``embedding_centroids`` reduction is exactly that update step). Plan
+    shape for 100 TB: the K-row codebook is aggregated into ONE row of
+    struct arrays and broadcast, so cell assignment is a per-row
+    ``array_min`` — ZERO shuffle over the corpus; the probe join then
+    keys on cell_id, touching only probed cells' rows. Cell skew is the
+    known IVF failure mode — at scale, raise K and let AQE split hot
+    cells.
+    """
+    emb = _with_norm2(load_table(spark, sf_dir, "embeddings"))
+    seeds = emb.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("e").alias("ce"),
+        F.col("n2").alias("cn2"),
+    )
+    cb = seeds.agg(F.collect_list(F.struct("cell_id", "ce", "cn2")).alias("cb"))
+
+    # (squared-L2 distance, cell_id) per codebook entry; struct ordering
+    # gives the d-then-cell_id tie-break for free.
+    def cells(col_e: Column, col_n2: Column) -> Column:
+        return F.transform(
+            F.col("cb"),
+            lambda c: F.struct(
+                (col_n2 - 2 * _dot(col_e, c["ce"]) + c["cn2"]).alias("d"),
+                c["cell_id"].alias("cell_id"),
+            ),
+        )
+
+    with_cb = emb.crossJoin(F.broadcast(cb))
+    assigned = with_cb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("e").alias("ce2"),
+        F.col("n2").alias("cn22"),
+        F.array_min(cells(F.col("e"), F.col("n2")))["cell_id"].alias("cell_id"),
+    )
+    probes = (
+        with_cb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("n2").alias("qn2"),
+            F.explode(
+                F.slice(
+                    F.array_sort(cells(F.col("e"), F.col("n2"))), 1, IVF_NPROBE
+                )
+            ).alias("probe"),
+        )
+        .select("query_id", "qe", "qn2", F.col("probe")["cell_id"].alias("cell_id"))
+    )
+    cand = probes.join(assigned, "cell_id").filter(
+        F.col("cand_id") != F.col("query_id")
+    )
+    cosine = _dot(F.col("qe"), F.col("ce2")) / F.sqrt(F.col("qn2") * F.col("cn22"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        cand.select("query_id", "cand_id", cosine.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
 # -- random-hyperplane LSH (scale path) -----------------------------------
 
 N_PLANES = 16

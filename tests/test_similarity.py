@@ -29,6 +29,46 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     assert recall >= 0.3, (recall, len(exact), len(approx))
 
 
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    from gcp_map_reduce_spark.operators.similarity import (
+        similarity_bruteforce,
+        similarity_ivf_ann,
+    )
+
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity_bruteforce(spark, SF_ORACLE).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity_ivf_ann(spark, SF_ORACLE).collect()
+    }
+    assert exact
+    # K=16 data-sampled cells, nprobe=2 — coarse, but the probed cells
+    # must recover a meaningful share of the true top-k.
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, (recall, len(exact), len(approx))
+
+
+def test_ivf_every_query_returns_topk(spark):
+    from pyspark.sql import functions as F
+
+    from gcp_map_reduce_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        similarity_ivf_ann,
+    )
+
+    per_q = (
+        similarity_ivf_ann(spark, SF_ORACLE)
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(per_q) == N_QUERIES
+    assert all(r["n"] <= TOP_K for r in per_q)
+
+
 def test_lsh_sketch_is_deterministic(spark):
     from pyspark.sql import functions as F
 
