@@ -2,5 +2,10 @@ from gcp_map_reduce_spark.streaming.file_trigger import (
     run_file_trigger_wordcount,
     run_incremental_event_counts,
 )
+from gcp_map_reduce_spark.streaming.stateful import run_stateful_sessionize
 
-__all__ = ["run_file_trigger_wordcount", "run_incremental_event_counts"]
+__all__ = [
+    "run_file_trigger_wordcount",
+    "run_incremental_event_counts",
+    "run_stateful_sessionize",
+]

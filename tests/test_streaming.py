@@ -66,3 +66,52 @@ def test_incremental_event_counts_matches_batch(spark, tmp_path):
     want = {(r["w"]["start"], r["event_type"]): r["n"] for r in batch.collect()}
     for key, n in emitted.items():
         assert want.get(key) == n, key
+
+
+def test_stateful_sessionize_emits_closed_sessions(spark, tmp_path):
+    from gcp_map_reduce_spark.streaming import run_stateful_sessionize
+    from gcp_map_reduce_spark.operators.relational import sessionize_events
+    from gcp_map_reduce_spark.sources.tables import load_table
+
+    src = tmp_path / "events_stateful"
+    ckpt = tmp_path / "ckpt3"
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    # two time-ordered files so the second micro-batch's watermark closes
+    # the first batch's stale sessions
+    pdf = ev.orderBy("ts").toPandas()
+    # micros precision: the stream schema declares `ts timestamp` and the
+    # session reads nanos-typed parquet as bigint
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    mid = len(pdf) // 2
+    src.mkdir()
+    # plain FILES directly under src — the file-stream source does not
+    # descend into directory-shaped spark parquet output
+    pdf.iloc[:mid].to_parquet(str(src / "a.parquet"), index=False)
+    pdf.iloc[mid:].to_parquet(str(src / "b.parquet"), index=False)
+
+    q = run_stateful_sessionize(
+        spark,
+        str(src),
+        str(ckpt),
+        query_name="sessions_test",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM sessions_test").collect()
+    assert got, "watermark advance across micro-batches should close sessions"
+
+    # each emitted session must be internally consistent and bounded by
+    # the batch-side per-user truth
+    batch = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in sessionize_events(spark, "/root/testdata/sf0.001").collect()
+    }
+    from collections import Counter
+
+    per_user_sessions = Counter()
+    for r in got:
+        assert r["session_start"] <= r["session_end"]
+        assert r["n_events"] >= 1
+        per_user_sessions[r["user_id"]] += 1
+    for uid, n_sess in per_user_sessions.items():
+        assert n_sess <= batch[uid][0], (uid, n_sess, batch[uid])
