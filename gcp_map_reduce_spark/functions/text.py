@@ -27,6 +27,8 @@ Everything is JVM-side whole-stage-codegen (``regexp_replace``/``split``/
 
 from __future__ import annotations
 
+import string
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -56,6 +58,17 @@ def tokenize(
     keep = keep_cols if keep_cols is not None else [c for c in df.columns if c != text_col]
     tok = F.explode(F.split(normalize_text(F.col(text_col)), r"\s+")).alias(out_col)
     return df.select(*keep, tok).filter(F.col(out_col) != "")
+
+
+_PUNCT_TABLE = str.maketrans("", "", string.punctuation)
+
+
+def PY_NORMALIZE(text: str) -> str:
+    """Driver/UDTF-side Python twin of :func:`normalize_text` — identical
+    rule order (de-punctuate, lower, ASCII-delete, trim) so Python-path
+    operators hash-match the JVM and SQL paths."""
+    t = text.translate(_PUNCT_TABLE).lower()
+    return t.encode("ascii", "ignore").decode().strip()
 
 
 def reference_shuffle_filter(col: Column | str) -> Column:

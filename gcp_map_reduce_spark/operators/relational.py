@@ -479,6 +479,27 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_grouping_sets",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets (a strict superset of rollup/cube shapes):
+    (priority, status), (status), and the grand total in one Expand +
+    single-shuffle aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderpriority", "o_orderstatus"], ["o_orderstatus"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(F.count("*").alias("n"), dsum("o_totalprice", "total", 2))
+
+
+@query(
     "agg_distinct",
     oracle="""
 SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(*) AS n_customers,

@@ -99,3 +99,86 @@ def udf_wordcount_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = tokenize(docs, text_col="text", out_col="word", keep_cols=["doc_id"])
     return apply_grouped(toks, ["doc_id"], "wordcount_grouped")
+
+
+# -- the other three UDF shapes (SURVEY §2.2: UDAF/UDTF as formal API) -----
+
+
+@query(
+    "udf_scalar_token_count",
+    oracle=r"""
+SELECT doc_id,
+  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+       AS INT) AS n_tokens
+FROM documents
+""",
+)
+def udf_scalar_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR pandas UDF (Arrow-vectorized, one Series in/out per batch):
+    whitespace token count per document. Exists to prove the scalar
+    Python path — the JVM-side ``token_count_regex`` is the production
+    operator."""
+
+    @F.pandas_udf("int")
+    def n_tokens(s: pd.Series) -> pd.Series:
+        return s.str.findall(r"\S+").str.len().astype("int32")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", n_tokens("text").alias("n_tokens"))
+
+
+@query(
+    "udf_grouped_agg_extrema",
+    oracle="""
+SELECT c_mktsegment, max(c_acctbal) AS max_bal, min(c_acctbal) AS min_bal
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def udf_grouped_agg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDFs (vectorized UDAF: Series -> scalar per
+    group). Extrema are order-insensitive, so the Python answer is
+    bit-identical to SQL (a mean/sum UDAF would need the integer-scaling
+    trick used by embedding_centroids)."""
+
+    @F.pandas_udf("double")
+    def pmax(v: pd.Series) -> float:
+        return float(v.max())
+
+    @F.pandas_udf("double")
+    def pmin(v: pd.Series) -> float:
+        return float(v.min())
+
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        pmax("c_acctbal").alias("max_bal"), pmin("c_acctbal").alias("min_bal")
+    )
+
+
+@query(
+    "udf_tokenize_udtf",
+    oracle=f"WITH toks AS ({sql_tokens_cte()}) "
+    "SELECT word, count(*) AS cnt FROM toks WHERE word <> '' GROUP BY word",
+)
+def udf_tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function: one row in, N rows out) — the typed
+    Spark-native form of the reference's map-style emitters
+    (``scripts/wordcount_map.py:4-16`` emits (token, 1) per occurrence).
+    Row-at-a-time Python: API-surface demonstration; the production
+    tokenizer is the codegen'd explode(split(...)) path."""
+    from pyspark.sql.functions import udtf
+
+    from gcp_map_reduce_spark.functions.text import PY_NORMALIZE
+
+    @udtf(returnType="word string")
+    class TokenizeUDTF:
+        def eval(self, text: str):
+            for w in PY_NORMALIZE(text or "").split():
+                yield (w,)
+
+    spark.udtf.register("tokenize_udtf", TokenizeUDTF)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT t.word, count(*) AS cnt "
+        "FROM _udtf_docs d, LATERAL tokenize_udtf(d.text) t "
+        "GROUP BY t.word"
+    )
