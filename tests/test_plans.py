@@ -1,0 +1,74 @@
+"""Plan-quality regression gate: the physical plans that make these
+operators scale must not silently degrade. Asserts on the executed-plan
+text: predicate pushdown to the parquet scan, column pruning, map-side
+partial aggregation, and broadcast of dimension/query sides.
+
+These are the properties SURVEY.md §4 calls out as "free from Catalyst
+if the plan is declared right" — the gate proves we declared it right
+and keeps refactors honest.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from gcp_map_reduce_spark.plans import registry
+from tests.conftest import SF_ORACLE
+
+registry.load_catalog()
+
+
+def _plan(spark, name: str) -> str:
+    df = registry.QUERIES[name](spark, SF_ORACLE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_filter_pushdown_and_column_pruning(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters:" in plan and "l_shipdate" in plan.split("PushedFilters:")[1].split("\n")[0]
+    # projection needs only 4 of lineitem's 16 columns; the scan schema
+    # must not include untouched ones
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_partkey" not in read_schema and "l_comment" not in read_schema
+
+
+def test_q1_partial_aggregation(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # map-side combine: partial_sum before the exchange (the reference's
+    # wordcount shipped one record per row — SURVEY §4 "map-side combine: none")
+    assert "partial_sum" in plan
+    assert "PushedFilters:" in plan
+
+
+def test_q5_broadcasts_dimension_tables(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_wordcount_partial_count(spark):
+    plan = _plan(spark, "wordcount")
+    assert "partial_count" in plan
+
+
+def test_bruteforce_broadcasts_query_side(spark):
+    plan = _plan(spark, "similarity_bruteforce")
+    assert "BroadcastExchange" in plan
+
+
+def test_dedup_exact_prunes_to_needed_columns(spark):
+    plan = _plan(spark, "dedup_exact")
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    # untouched wide columns must be pruned from the scan
+    assert "lang" not in read_schema or "language" not in read_schema
+
+
+def test_topk_uses_limit_not_global_sort_materialization(spark):
+    plan = _plan(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
