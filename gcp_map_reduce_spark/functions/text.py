@@ -32,6 +32,17 @@ import string
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# One EXPLICIT whitespace class shared by all three engines. The shorthand
+# \s diverges across them (Java: [ \t\n\x0B\f\r]; RE2: no \x0B; Python
+# str.strip()/.split(): adds \x1C-\x1F and unicode spaces). After the
+# ASCII fold only ASCII survives, and on ASCII this class IS Python's
+# whitespace set — so Spark, DuckDB, and the Python twin agree
+# byte-for-byte (property-tested in tests/test_properties.py).
+WS_CLASS = r"[ \t\n\x0B\f\r\x1C-\x1F]"
+WS_SPLIT = WS_CLASS + "+"
+NON_WS = r"[^ \t\n\x0B\f\r\x1C-\x1F]"
+_WS_TRIM = f"^{WS_CLASS}+|{WS_CLASS}+$"
+
 
 def normalize_text(col: Column | str) -> Column:
     """Spark column expression replicating ``master.py:44-61`` semantics."""
@@ -39,7 +50,9 @@ def normalize_text(col: Column | str) -> Column:
     c = F.regexp_replace(c, r"[\p{Punct}]", "")  # rule 1: de-punctuate
     c = F.lower(c)  # rule 4a: lowercase
     c = F.regexp_replace(c, r"[^\x00-\x7F]", "")  # rule 4b: ASCII fold (delete)
-    return F.trim(c)  # rule 2: trim
+    # rule 2: trim — Python str.strip() strips ALL whitespace, while
+    # Spark's F.trim strips only 0x20; use the explicit class
+    return F.regexp_replace(c, _WS_TRIM, "")
 
 
 def tokenize(
@@ -56,7 +69,7 @@ def tokenize(
     are filtered out.
     """
     keep = keep_cols if keep_cols is not None else [c for c in df.columns if c != text_col]
-    tok = F.explode(F.split(normalize_text(F.col(text_col)), r"\s+")).alias(out_col)
+    tok = F.explode(F.split(normalize_text(F.col(text_col)), WS_SPLIT)).alias(out_col)
     return df.select(*keep, tok).filter(F.col(out_col) != "")
 
 
@@ -92,10 +105,12 @@ def reference_shuffle_filter(col: Column | str) -> Column:
 # --- DuckDB-oracle SQL fragments (kept adjacent so they never drift) -----
 
 def sql_normalize(expr: str) -> str:
-    """DuckDB SQL replicating :func:`normalize_text` exactly (RE2 regex)."""
+    """DuckDB SQL replicating :func:`normalize_text` exactly (RE2 regex;
+    explicit whitespace class — DuckDB's trim() strips only 0x20)."""
     return (
-        "trim(regexp_replace(lower(regexp_replace("
-        f"{expr}, '[[:punct:]]', '', 'g')), '[^\\x00-\\x7F]', '', 'g'))"
+        "regexp_replace(regexp_replace(lower(regexp_replace("
+        f"{expr}, '[[:punct:]]', '', 'g')), '[^\\x00-\\x7F]', '', 'g'), "
+        f"'{_WS_TRIM}', '', 'g')"
     )
 
 
@@ -104,5 +119,5 @@ def sql_tokens_cte(table: str = "documents", id_col: str = "doc_id", text_col: s
     equivalent to :func:`tokenize` over the same table."""
     return (
         f"SELECT {id_col}, unnest(regexp_split_to_array("
-        f"{sql_normalize(text_col)}, '\\s+')) AS word FROM {table}"
+        f"{sql_normalize(text_col)}, '{WS_SPLIT}')) AS word FROM {table}"
     )

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from gcp_map_reduce_spark.functions.text import normalize_text, sql_normalize
+from gcp_map_reduce_spark.functions.text import WS_SPLIT, normalize_text, sql_normalize
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
@@ -88,7 +88,7 @@ def doc_shingle_arrays(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFram
     # scan itself provides the splits and this is a cheap no-op shuffle).
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     w = F.filter(
-        F.split(normalize_text(F.col("text")), r"\s+"), lambda t: t != ""
+        F.split(normalize_text(F.col("text")), WS_SPLIT), lambda t: t != ""
     )
     grams = w
     for j in range(1, n):
@@ -132,7 +132,7 @@ def doc_shingles(
 
 _SHINGLES_SQL = f"""
 toks AS (
-  SELECT doc_id, regexp_split_to_array({sql_normalize('text')}, '\\s+') AS w
+  SELECT doc_id, regexp_split_to_array({sql_normalize('text')}, '{WS_SPLIT}') AS w
   FROM documents
 ),
 shingles AS (
@@ -298,7 +298,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         docs.select(
             "doc_id",
-            F.explode(F.split(normalize_text(F.col("text")), r"\s+")).alias("word"),
+            F.explode(F.split(normalize_text(F.col("text")), WS_SPLIT)).alias("word"),
         )
         .filter(F.col("word") != "")
         .groupBy("doc_id", "word")

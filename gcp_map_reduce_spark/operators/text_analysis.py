@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gcp_map_reduce_spark.functions.text import normalize_text, sql_normalize
+from gcp_map_reduce_spark.functions.text import WS_SPLIT, normalize_text, sql_normalize
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
@@ -46,7 +46,7 @@ def _marker_score(words: Column, markers: list[str]) -> Column:
 def _sql_marker_score(markers: list[str]) -> str:
     inlist = ", ".join(f"'{m}'" for m in markers)
     return (
-        "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        f"len(list_filter(regexp_split_to_array(lower(text), '{WS_SPLIT}'), "
         f"t -> t IN ({inlist})))"
     )
 
@@ -79,7 +79,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-stopword language ID with fixed-priority argmax (en > fr >
     es > de on ties; CJK codepoint presence short-circuits to zh)."""
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.col("text")), r"\s+")
+    words = F.split(F.lower(F.col("text")), WS_SPLIT)
     scores = {
         lang: _marker_score(words, mk).alias(f"s_{lang}")
         for lang, mk in LANG_MARKERS.items()
@@ -112,9 +112,9 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH m AS (
   SELECT doc_id, length(text) AS n_chars,
-    len(list_filter(regexp_split_to_array({sql_normalize('text')}, '\\s+'),
+    len(list_filter(regexp_split_to_array({sql_normalize('text')}, '{WS_SPLIT}'),
         t -> t <> '')) AS n_tokens,
-    len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+    len(list_filter(regexp_split_to_array(lower(text), '{WS_SPLIT}'),
         t -> t IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) AS n_stop,
     length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
     length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
@@ -137,8 +137,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword density, punctuation/digit ratios, plus a pass/fail gate.
     Integer counts + one double division each -> engine-exact."""
     docs = load_table(spark, sf_dir, "documents")
-    norm_words = F.split(normalize_text(F.col("text")), r"\s+")
-    low_words = F.split(F.lower(F.col("text")), r"\s+")
+    norm_words = F.split(normalize_text(F.col("text")), WS_SPLIT)
+    low_words = F.split(F.lower(F.col("text")), WS_SPLIT)
     m = docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),
@@ -171,7 +171,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_count_regex",
     oracle=f"""
 SELECT doc_id,
-  len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS n_ws_tokens,
+  len(list_filter(regexp_split_to_array(text, '{WS_SPLIT}'), t -> t <> '')) AS n_ws_tokens,
   len(regexp_extract_all(lower(text), '{_BPE_RE_SQL}')) AS n_bpe_tokens,
   CAST(length(text) AS DOUBLE)
     / greatest(len(regexp_extract_all(lower(text), '{_BPE_RE_SQL}')), 1)
@@ -184,7 +184,7 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     (letter runs / digit runs / single symbols) — the cheap proxy for LLM
     token budgeting over a corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), r"\s+")
+    ws = F.split(F.col("text"), WS_SPLIT)
     n_bpe = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), 0))
     return docs.select(
         "doc_id",

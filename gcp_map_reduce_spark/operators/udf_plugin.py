@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from gcp_map_reduce_spark.functions.text import sql_tokens_cte, tokenize
+from gcp_map_reduce_spark.functions.text import NON_WS, WS_SPLIT, sql_tokens_cte, tokenize
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
@@ -106,9 +106,9 @@ def udf_wordcount_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "udf_scalar_token_count",
-    oracle=r"""
+    oracle=f"""
 SELECT doc_id,
-  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+  CAST(len(list_filter(regexp_split_to_array(text, '{WS_SPLIT}'), x -> x <> ''))
        AS INT) AS n_tokens
 FROM documents
 """,
@@ -117,11 +117,12 @@ def udf_scalar_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCALAR pandas UDF (Arrow-vectorized, one Series in/out per batch):
     whitespace token count per document. Exists to prove the scalar
     Python path — the JVM-side ``token_count_regex`` is the production
-    operator."""
+    operator. Uses the shared explicit whitespace class (Python's \\S is
+    unicode-aware; RE2's is not)."""
 
     @F.pandas_udf("int")
     def n_tokens(s: pd.Series) -> pd.Series:
-        return s.str.findall(r"\S+").str.len().astype("int32")
+        return s.str.findall(NON_WS + "+").str.len().astype("int32")
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", n_tokens("text").alias("n_tokens"))
