@@ -1,0 +1,101 @@
+"""Scale primitives: skew salting and bucketed co-located joins.
+
+The reference's shuffle partitioner is a static letter->reducer map
+(``scripts/reducer.py:27-34``) — Zipfian letter frequencies make one
+reducer the straggler (SURVEY.md §4 calls this out as the anti-pattern).
+Spark's hash partitioning plus AQE fixes the common case; these helpers
+cover the two situations that still need explicit treatment at 100 TB:
+
+- **Salting** (``salted_groupby_count``): a pathologically hot key (one
+  grouping value holding a double-digit percent of all rows) overwhelms
+  even AQE's skew splitting for non-splittable aggregates. Two-phase
+  aggregation over a random salt bounds any single task's input at
+  ~1/n_salts of the hot key.
+- **Bucketing** (``write_bucketed`` / co-located join): two fact tables
+  repeatedly joined on the same key should be bucketed ON that key at
+  write time; the join then reads co-located buckets and the per-query
+  shuffle disappears entirely (verified by plan assertion in
+  tests/test_scale.py — no Exchange under the SortMergeJoin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 16
+
+
+def salted_groupby_count(
+    df: DataFrame, key: str | Column, n_salts: int = DEFAULT_SALTS
+) -> DataFrame:
+    """COUNT per key via two-phase salted aggregation.
+
+    Phase 1 groups on (key, salt) — the hot key's rows spread over
+    ``n_salts`` tasks; phase 2 sums the per-salt partials. Result is
+    identical to ``df.groupBy(key).count()`` (asserted in tests); cost is
+    one extra (tiny: one row per key per salt) shuffle. Use when one key
+    dominates; for mild skew prefer plain groupBy + AQE.
+
+    Note: counts/sums are algebraic so this decomposes exactly; holistic
+    aggregates (exact median, collect_list ordering) do not salt this way.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    salt = (F.rand(seed=7) * n_salts).cast("int")
+    partial = (
+        df.select(k.alias("key"), salt.alias("_salt"))
+        .groupBy("key", "_salt")
+        .agg(F.count("*").alias("_partial"))
+    )
+    return partial.groupBy("key").agg(F.sum("_partial").alias("count"))
+
+
+def salted_join_counts(
+    skewed: DataFrame,
+    skew_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Inner join a skewed fact side to a small-ish dimension by
+    replicating the dimension across salts.
+
+    Fact rows get a random salt in [0, n_salts); every dim row is
+    exploded to all n_salts values; the join keys on (key, salt) so the
+    hot key's fact rows land on n_salts different tasks. Equivalent to
+    the plain inner join (asserted in tests). For dimensions small enough
+    to broadcast, broadcast instead — salting is for the mid-size dim
+    that does not fit the broadcast threshold but has a hot fact key.
+    """
+    salt = (F.rand(seed=11) * n_salts).cast("int")
+    fact = skewed.withColumn("_salt", salt)
+    dim_rep = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return fact.join(
+        dim_rep,
+        (F.col(skew_key) == F.col(dim_key)) & (fact["_salt"] == dim_rep["_salt"]),
+    ).drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) managed table.
+
+    Both sides of a recurring equi-join bucketed on the join key with the
+    same bucket count join WITHOUT a shuffle (and without a sort, when
+    sorted) — the 100 TB answer to 'we join these two tables every hour'.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
+    if sort:
+        writer = writer.sortBy(bucket_key)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
