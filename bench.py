@@ -32,13 +32,18 @@ HEADLINE = [
     "sessionize_events",
     # temporal agg
     "events_hourly",
+    # grouping sets / rollup
+    "agg_cube",
     # dedup ladder
     "dedup_exact",
     "dedup_minhash",
     # similarity
     "similarity_bruteforce",
+    "similarity_ivf_ann",
     # text analysis
     "text_quality",
+    # python-boundary cost reference point (Arrow grouped-map)
+    "udf_wordcount_grouped",
 ]
 
 
