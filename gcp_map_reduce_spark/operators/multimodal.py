@@ -104,6 +104,99 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_STRIDE = 4  # keep every 4th byte (stand-in for spatial downsample)
+FRAME_SIZE = 256  # bytes per pseudo-frame
+FRAME_STEP = 8  # sample every 8th frame
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes_in", T.LongType()),
+        T.StructField("n_bytes_out", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic 'resize': stride-subsample the byte stream (a real
+    implementation decodes, resamples pixels, re-encodes — same Arrow
+    in/out shape, same 1-row-in/1-row-out contract)."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        resized = payloads.map(lambda b: bytes(b[:: RESIZE_STRIDE]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes_in": payloads.map(len).astype("int64"),
+                "n_bytes_out": resized.map(len).astype("int64"),
+                "resized": resized,
+            }
+        )
+
+
+@query("multimodal_resize")  # binary transform; no ANSI-SQL analog
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over binary payloads (1 row -> 1 smaller row) via
+    ``mapInPandas``. At 100 TB this is the shape of every re-encode pass:
+    payload-in/payload-out, no shuffle, output written straight back to a
+    binary column."""
+    return (
+        build_binary_table(spark, sf_dir)
+        .select("doc_id", "payload")
+        .mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
+    )
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("frame_sum_mod", T.LongType()),
+    ]
+)
+
+
+def _frame_sample_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic frame sampler: treat the payload as FRAME_SIZE-byte
+    frames, emit every FRAME_STEP-th frame — 1 row -> N rows, the video
+    keyframe-extraction shape."""
+    for pdf in batches:
+        ids, idxs, frames, sums = [], [], [], []
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = (len(b) + FRAME_SIZE - 1) // FRAME_SIZE
+            for fi in range(0, n_frames, FRAME_STEP):
+                fr = bytes(b[fi * FRAME_SIZE : (fi + 1) * FRAME_SIZE])
+                ids.append(doc_id)
+                idxs.append(fi)
+                frames.append(fr)
+                sums.append(sum(fr) % 997)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame": pd.Series(frames, dtype="object"),
+                "frame_sum_mod": pd.Series(sums, dtype="int64"),
+            }
+        )
+
+
+@query("multimodal_frame_sample")  # 1->N binary emit; no ANSI-SQL analog
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (1 row -> N frame rows) via
+    ``mapInPandas`` — generator output keeps peak memory at one batch, and
+    downstream per-frame operators (decode, embed) parallelize over the
+    exploded rows."""
+    return (
+        build_binary_table(spark, sf_dir)
+        .select("doc_id", "payload")
+        .mapInPandas(_frame_sample_batches, schema=_FRAME_SCHEMA)
+    )
+
+
 @query(
     "multimodal_stats",
     oracle="""
