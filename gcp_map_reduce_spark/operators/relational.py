@@ -173,6 +173,50 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q14_promo_revenue",
+    oracle="""
+SELECT
+  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+      ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    AS promo_pct,
+  count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo revenue share: fact scan joined to the part
+    dimension (broadcast — at 100 TB part is still orders of magnitude
+    smaller than lineitem), conditional aggregation, exact decimal sums
+    with one final double division."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    price = dec("l_extendedprice", precision=12)
+    disc = dec("l_discount", 2, 4)
+    rev = price * (F.lit(1) - disc)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(16,4)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_pct"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
     "q6_forecast_revenue",
     oracle="""
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
@@ -365,6 +409,64 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("o_totalprice", precision=12)).over(w).cast("double").alias(
             "running_spend"
         ),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+       OVER (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS spend_30d
+FROM orders
+""",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day spend per customer: a RANGE frame keyed on epoch
+    seconds (value-based, unlike the ROWS frame of window_running_sum).
+    Decimal sum -> order-insensitive exactness inside the frame."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        # NTZ won't cast straight to long; hop via session-TZ timestamp
+        # (session is pinned UTC, matching DuckDB's epoch())
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-2592000, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice", precision=12)).over(w).cast("double").alias(
+            "spend_30d"
+        ),
+    )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+  ntile(4) OVER w AS price_quartile,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    per priority class. The (price, orderkey) total order removes peer
+    ties, so the doubles are identical across engines."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )
 
 
