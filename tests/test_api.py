@@ -62,3 +62,13 @@ def test_unknown_operation_rejected(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown operation"):
         launch_map_reduce(spark, "nope", _corpus(tmp_path), str(tmp_path / "s"))
+
+
+def test_cli_list_names_every_query(capsys):
+    from gcp_map_reduce_spark.__main__ import main
+    from gcp_map_reduce_spark.plans import registry
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == len(registry.QUERIES)
+    assert any(line.startswith("wordcount\t") for line in out)
