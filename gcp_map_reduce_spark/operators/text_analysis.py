@@ -236,3 +236,98 @@ def corpus_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
     )
+
+
+# -- TF-IDF + n-grams ------------------------------------------------------
+
+from gcp_map_reduce_spark.functions.text import sql_tokens_cte, tokenize  # noqa: E402
+
+
+@query(
+    "text_tfidf",
+    oracle=f"""
+WITH toks AS ({sql_tokens_cte()}),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM toks WHERE word <> ''
+  GROUP BY doc_id, word
+),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf)
+SELECT tf.doc_id, tf.word, tf.tf, df.df, n.n_docs
+FROM tf JOIN df USING (word) CROSS JOIN n
+""",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF components per (doc, word): term frequency, document
+    frequency, corpus size — all exact integers, so the oracle hash-checks
+    the whole statistical substrate. The ln-based score lives in
+    :func:`tfidf_score` because ln() differs between engines in the last
+    ulp (measured: ~1% of integer arguments) and can't value-hash.
+
+    Plan shape: tf is one shuffle on (doc_id, word); df is a map-side-
+    combinable reaggregation of tf (NOT a second corpus scan); n_docs and
+    df broadcast back onto tf.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokenize(docs, text_col="text", out_col="word", keep_cols=["doc_id"])
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = tf.select(F.count_distinct("doc_id").alias("n_docs"))
+    return tf.join(F.broadcast(df), "word").crossJoin(F.broadcast(n)).select(
+        "doc_id", "word", "tf", "df", "n_docs"
+    )
+
+
+def tfidf_score(components: DataFrame) -> DataFrame:
+    """Add the smoothed TF-IDF score to :func:`text_tfidf` output:
+    ``tf * (ln((n_docs + 1) / (df + 1)) + 1)`` (sklearn-style smoothing).
+    Kept outside the oracle gate (see text_tfidf docstring)."""
+    idf = (
+        F.log((F.col("n_docs") + F.lit(1)) / (F.col("df") + F.lit(1)))
+        + F.lit(1.0)
+    )
+    return components.withColumn("tfidf", F.col("tf") * idf)
+
+
+@query(
+    "corpus_bigrams",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({sql_normalize('text')}, '{WS_SPLIT}') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+  FROM toks, UNNEST(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2
+)
+SELECT bigram, count(*) AS n_occurrences,
+  count(DISTINCT doc_id) AS n_docs
+FROM grams GROUP BY bigram
+""",
+)
+def corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics (occurrences + doc frequency) — the
+    n-gram counting path, built array-natively like the dedup shingles
+    (zip_with over a shifted slice; no per-token shuffle)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    w = F.filter(
+        F.split(normalize_text(F.col("text")), WS_SPLIT), lambda t: t != ""
+    )
+    shifted = F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0)))
+    grams = F.zip_with(
+        w,
+        shifted,
+        lambda g, t: F.when(g.isNull() | t.isNull(), F.lit(None)).otherwise(
+            F.concat(g, F.lit(" "), t)
+        ),
+    )
+    flat = docs.select(
+        "doc_id",
+        F.explode(F.filter(grams, lambda x: x.isNotNull())).alias("bigram"),
+    )
+    return flat.groupBy("bigram").agg(
+        F.count("*").alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )

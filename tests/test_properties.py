@@ -105,3 +105,18 @@ def test_minhash_estimates_in_unit_interval(spark):
     for r in rows:
         assert 0.0 <= r["est_jaccard"] <= 1.0
         assert r["doc_a"] < r["doc_b"]
+
+
+def test_tfidf_score_matches_numpy(spark):
+    import math
+
+    from gcp_map_reduce_spark.operators.text_analysis import (
+        text_tfidf,
+        tfidf_score,
+    )
+
+    rows = tfidf_score(text_tfidf(spark, SF_ORACLE)).limit(500).collect()
+    assert rows
+    for r in rows:
+        want = r["tf"] * (math.log((r["n_docs"] + 1) / (r["df"] + 1)) + 1.0)
+        assert abs(r["tfidf"] - want) < 1e-12, r
