@@ -5,6 +5,7 @@ Add one import line per operator module; modules self-register via the
 """
 
 from gcp_map_reduce_spark.operators import (  # noqa: F401,I001
+    clustering,
     dedup,
     multimodal,
     relational,
