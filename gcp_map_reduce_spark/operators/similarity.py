@@ -193,6 +193,43 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "semantic_search_docs",
+    oracle=f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+    {_SQL_DOT.format(a='q.embedding', b='c.embedding')} AS dot,
+    {_SQL_DOT.format(a='q.embedding', b='q.embedding')} AS qn2,
+    {_SQL_DOT.format(a='c.embedding', b='c.embedding')} AS cn2
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+topk AS (
+  SELECT query_id, cand_id, dot / sqrt(qn2 * cn2) AS cosine
+  FROM pairs
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) <= {TOP_K}
+)
+SELECT t.query_id, t.cand_id, t.cosine, d.lang, d.n_chars
+FROM topk t JOIN documents d ON t.cand_id = d.doc_id
+""",
+)
+def semantic_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-user semantic search: nearest-neighbor hits enriched with the
+    matched documents' metadata (vec_id and doc_id share a key space in
+    the testdata). The enrichment join broadcasts ONLY the top-k hit list
+    (|Q| x k rows) against the documents table — never the reverse; at
+    100 TB the hits are tiny and documents is the fact side."""
+    hits = similarity_bruteforce(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id"), "lang", "n_chars"
+    )
+    return (
+        F.broadcast(hits)
+        .join(docs, hits.cand_id == docs.doc_id)
+        .select("query_id", "cand_id", "cosine", "lang", "n_chars")
+    )
+
+
 # -- IVF-Flat (coarse-quantizer cells, probe-then-rerank) ------------------
 
 IVF_CELLS = 16  # codebook size K (65k+ at real scale)
