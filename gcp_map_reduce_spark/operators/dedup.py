@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from gcp_map_reduce_spark.functions.text import WS_SPLIT, normalize_text, sql_normalize
+from gcp_map_reduce_spark.operators.scale import materialize
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
@@ -163,7 +164,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs: 3-shingle Jaccard >= 0.8 via inverted-index
     self-join. Jaccard is integer-arithmetic + one double division, so it
     hash-matches the oracle bit-for-bit."""
-    sh = doc_shingles(spark, sf_dir, n=3)
+    # three consumers (both join sides + sizes): materialize once
+    sh = materialize(doc_shingles(spark, sf_dir, n=3))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -249,6 +251,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_id", "band_hash"),
     )
+    # self-join: materialize once or the whole signature pipeline runs
+    # twice (no cross-side subexpression reuse in Spark)
+    bands = materialize(bands)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -344,6 +349,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_id", "chunk_val"),
     )
+    chunks = materialize(chunks)
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

@@ -26,6 +26,20 @@ from pyspark.sql import functions as F
 DEFAULT_SALTS = 16
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """Materialize a DataFrame once so multiple consumers (esp. the two
+    sides of a self-join) read it instead of recomputing its lineage —
+    Spark has no cross-join-side common-subexpression reuse, so a
+    self-join of an expensive derived table otherwise computes it twice.
+
+    ``localCheckpoint`` keeps the blocks on executors (fast, but lost
+    with an executor); on a production cluster prefer ``checkpoint`` to
+    reliable storage, or persist the intermediate as a table, for jobs
+    where recompute-on-loss is too expensive.
+    """
+    return df.localCheckpoint(eager=True)
+
+
 def salted_groupby_count(
     df: DataFrame, key: str | Column, n_salts: int = DEFAULT_SALTS
 ) -> DataFrame:

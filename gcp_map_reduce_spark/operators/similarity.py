@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from gcp_map_reduce_spark.operators.scale import materialize
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
@@ -382,7 +383,10 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band_id, band_bits) so only same-bucket pairs materialize, and AQE
     splits hot buckets. Recall vs brute force asserted in unit tests.
     """
-    emb = lsh_sketch(_with_norm2(load_table(spark, sf_dir, "embeddings")))
+    # both band sides derive from the sketch pipeline: materialize once
+    emb = materialize(
+        lsh_sketch(_with_norm2(load_table(spark, sf_dir, "embeddings")))
+    )
     band_bits = N_PLANES // _LSH_BANDS
     mask = (1 << band_bits) - 1
 
