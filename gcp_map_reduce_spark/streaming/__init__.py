@@ -1,6 +1,7 @@
 from gcp_map_reduce_spark.streaming.file_trigger import (
     run_file_trigger_wordcount,
     run_incremental_event_counts,
+    run_streaming_dedup,
 )
 from gcp_map_reduce_spark.streaming.stateful import run_stateful_sessionize
 
@@ -8,4 +9,5 @@ __all__ = [
     "run_file_trigger_wordcount",
     "run_incremental_event_counts",
     "run_stateful_sessionize",
+    "run_streaming_dedup",
 ]

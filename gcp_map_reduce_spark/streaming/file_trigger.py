@@ -118,3 +118,39 @@ def run_incremental_event_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "deduped_docs",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming exact dedup: emit each distinct document content hash at
+    most once across the whole stream (the ingest-time counterpart of the
+    batch ``dedup_exact`` operator).
+
+    State is one row per distinct md5 seen — bounded by content
+    cardinality, not stream length; at 100 TB/day you additionally scope
+    state with ``dropDuplicatesWithinWatermark`` on an event-time column
+    so state ages out. In-memory sink named ``query_name``.
+    """
+    schema = "doc_id bigint, text string"
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(docs_dir)
+    deduped = (
+        docs.withColumn("text_hash", F.md5("text"))
+        .dropDuplicates(["text_hash"])
+        .select("doc_id", "text_hash")
+    )
+    return (
+        deduped.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -120,3 +120,29 @@ def test_tfidf_score_matches_numpy(spark):
     for r in rows:
         want = r["tf"] * (math.log((r["n_docs"] + 1) / (r["df"] + 1)) + 1.0)
         assert abs(r["tfidf"] - want) < 1e-12, r
+
+
+def test_normalize_and_tokenize_handle_null_and_empty(spark):
+    import pandas as pd
+    from gcp_map_reduce_spark.functions.text import normalize_text, tokenize
+    from pyspark.sql import types as T
+
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [None, "", "  \t ", "ok!"]}),
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+    )
+    norm = {
+        r["doc_id"]: r["n"]
+        for r in sdf.select(
+            "doc_id", normalize_text(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert norm == {1: None, 2: "", 3: "", 4: "ok"}
+    toks = tokenize(sdf, text_col="text", out_col="w", keep_cols=["doc_id"]).collect()
+    # null/blank docs contribute zero tokens, never null tokens
+    assert {(r["doc_id"], r["w"]) for r in toks} == {(4, "ok")}

@@ -115,3 +115,36 @@ def test_stateful_sessionize_emits_closed_sessions(spark, tmp_path):
         per_user_sessions[r["user_id"]] += 1
     for uid, n_sess in per_user_sessions.items():
         assert n_sess <= batch[uid][0], (uid, n_sess, batch[uid])
+
+
+def test_streaming_dedup_emits_each_hash_once(spark, tmp_path):
+    from gcp_map_reduce_spark.streaming import run_streaming_dedup
+    from gcp_map_reduce_spark.sources.tables import load_table
+
+    src = tmp_path / "docs_dedup"
+    ckpt = tmp_path / "ckpt4"
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    pdf = docs.toPandas()
+    src.mkdir()
+    # duplicate content across two "arriving" files: the second batch must
+    # add NO rows for hashes already emitted
+    pdf.to_parquet(str(src / "a.parquet"), index=False)
+    pdf.assign(doc_id=pdf["doc_id"] + 100000).to_parquet(
+        str(src / "b.parquet"), index=False
+    )
+
+    q = run_streaming_dedup(
+        spark,
+        str(src),
+        str(ckpt),
+        query_name="dedup_stream_test",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM dedup_stream_test").collect()
+    n_distinct_content = docs.select("text").distinct().count()
+    assert len(got) == n_distinct_content
+    hashes = [r["text_hash"] for r in got]
+    assert len(hashes) == len(set(hashes))
