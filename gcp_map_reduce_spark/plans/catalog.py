@@ -8,6 +8,7 @@ from gcp_map_reduce_spark.operators import (  # noqa: F401,I001
     clustering,
     dedup,
     multimodal,
+    pipeline,
     relational,
     relational_ext,
     similarity,
