@@ -44,6 +44,8 @@ HEADLINE = [
     "text_quality",
     # python-boundary cost reference point (Arrow grouped-map)
     "udf_wordcount_grouped",
+    # flagship composition: quality -> dedup -> near-dup -> token budget
+    "curated_corpus",
 ]
 
 
