@@ -215,6 +215,21 @@ def percentiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("approx_percentiles_totalprice")  # sketch internals differ per engine
+def approx_percentiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch, accuracy 1e4):
+    the 100 TB path — constant memory per group, mergeable partials,
+    single shuffle of sketches instead of materialized groups. Accuracy
+    vs the exact operator is asserted in tests (no SQL oracle: sketch
+    internals are engine-specific)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90"),
+        F.percentile_approx("o_totalprice", 0.99, 10000).alias("p99"),
+    )
+
+
 @query(
     "string_functions",
     oracle="""
