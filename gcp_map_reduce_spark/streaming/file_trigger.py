@@ -154,3 +154,44 @@ def run_streaming_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_stream_static_enrich(
+    spark: SparkSession,
+    events_dir: str,
+    customer_parquet: str,
+    checkpoint_dir: str,
+    query_name: str = "enriched_events",
+):
+    """Stream-static enrichment join: arriving events pick up dimension
+    attributes from a static (batch) table.
+
+    Stateless — the static side is re-resolvable per micro-batch and
+    broadcast by the planner, so there is no streaming state at all and
+    append mode needs no watermark. This is the standard ingest-time
+    enrichment shape (events x user profile) at any scale.
+    """
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    ev = spark.readStream.schema(schema).parquet(events_dir)
+    dim = (
+        spark.read.parquet(customer_parquet)
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            "c_mktsegment",
+            "c_nationkey",
+        )
+    )
+    enriched = ev.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "event_type", "value", "c_mktsegment", "c_nationkey"
+    )
+    return (
+        enriched.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -148,3 +148,32 @@ def test_streaming_dedup_emits_each_hash_once(spark, tmp_path):
     assert len(got) == n_distinct_content
     hashes = [r["text_hash"] for r in got]
     assert len(hashes) == len(set(hashes))
+
+
+def test_stream_static_enrich_matches_batch_join(spark, tmp_path):
+    from gcp_map_reduce_spark.streaming import run_stream_static_enrich
+    from gcp_map_reduce_spark.sources.tables import load_table
+
+    src = tmp_path / "events_enrich"
+    ckpt = tmp_path / "ckpt5"
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    pdf = ev.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src.mkdir()
+    pdf.to_parquet(str(src / "a.parquet"), index=False)
+
+    q = run_stream_static_enrich(
+        spark,
+        str(src),
+        "/root/testdata/sf0.001/customer.parquet",
+        str(ckpt),
+        query_name="enrich_test",
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM enrich_test")
+
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer")
+    want = ev.join(cust, ev.user_id == cust.c_custkey).count()
+    assert got.count() == want
+    # every emitted row carries a real segment
+    assert got.filter(F.col("c_mktsegment").isNull()).count() == 0
