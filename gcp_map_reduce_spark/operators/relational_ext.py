@@ -231,6 +231,74 @@ def approx_percentiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "map_functions",
+    oracle="""
+SELECT o_orderpriority,
+  count(*) FILTER (o_orderstatus = 'F') AS n_f,
+  count(*) FILTER (o_orderstatus = 'O') AS n_o,
+  count(*) FILTER (o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column functions: build a status->count map per priority
+    (map_from_entries over collect_list) and extract with element_at.
+    The map is internal — output is plain integers so the oracle (plain
+    conditional aggregation) hash-matches."""
+    orders = _t(spark, sf_dir, "orders")
+    by_status = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+    mapped = by_status.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderstatus", "n"))
+        ).alias("status_counts")
+    )
+    get = lambda s: F.coalesce(  # noqa: E731
+        F.element_at("status_counts", s), F.lit(0)
+    )
+    return mapped.select(
+        "o_orderpriority",
+        get("F").alias("n_f"),
+        get("O").alias("n_o"),
+        get("P").alias("n_p"),
+    )
+
+
+@query(
+    "math_functions",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+  abs(l_discount - 0.05) AS disc_dev,
+  round(l_extendedprice, 1) AS price_r1,
+  CAST(floor(l_quantity / 10) AS BIGINT) AS qty_decile,
+  CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
+  sqrt(l_extendedprice) AS price_sqrt,
+  l_quantity * l_quantity AS qty_sq,
+  CAST(l_quantity AS BIGINT) % 7 AS qty_mod7
+FROM lineitem WHERE l_orderkey < 100
+""",
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar functions over the fact table — the deterministic set
+    (abs/round/floor/ceil/sqrt/multiply/mod are IEEE-exact or integer;
+    transcendentals are excluded — see text_tfidf for why ln can't
+    value-hash)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor(F.col("l_quantity") / 10).alias("qty_decile"),
+        F.ceil(F.col("l_tax") * 100).alias("tax_pct_ceil"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+    )
+
+
+@query(
     "string_functions",
     oracle="""
 SELECT p_partkey,
