@@ -113,3 +113,27 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+# -- oracle-gated demonstration queries ------------------------------------
+
+from gcp_map_reduce_spark.functions.text import sql_tokens_cte, tokenize  # noqa: E402
+from gcp_map_reduce_spark.plans.registry import query  # noqa: E402
+from gcp_map_reduce_spark.sources.tables import load_table  # noqa: E402
+
+
+@query(
+    "salted_token_counts",
+    oracle=f"WITH toks AS ({sql_tokens_cte()}) "
+    "SELECT word AS key, count(*) AS count FROM toks WHERE word <> '' "
+    "GROUP BY word",
+)
+def salted_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts via the two-phase salted aggregation — token
+    frequencies are Zipfian (the reference's letter-partition skew,
+    SURVEY.md §4, is exactly this distribution), so the hot-key guard is
+    demonstrated on the data that needs it. The oracle is the PLAIN
+    group-count: salting must be invisible in the result."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokenize(docs, text_col="text", out_col="word", keep_cols=[])
+    return salted_groupby_count(toks, "word")

@@ -11,6 +11,7 @@ from gcp_map_reduce_spark.operators import (  # noqa: F401,I001
     pipeline,
     relational,
     relational_ext,
+    scale,
     similarity,
     text_analysis,
     udf_plugin,
