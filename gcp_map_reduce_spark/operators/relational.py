@@ -529,6 +529,7 @@ def _cust_year(spark, sf_dir, lo=None, hi=None):
 
 @query("set_union", oracle=f"{_CUST_1995} UNION {_CUST_2000}")
 def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in either year — distinct union of key sets."""
     a = _cust_year(spark, sf_dir, "1995-01-01 00:00:00", "1996-01-01 00:00:00")
     b = _cust_year(spark, sf_dir, "2000-01-01 00:00:00", None)
     return a.union(b).distinct()
@@ -536,6 +537,7 @@ def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("set_intersect", oracle=f"{_CUST_1995} INTERSECT {_CUST_2000}")
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in both years — set intersection."""
     a = _cust_year(spark, sf_dir, "1995-01-01 00:00:00", "1996-01-01 00:00:00")
     b = _cust_year(spark, sf_dir, "2000-01-01 00:00:00", None)
     return a.intersect(b)
@@ -543,6 +545,7 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("set_except", oracle=f"{_CUST_1995} EXCEPT {_CUST_2000}")
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in 1995 but gone by 2000 — set difference."""
     a = _cust_year(spark, sf_dir, "1995-01-01 00:00:00", "1996-01-01 00:00:00")
     b = _cust_year(spark, sf_dir, "2000-01-01 00:00:00", None)
     return a.exceptAll(b).distinct()
@@ -559,6 +562,8 @@ FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (priority, then status, then grand total) in
+    one Expand + single-shuffle aggregation."""
     orders = _t(spark, sf_dir, "orders")
     return orders.rollup("o_orderpriority", "o_orderstatus").agg(
         F.count("*").alias("n"), dsum("o_totalprice", "total", 2)
@@ -574,6 +579,8 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations of (returnflag, linestatus) — the full
+    cube, one Expand + single shuffle."""
     li = _t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"), dsum("l_quantity", "total_qty", 2)
@@ -610,6 +617,8 @@ FROM customer GROUP BY c_mktsegment
 """,
 )
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) alongside plain aggregates (planned as a
+    two-phase Expand aggregation)."""
     cust = _t(spark, sf_dir, "customer")
     return cust.groupBy("c_mktsegment").agg(
         F.count_distinct("c_nationkey").alias("n_nations"),
@@ -687,6 +696,8 @@ FROM orders GROUP BY ym, o_orderpriority
 """,
 )
 def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing with date_format — temporal scalar functions
+    feeding a grouped aggregation."""
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy(
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"), "o_orderpriority"
