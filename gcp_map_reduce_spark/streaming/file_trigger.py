@@ -126,6 +126,7 @@ def run_streaming_dedup(
     checkpoint_dir: str,
     query_name: str = "deduped_docs",
     max_files_per_trigger: int | None = None,
+    output_dir: str | None = None,
 ):
     """Streaming exact dedup: emit each distinct document content hash at
     most once across the whole stream (the ingest-time counterpart of the
@@ -134,7 +135,11 @@ def run_streaming_dedup(
     State is one row per distinct md5 seen — bounded by content
     cardinality, not stream length; at 100 TB/day you additionally scope
     state with ``dropDuplicatesWithinWatermark`` on an event-time column
-    so state ages out. In-memory sink named ``query_name``.
+    so state ages out.
+
+    Sink: in-memory table ``query_name`` by default (tests/demo); pass
+    ``output_dir`` for a durable parquet sink — REQUIRED for restart
+    recovery, since the memory sink cannot resume from a checkpoint.
     """
     schema = "doc_id bigint, text string"
     reader = spark.readStream.schema(schema)
@@ -146,14 +151,14 @@ def run_streaming_dedup(
         .dropDuplicates(["text_hash"])
         .select("doc_id", "text_hash")
     )
-    return (
-        deduped.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
+    writer = (
+        deduped.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
-        .start()
     )
+    if output_dir is not None:
+        return writer.format("parquet").option("path", output_dir).start()
+    return writer.format("memory").queryName(query_name).start()
 
 
 def run_stream_static_enrich(

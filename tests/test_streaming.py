@@ -177,3 +177,34 @@ def test_stream_static_enrich_matches_batch_join(spark, tmp_path):
     assert got.count() == want
     # every emitted row carries a real segment
     assert got.filter(F.col("c_mktsegment").isNull()).count() == 0
+
+
+def test_streaming_dedup_restart_resumes_from_checkpoint(spark, tmp_path):
+    from gcp_map_reduce_spark.streaming import run_streaming_dedup
+    from gcp_map_reduce_spark.sources.tables import load_table
+
+    src = tmp_path / "docs_restart"
+    ckpt = tmp_path / "ckpt6"
+    out = tmp_path / "dedup_out"
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    pdf = docs.toPandas()
+    src.mkdir()
+    pdf.to_parquet(str(src / "a.parquet"), index=False)
+
+    # first run drains file a and stops (availableNow); durable sink
+    q1 = run_streaming_dedup(spark, str(src), str(ckpt), output_dir=str(out))
+    q1.awaitTermination(120)
+    n_distinct = docs.select("text").distinct().count()
+    assert spark.read.parquet(str(out)).count() == n_distinct
+
+    # new file lands with ALL duplicate content; a restarted query on the
+    # SAME checkpoint must recover its dedup state and emit nothing new
+    pdf.assign(doc_id=pdf["doc_id"] + 500000).to_parquet(
+        str(src / "b.parquet"), index=False
+    )
+    q2 = run_streaming_dedup(spark, str(src), str(ckpt), output_dir=str(out))
+    q2.awaitTermination(120)
+    after = spark.read.parquet(str(out)).count()
+    assert after == n_distinct, (after, n_distinct)
