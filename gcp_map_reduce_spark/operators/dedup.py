@@ -371,3 +371,95 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 3)
     )
+
+
+# -- dedup clustering (connected components over near-dup pairs) -----------
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isect
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+  UNION SELECT doc_a, doc_a FROM pairs
+  UNION SELECT doc_b, doc_b FROM pairs
+),
+reach AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS doc_id, min(d) AS cluster_id, count(DISTINCT d) AS reach_size
+FROM reach GROUP BY s
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph: every document
+    in any >= 0.8-Jaccard pair gets a cluster id (the component's minimum
+    doc_id) — the dedup ENDGAME: keep cluster_id == doc_id, drop the rest.
+
+    Spark side is iterative min-label propagation (labels drop to the
+    smallest label among self + neighbors each round, log-diameter
+    rounds); the driver-side loop checks only a CHANGE COUNT per round
+    (scalar), never row data, and each round is one join + one
+    aggregation on the (tiny relative to corpus) pair-graph node set.
+    The DuckDB oracle computes the same components via a recursive-CTE
+    transitive closure — engine-independent agreement on an iterative
+    algorithm's fixpoint. reach_size doubles as the component size.
+    """
+    pairs = materialize(
+        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    fwd = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+    rev = pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+    edges = materialize(fwd.union(rev))
+    labels = edges.groupBy("s").agg(F.min("d").alias("label"))
+    labels = labels.select(
+        "s", F.least(F.col("s"), F.col("label")).alias("label")
+    )
+    for _ in range(16):  # >= log2(diameter) for any realistic cluster
+        neigh = (
+            edges.select(F.col("s").alias("ns"), F.col("d").alias("nd"))
+            .join(
+                labels.select(F.col("s").alias("ls"), "label"),
+                F.col("nd") == F.col("ls"),
+            )
+            .groupBy("ns")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = materialize(
+            labels.join(neigh, labels.s == neigh.ns, "left").select(
+                F.col("s"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            updated.select(F.col("s").alias("us"), F.col("label").alias("ulabel"))
+            .join(labels, F.col("us") == F.col("s"))
+            .filter(F.col("ulabel") != F.col("label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    comp = labels.select("s", F.col("label").alias("cluster_id"))
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("reach_size"))
+    return (
+        comp.join(sizes, "cluster_id")
+        .select(F.col("s").alias("doc_id"), "cluster_id", "reach_size")
+    )

@@ -48,3 +48,24 @@ def test_minhash_signatures_shape(spark):
     row = sig.limit(1).collect()[0]
     assert len(row["sig"]) == NUM_HASHES
     assert all(isinstance(h, int) for h in row["sig"])
+
+
+def test_dedup_clusters_invariants(spark):
+    from gcp_map_reduce_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_ngram_jaccard,
+    )
+
+    rows = dedup_clusters(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    for cid, members in by_cluster.items():
+        # the cluster id IS the minimum member (canonical keeper)
+        assert cid == min(members)
+        assert len(members) >= 2  # singletons have no near-dup pair
+    # node set == docs appearing in at least one pair
+    pairs = dedup_ngram_jaccard(spark, "/root/testdata/sf0.01").collect()
+    in_pairs = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    assert {r["doc_id"] for r in rows} == in_pairs
