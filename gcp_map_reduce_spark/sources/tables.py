@@ -37,6 +37,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     schema-by-convention dicts, SURVEY.md §1.3)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    # engine policy (session.py): timestamps are UTC everywhere so
+    # date_format/epoch results can't drift vs the oracle on a
+    # caller-provided session with a different local timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which the
+        # vectorized reader rejects by default. Set the legacy conf at
+        # runtime (it is session-scoped, not static) so the engine works
+        # on ANY caller-provided session — e.g. the correctness driver's —
+        # not just ones built by session.get_spark.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ts is INT64 TIMESTAMP(NANOS) read via nanosAsLong (session.py);
