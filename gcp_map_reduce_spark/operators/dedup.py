@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from gcp_map_reduce_spark.functions.text import WS_SPLIT, normalize_text, sql_normalize
 from gcp_map_reduce_spark.operators.scale import materialize

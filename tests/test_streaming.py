@@ -3,9 +3,6 @@ wordcount, and incremental watermarked aggregation vs the batch answer."""
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import functions as F
 
 
