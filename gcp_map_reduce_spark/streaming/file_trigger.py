@@ -200,3 +200,59 @@ def run_stream_static_enrich(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "click_to_purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Stream-stream interval join: clicks joined to the same user's
+    purchases that happen within ``within`` afterwards.
+
+    Both sides carry watermarks and the join condition bounds the event-
+    time distance, so each side's buffered state is evictable once the
+    other side's watermark passes — bounded state on two unbounded
+    streams, the attribution-join shape. Inner join + append mode.
+    """
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+
+    def side(event_type: str, prefix: str):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(events_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", watermark)
+        )
+
+    clicks = side("click", "click")
+    purchases = side("purchase", "buy")
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            click_user = buy_user AND
+            buy_ts >= click_ts AND
+            buy_ts <= click_ts + INTERVAL {within}
+            """
+        ),
+    ).select("click_id", "buy_id", "click_user", "click_ts", "buy_ts")
+    return (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -205,3 +205,49 @@ def test_streaming_dedup_restart_resumes_from_checkpoint(spark, tmp_path):
     q2.awaitTermination(120)
     after = spark.read.parquet(str(out)).count()
     assert after == n_distinct, (after, n_distinct)
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark, tmp_path):
+    from gcp_map_reduce_spark.streaming import run_stream_stream_join
+    from gcp_map_reduce_spark.sources.tables import load_table
+
+    src = tmp_path / "events_ssj"
+    ckpt = tmp_path / "ckpt7"
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    pdf = ev.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src.mkdir()
+    pdf.to_parquet(str(src / "a.parquet"), index=False)
+
+    q = run_stream_stream_join(
+        spark, str(src), str(ckpt), query_name="ssj_test"
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["click_id"], r["buy_id"])
+        for r in spark.sql("SELECT * FROM ssj_test").collect()
+    }
+
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"),
+        F.col("user_id").alias("bu"),
+        F.col("ts").alias("bts"),
+    )
+    want = {
+        (r["click_id"], r["buy_id"])
+        for r in clicks.join(
+            buys,
+            (F.col("cu") == F.col("bu"))
+            & (F.col("bts") >= F.col("cts"))
+            & (F.col("bts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert want, "fixture should contain click->purchase pairs"
+    # single-batch availableNow drain: inner interval join emits complete
+    # results (no rows were dropped as late)
+    assert got == want
