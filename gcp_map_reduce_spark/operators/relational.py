@@ -547,6 +547,67 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_stages",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS vt FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS ct FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.vt GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS pt FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.ct GROUP BY e.user_id
+)
+SELECT u.user_id,
+  CASE WHEN pt IS NOT NULL THEN 3 WHEN ct IS NOT NULL THEN 2
+       WHEN vt IS NOT NULL THEN 1 ELSE 0 END AS reached_stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+""",
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase) per user: each stage's
+    earliest qualifying timestamp must follow the previous stage's. Three
+    narrow aggregations on user_id — the same partitioning reused across
+    stages, so on a pre-partitioned events table only the first round
+    shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        ev.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("vt")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("ct")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    stage = (
+        F.when(F.col("pt").isNotNull(), 3)
+        .when(F.col("ct").isNotNull(), 2)
+        .when(F.col("vt").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", stage.alias("reached_stage"))
+    )
+
+
+@query(
     "window_range_frame",
     oracle="""
 SELECT o_custkey, o_orderkey,
