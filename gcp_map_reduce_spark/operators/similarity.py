@@ -433,3 +433,67 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .drop("rn")
     )
+
+
+# -- storage-side quantization (the 100 TB embedding-store optimization) ---
+
+
+@query(
+    "embedding_quantize_error",
+    oracle=f"""
+WITH prep AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+    list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                (a, b) -> CASE WHEN b > a THEN b ELSE a END) / 127 AS scale
+  FROM embeddings
+),
+err AS (
+  SELECT vec_id, scale,
+    list_transform(e, x -> abs(x - floor(x / scale) * scale)) AS errs
+  FROM prep WHERE scale > 0
+)
+SELECT vec_id, scale,
+  list_reduce(errs, (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS max_err,
+  {_SQL_DOT.format(a='errs', b='errs')} AS err_norm2
+FROM err
+""",
+)
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization audit: per-vector scale = max|x|/127,
+    codes = floor(x/scale), and the reconstruction error that quantization
+    costs — max absolute error (bounded by scale) and squared error norm.
+
+    This is the 100 TB embedding-store optimization (float32 -> int8 is a
+    4x scan/storage cut for ANN candidate generation); the audit query is
+    what you run before flipping a corpus to quantized storage. All
+    per-row ordered folds — deterministic, hence fully oracle-checked.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    prep = emb.select(
+        "vec_id",
+        e.alias("e"),
+        (
+            F.aggregate(
+                F.transform(e, lambda x: F.abs(x)),
+                F.lit(0.0),
+                lambda a, b: F.when(b > a, b).otherwise(a),
+            )
+            / 127
+        ).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    errs = F.transform(
+        F.col("e"),
+        lambda x: F.abs(x - F.floor(x / F.col("scale")) * F.col("scale")),
+    )
+    with_err = prep.select("vec_id", "scale", errs.alias("errs"))
+    max_err = F.aggregate(
+        F.col("errs"), F.lit(0.0), lambda a, b: F.when(b > a, b).otherwise(a)
+    )
+    return with_err.select(
+        "vec_id",
+        "scale",
+        max_err.alias("max_err"),
+        _dot(F.col("errs"), F.col("errs")).alias("err_norm2"),
+    )

@@ -79,3 +79,14 @@ def test_lsh_sketch_is_deterministic(spark):
     a = {r["vec_id"]: r["sketch"] for r in lsh_sketch(emb).select("vec_id", "sketch").collect()}
     b = {r["vec_id"]: r["sketch"] for r in lsh_sketch(emb).select("vec_id", "sketch").collect()}
     assert a == b and all(isinstance(v, int) for v in a.values())
+
+
+def test_quantize_error_bounded_by_scale(spark):
+    from gcp_map_reduce_spark.operators.similarity import embedding_quantize_error
+
+    rows = embedding_quantize_error(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        # floor-quantization error is strictly below one quantization step
+        assert 0 <= r["max_err"] < r["scale"] + 1e-15, r
+        assert r["err_norm2"] >= 0
