@@ -8,8 +8,8 @@ These are the standard large-corpus dedup ladder:
 - n-gram Jaccard: exact set-similarity via shingle inverted index + join;
 - MinHash + LSH banding: the 100 TB path — constant-size signatures, only
   band-collision candidates are verified, never all pairs;
-- SimHash: 64-bit fingerprints, near-dup = small Hamming distance, banded
-  by 16-bit chunks.
+- SimHash: 60-bit fingerprints, near-dup = small Hamming distance, banded
+  by 15-bit chunks.
 
 Scale notes: the shingle self-join in ``dedup_ngram_jaccard`` is quadratic
 in the hottest shingle's doc-frequency — fine as the exactness oracle /
@@ -17,54 +17,98 @@ verifier, but at 100 TB you run ``dedup_minhash`` (bounded shuffle: k
 signature longs per doc) and verify only its candidates. Hot-shingle
 skew is handled by dropping top-percentile shingles (like stop-words),
 controlled by ``max_shingle_df``.
+
+Hash family: every sketch here hashes through ``portable_hash64`` — a
+60-bit integer parsed from the md5 hex digest. md5 is available in both
+Spark (JVM codegen) and DuckDB, so the minhash signatures and simhash
+fingerprints are bit-reproducible in the oracle: the sketch operators are
+fully value-hash-checked, not rows-only. (xxhash64 would be marginally
+faster but exists only in Spark.)
 """
 
 from __future__ import annotations
 
+import logging
+
+import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcp_map_reduce_spark.functions.text import WS_SPLIT, normalize_text, sql_normalize
-from gcp_map_reduce_spark.operators.scale import materialize
+from gcp_map_reduce_spark.operators.scale import ensure_parallelism, materialize
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
+
+log = logging.getLogger(__name__)
+
+# -- portable hashing (Spark + DuckDB twin expressions) --------------------
+
+MERSENNE31 = 2_147_483_647  # 2^31 - 1
+
+
+def portable_hash64(c: Column) -> Column:
+    """60-bit integer hash of a string, identical in Spark and DuckDB:
+    the first 15 hex digits of md5, parsed as an integer. JVM-side
+    (md5 + conv are codegen'd) — no Python in the row path."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def sql_portable_hash64(expr: str) -> str:
+    """DuckDB twin of :func:`portable_hash64`."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
 
 # -- exact dedup ----------------------------------------------------------
 
 
 @query(
     "dedup_exact",
-    oracle="""
-SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    oracle=f"""
+SELECT 'raw' AS kind, md5(text) AS text_hash,
+       min(doc_id) AS keep_doc_id, count(*) AS n_copies
 FROM documents GROUP BY md5(text)
+UNION ALL
+SELECT 'normalized' AS kind, md5({sql_normalize('text')}) AS text_hash,
+       min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 2 HAVING count(*) > 1
 """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: one group per byte-identical text, keeping the smallest
-    doc_id. Hash-groupBy => map-side partial agg, single shuffle on the
-    128-bit digest (no skew: hashes are uniform)."""
+    """Exact dedup, two granularities in one result (tagged by ``kind``):
+
+    - ``raw``: one group per byte-identical text (all groups);
+    - ``normalized``: groups that collide only after §1.4 normalization
+      (case/punct/ASCII folding) with >1 member — trivially-reformatted
+      copies.
+
+    Hash-groupBy => map-side partial agg, single shuffle on the 128-bit
+    digest (no skew: hashes are uniform). One scan feeds both branches.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
-        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    raw = (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .select(F.lit("raw").alias("kind"), "text_hash", "keep_doc_id", "n_copies")
     )
-
-
-@query(
-    "dedup_exact_normalized",
-    oracle=f"""
-SELECT md5({sql_normalize('text')}) AS text_hash,
-       min(doc_id) AS keep_doc_id, count(*) AS n_copies
-FROM documents GROUP BY 1 HAVING count(*) > 1
-""",
-)
-def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup after §1.4 normalization (case/punct/ASCII folding) —
-    catches trivially-reformatted copies; only groups with >1 member."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
+    norm = (
         docs.groupBy(F.md5(normalize_text(F.col("text"))).alias("text_hash"))
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
         .filter(F.col("n_copies") > 1)
+        .select(
+            F.lit("normalized").alias("kind"), "text_hash", "keep_doc_id", "n_copies"
+        )
+    )
+    return raw.unionByName(norm)
+
+
+def dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id) survivors of raw exact dedup — the library form consumed
+    by the curation pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
 
 
@@ -73,7 +117,9 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_shingle_arrays(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     """(doc_id, sh_arr: array<string>) — the DISTINCT n-token shingles of
-    each document as one array row. Zero shuffle: per-doc array work only.
+    each document as one array row. Zero shuffle on the scale path:
+    per-doc array work only (see ``ensure_parallelism`` — an Exchange is
+    added ONLY when the scan under-splits a tiny local file).
 
     Each document is one row, so shingles are built array-natively with
     zip_with over shifted slices of the token array — ~2x faster than a
@@ -83,10 +129,7 @@ def doc_shingle_arrays(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFram
     distinct.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # A small parquet arrives as one split; fan out before the CPU-heavy
-    # per-row array work so all cores participate (on a real cluster the
-    # scan itself provides the splits and this is a cheap no-op shuffle).
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = ensure_parallelism(docs, spark.sparkContext.defaultParallelism)
     w = F.filter(
         F.split(normalize_text(F.col("text")), WS_SPLIT), lambda t: t != ""
     )
@@ -197,44 +240,98 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 NUM_HASHES = 32  # signature length k
 BANDS = 8  # b bands of r = k/b rows; P(collide) = 1-(1-j^r)^b
 
+# Fixed affine hash family over the Mersenne prime: h_i(x) = (A_i*x + B_i)
+# mod P. Literal coefficients are embedded in BOTH the Spark expressions
+# and the oracle SQL, so the two engines compute identical signatures.
+_rng = np.random.RandomState(1337)
+MINHASH_A = [int(v) for v in _rng.randint(1, MERSENNE31, NUM_HASHES, dtype=np.int64)]
+MINHASH_B = [int(v) for v in _rng.randint(0, MERSENNE31, NUM_HASHES, dtype=np.int64)]
 
-def minhash_signatures(
-    spark: SparkSession, sf_dir: str, k: int = NUM_HASHES
-) -> DataFrame:
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sig: array<bigint>[k]) — k independent min-hashes per doc.
 
-    Each hash family member is xxhash64 seeded by its index (JVM-side,
-    whole-stage-codegen'd); min-aggregation is map-side-combinable, and
-    because explode preserves the scan's locality every doc's shingles sit
-    in one partition — the groupBy shuffle moves exactly k longs per doc.
-    (An array-native zero-shuffle formulation via aggregate/zip_with was
-    benchmarked ~35% slower: higher-order functions are interpreted, while
-    this explode + hash + min pipeline stays in codegen.)
+    The base shingle hash is :func:`portable_hash64` reduced mod P; each
+    family member is an affine map over it (JVM-side, whole-stage-
+    codegen'd); min-aggregation is map-side-combinable, and because
+    explode preserves the scan's locality every doc's shingles sit in one
+    partition — the groupBy shuffle moves exactly k longs per doc.
+    (A_i*h + B_i stays under 2^62: both operands < 2^31.)
     """
-    sh = doc_shingles(spark, sf_dir, n=3)
+    sh = doc_shingles(spark, sf_dir, n=3).withColumn(
+        "h", portable_hash64(F.col("sh")) % MERSENNE31
+    )
     return sh.groupBy("doc_id").agg(
         F.array(
-            *[F.min(F.xxhash64(F.lit(i), F.col("sh"))) for i in range(k)]
+            *[
+                F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31)
+                for a, b in zip(MINHASH_A, MINHASH_B)
+            ]
         ).alias("sig")
     )
 
 
-@query("dedup_minhash")  # xxhash64 family not reproducible in ANSI SQL -> rows-only
+def _minhash_oracle() -> str:
+    """Full SQL replica: signatures, band-collision candidates, estimated
+    Jaccard. All-pairs form (fine at oracle scale; the Spark plan is the
+    banded join)."""
+    p = MERSENNE31
+    r = NUM_HASHES // BANDS
+    mins = ",\n    ".join(
+        f"min(({a} * h + {b}) % {p}) AS s{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_pred = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.s{band * r + j} = b.s{band * r + j}" for j in range(r)
+        )
+        + ")"
+        for band in range(BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
+    )
+    return f"""
+WITH {_SHINGLES_SQL},
+hs AS (
+  SELECT doc_id, {sql_portable_hash64('sh')} % {p} AS h FROM shingles
+),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM hs GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  ({agree}) / {float(NUM_HASHES)} AS est_jaccard
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE ({band_pred})
+  AND ({agree}) / {float(NUM_HASHES)} >= 0.7
+"""
+
+
+@query("dedup_minhash", oracle=_minhash_oracle())
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates, verified by signature similarity.
 
-    Pipeline: signatures -> band hashes -> explode bands -> self-join on
-    (band_id, band_hash) -> distinct candidate pairs -> estimated Jaccard =
+    Pipeline: signatures -> band keys -> explode bands -> self-join on
+    (band_id, band_key) -> distinct candidate pairs -> estimated Jaccard =
     fraction of agreeing signature positions; keep >= 0.7.
 
     At 100 TB this is THE dedup plan: per-doc state is k=32 longs, the
     band join only touches colliding buckets, and AQE splits any hot
-    bucket. Recall vs the exact operator is asserted in unit tests.
+    bucket. Recall vs the exact operator is asserted in unit tests, and
+    the portable hash family makes the WHOLE result (not just row counts)
+    oracle-checked: the DuckDB twin recomputes identical signatures and
+    applies the same band-collision predicate over all pairs.
 
     The signature rides along the band rows as an array column (k longs =
     256 bytes/row), so the whole operator is ONE computation of the
     signatures + one band self-join — no signature re-join, no cache. The
-    estimated Jaccard is zip_with agreement over the two arrays.
+    band key is the STRUCT of the band's r signature values (exact
+    equality — a hashed key could admit false-positive candidates the
+    oracle's predicate would not). The estimated Jaccard is zip_with
+    agreement over the two arrays.
     """
     sig = minhash_signatures(spark, sf_dir)
     r = NUM_HASHES // BANDS
@@ -244,11 +341,16 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.hash(*[F.col("sig")[band * r + j] for j in range(r)])
+                    F.struct(
+                        *[
+                            F.col("sig")[band * r + j].alias(f"k{j}")
+                            for j in range(r)
+                        ]
+                    )
                     for band in range(BANDS)
                 ]
             )
-        ).alias("band_id", "band_hash"),
+        ).alias("band_id", "band_key"),
     )
     # self-join: materialize once or the whole signature pipeline runs
     # twice (no cross-side subexpression reuse in Spark)
@@ -258,7 +360,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -287,16 +389,17 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- SimHash --------------------------------------------------------------
 
-SIMHASH_BITS = 64
-_CHUNK_BITS = 16  # band width for the Hamming-distance join
+SIMHASH_BITS = 60  # bits of the portable 60-bit token hash
+_CHUNK_BITS = 15  # band width for the Hamming-distance join (4 chunks)
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per doc from token-frequency-weighted bit votes.
+    """60-bit SimHash per doc from token-frequency-weighted bit votes.
 
     For each bit j: vote = sum over distinct tokens of (+cnt if bit j of
-    xxhash64(token) set else -cnt); bit j of the fingerprint = vote > 0.
-    All 64 votes are one wide aggregate — single shuffle on doc_id.
+    portable_hash64(token) set else -cnt); bit j of the fingerprint =
+    vote > 0. All 60 votes are one wide aggregate — single shuffle on
+    doc_id.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = (
@@ -307,7 +410,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("word") != "")
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("cnt"))
-        .withColumn("th", F.xxhash64("word"))
+        .withColumn("th", portable_hash64(F.col("word")))
     )
     votes = [
         F.sum(
@@ -326,13 +429,51 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", fp.alias("simhash"))
 
 
-@query("dedup_simhash")  # xxhash64-based fingerprint -> rows-only
+def _simhash_oracle() -> str:
+    """Full SQL replica: fingerprints from the same portable hash, then
+    all-pairs Hamming <= 3 (the Spark plan is the chunk-banded join; the
+    result sets are identical by the pigeonhole guarantee)."""
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN cnt ELSE -cnt END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, word, count(*) AS cnt FROM (
+    SELECT doc_id,
+      unnest(regexp_split_to_array({sql_normalize('text')}, '{WS_SPLIT}')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY doc_id, word
+),
+hashed AS (
+  SELECT doc_id, cnt, {sql_portable_hash64('word')} AS th FROM toks
+),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM hashed GROUP BY doc_id
+),
+fp AS (SELECT doc_id, {fp} AS simhash FROM votes)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= 3.
 
-    Banding: split the 64-bit fingerprint into 4 chunks of 16 bits; any
+    Banding: split the 60-bit fingerprint into 4 chunks of 15 bits; any
     pair within distance 3 agrees on >= 1 chunk (pigeonhole), so the join
-    key is (chunk_id, chunk_value) — never all-pairs."""
+    key is (chunk_id, chunk_value) — never all-pairs. The portable hash
+    family makes the fingerprints (and hence the full result) identical
+    in the DuckDB oracle."""
     fp = simhash_fingerprints(spark, sf_dir)
     chunks = fp.select(
         "doc_id",
@@ -374,6 +515,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- dedup clustering (connected components over near-dup pairs) -----------
 
+MAX_CC_ROUNDS = 64  # pointer doubling: rounds needed ~ log2(diameter)
+
 
 @query(
     "dedup_clusters",
@@ -410,14 +553,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     in any >= 0.8-Jaccard pair gets a cluster id (the component's minimum
     doc_id) — the dedup ENDGAME: keep cluster_id == doc_id, drop the rest.
 
-    Spark side is iterative min-label propagation (labels drop to the
-    smallest label among self + neighbors each round, log-diameter
-    rounds); the driver-side loop checks only a CHANGE COUNT per round
-    (scalar), never row data, and each round is one join + one
-    aggregation on the (tiny relative to corpus) pair-graph node set.
-    The DuckDB oracle computes the same components via a recursive-CTE
-    transitive closure — engine-independent agreement on an iterative
-    algorithm's fixpoint. reach_size doubles as the component size.
+    Spark side is min-label propagation WITH pointer doubling: each round
+    a node's label drops to the minimum of (its label, its neighbors'
+    labels, its label's label). The label-chasing term halves chain depth
+    every round, so convergence is O(log diameter) — a 10^6-document
+    near-dup chain needs ~20 rounds, not 10^6 (plain neighbor-min is
+    O(diameter) and would silently split long template chains if capped).
+    The loop runs to an observed fixpoint (changed == 0; the driver sees
+    only a scalar change count per round) and RAISES if MAX_CC_ROUNDS is
+    hit — never returns a silently-unconverged clustering. The DuckDB
+    oracle computes the same components via a recursive-CTE transitive
+    closure — engine-independent agreement on an iterative algorithm's
+    fixpoint. reach_size doubles as the component size.
     """
     pairs = materialize(
         dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
@@ -426,10 +573,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
     edges = materialize(fwd.union(rev))
     labels = edges.groupBy("s").agg(F.min("d").alias("label"))
-    labels = labels.select(
-        "s", F.least(F.col("s"), F.col("label")).alias("label")
+    labels = materialize(
+        labels.select("s", F.least(F.col("s"), F.col("label")).alias("label"))
     )
-    for _ in range(16):  # >= log2(diameter) for any realistic cluster
+    rounds = 0
+    while True:
+        if rounds >= MAX_CC_ROUNDS:
+            raise RuntimeError(
+                f"dedup_clusters did not converge in {MAX_CC_ROUNDS} rounds"
+            )
+        rounds += 1
         neigh = (
             edges.select(F.col("s").alias("ns"), F.col("d").alias("nd"))
             .join(
@@ -439,11 +592,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("ns")
             .agg(F.min("label").alias("nlabel"))
         )
+        # pointer doubling: label-of-label
+        chase = labels.select(
+            F.col("s").alias("cs"), F.col("label").alias("clabel")
+        )
+        doubled = labels.join(
+            chase, labels.label == chase.cs, "left"
+        ).select("s", "label", F.col("clabel").alias("dlabel"))
         updated = materialize(
-            labels.join(neigh, labels.s == neigh.ns, "left").select(
+            doubled.join(neigh, doubled.s == neigh.ns, "left").select(
                 F.col("s"),
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    F.col("label"),
+                    F.coalesce(F.col("nlabel"), F.col("label")),
+                    F.coalesce(F.col("dlabel"), F.col("label")),
                 ).alias("label"),
             )
         )
@@ -456,6 +618,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = updated
         if changed == 0:
             break
+    log.info("dedup_clusters converged in %d rounds", rounds)
     comp = labels.select("s", F.col("label").alias("cluster_id"))
     sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("reach_size"))
     return (

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from gcp_map_reduce_spark.operators.dedup import (
     _SHINGLES_SQL,
-    dedup_exact,
+    dedup_exact_keepers,
     dedup_ngram_jaccard,
 )
 from gcp_map_reduce_spark.operators.text_analysis import text_quality
@@ -85,9 +85,7 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("passes_quality") == 1)
         .select("doc_id", "n_tokens", "n_chars")
     )
-    keepers = dedup_exact(spark, sf_dir).select(
-        F.col("keep_doc_id").alias("doc_id")
-    )
+    keepers = dedup_exact_keepers(spark, sf_dir)
     drops = (
         dedup_ngram_jaccard(spark, sf_dir)
         .select(F.col("doc_b").alias("doc_id"))

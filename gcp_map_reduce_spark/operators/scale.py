@@ -40,6 +40,25 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int) -> DataFrame:
+    """Fan a DataFrame out to ``min_partitions`` ONLY when the plan would
+    otherwise provide fewer partitions.
+
+    ``repartition()`` always inserts an Exchange — an unconditional call
+    before CPU-heavy per-row work would shuffle the full input once even
+    when the scan already yields plenty of splits (at 100 TB the parquet
+    scan alone produces tens of thousands). This helper adds the Exchange
+    only in the degenerate small-input case (e.g. a single tiny file whose
+    one split would serialize all per-row work on one core).
+
+    ``df.rdd.getNumPartitions()`` is driver-side plan metadata — no job
+    runs.
+    """
+    if df.rdd.getNumPartitions() >= min_partitions:
+        return df
+    return df.repartition(min_partitions)
+
+
 def salted_groupby_count(
     df: DataFrame, key: str | Column, n_salts: int = DEFAULT_SALTS
 ) -> DataFrame:

@@ -7,6 +7,14 @@ single-scan, groupBy-free (per-row expressions) or one narrow aggregation,
 fully JVM-side (regexp/array built-ins — no Python UDFs), so they pipeline
 inside one codegen stage and scale linearly.
 
+The per-document operators (language ID, quality metrics, token counts,
+fingerprints, token statistics) are registered as ONE consolidated
+``text_profile`` query: they share the same scan and the same per-row
+execution shape, so one wide select is both the natural plan (a 100 TB
+profiling pass computes every per-doc metric in one read) and one driver
+correctness row covering all of them. The individual builders remain
+importable for composition (``pipeline.py`` uses ``text_quality``).
+
 Determinism: scores are integer counts and ratios of integer counts
 (single double division) — identical across engines; classification is a
 fixed-priority argmax over integer scores.
@@ -51,19 +59,25 @@ def _sql_marker_score(markers: list[str]) -> str:
     )
 
 
-@query(
-    "text_langid",
-    oracle=f"""
-WITH scored AS (
-  SELECT doc_id, lang AS labeled_lang,
-    {_sql_marker_score(LANG_MARKERS['en'])} AS s_en,
-    {_sql_marker_score(LANG_MARKERS['fr'])} AS s_fr,
-    {_sql_marker_score(LANG_MARKERS['es'])} AS s_es,
-    {_sql_marker_score(LANG_MARKERS['de'])} AS s_de,
-    length(text) - length(regexp_replace(text, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS s_zh
-  FROM documents
-)
-SELECT doc_id, labeled_lang,
+def _detected_lang() -> Column:
+    """Fixed-priority argmax over the marker scores (en > fr > es > de on
+    ties; CJK codepoint presence short-circuits to zh)."""
+    return (
+        F.when(F.col("s_zh") > 0, "zh")
+        .when(F.greatest("s_en", "s_fr", "s_es", "s_de") == 0, "unknown")
+        .when(
+            (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de")),
+            "en",
+        )
+        .when((F.col("s_fr") >= F.col("s_es")) & (F.col("s_fr") >= F.col("s_de")), "fr")
+        .when(F.col("s_es") >= F.col("s_de"), "es")
+        .otherwise("de")
+    )
+
+
+_SQL_DETECTED = """
   CASE
     WHEN s_zh > 0 THEN 'zh'
     WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'unknown'
@@ -71,13 +85,13 @@ SELECT doc_id, labeled_lang,
     WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
     WHEN s_es >= s_de THEN 'es'
     ELSE 'de'
-  END AS detected_lang
-FROM scored
-""",
-)
+  END
+"""
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-stopword language ID with fixed-priority argmax (en > fr >
-    es > de on ties; CJK codepoint presence short-circuits to zh)."""
+    """Marker-stopword language ID (library form; registered via
+    ``text_profile``)."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.lower(F.col("text")), WS_SPLIT)
     scores = {
@@ -91,51 +105,14 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id", F.col("lang").alias("labeled_lang"), *scores.values(), s_zh
     )
-    detected = (
-        F.when(F.col("s_zh") > 0, "zh")
-        .when(F.greatest("s_en", "s_fr", "s_es", "s_de") == 0, "unknown")
-        .when(
-            (F.col("s_en") >= F.col("s_fr"))
-            & (F.col("s_en") >= F.col("s_es"))
-            & (F.col("s_en") >= F.col("s_de")),
-            "en",
-        )
-        .when((F.col("s_fr") >= F.col("s_es")) & (F.col("s_fr") >= F.col("s_de")), "fr")
-        .when(F.col("s_es") >= F.col("s_de"), "es")
-        .otherwise("de")
-    )
-    return scored.select("doc_id", "labeled_lang", detected.alias("detected_lang"))
+    return scored.select("doc_id", "labeled_lang", _detected_lang().alias("detected_lang"))
 
 
-@query(
-    "text_quality",
-    oracle=f"""
-WITH m AS (
-  SELECT doc_id, length(text) AS n_chars,
-    len(list_filter(regexp_split_to_array({sql_normalize('text')}, '{WS_SPLIT}'),
-        t -> t <> '')) AS n_tokens,
-    len(list_filter(regexp_split_to_array(lower(text), '{WS_SPLIT}'),
-        t -> t IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) AS n_stop,
-    length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
-    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
-  FROM documents
-)
-SELECT doc_id, n_chars, n_tokens,
-  CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) AS stopword_ratio,
-  CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
-  CAST(n_digit AS DOUBLE) / greatest(n_chars, 1) AS digit_ratio,
-  CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1) AS chars_per_token,
-  CASE WHEN n_tokens >= 20
-        AND CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) >= 0.01
-        AND CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) < 0.2
-       THEN 1 ELSE 0 END AS passes_quality
-FROM m
-""",
-)
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document-quality metrics (Gopher-rules style): length,
     stopword density, punctuation/digit ratios, plus a pass/fail gate.
-    Integer counts + one double division each -> engine-exact."""
+    Integer counts + one double division each -> engine-exact.
+    (Library form; registered via ``text_profile``.)"""
     docs = load_table(spark, sf_dir, "documents")
     norm_words = F.split(normalize_text(F.col("text")), WS_SPLIT)
     low_words = F.split(F.lower(F.col("text")), WS_SPLIT)
@@ -168,79 +145,138 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "token_count_regex",
+    "text_profile",
     oracle=f"""
-SELECT doc_id,
-  len(list_filter(regexp_split_to_array(text, '{WS_SPLIT}'), t -> t <> '')) AS n_ws_tokens,
-  len(regexp_extract_all(lower(text), '{_BPE_RE_SQL}')) AS n_bpe_tokens,
-  CAST(length(text) AS DOUBLE)
-    / greatest(len(regexp_extract_all(lower(text), '{_BPE_RE_SQL}')), 1)
-    AS chars_per_bpe_token
-FROM documents
+WITH m AS (
+  SELECT doc_id, lang AS labeled_lang, text,
+    {_sql_marker_score(LANG_MARKERS['en'])} AS s_en,
+    {_sql_marker_score(LANG_MARKERS['fr'])} AS s_fr,
+    {_sql_marker_score(LANG_MARKERS['es'])} AS s_es,
+    {_sql_marker_score(LANG_MARKERS['de'])} AS s_de,
+    length(text) - length(regexp_replace(text, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS s_zh,
+    length(text) AS n_chars,
+    list_filter(regexp_split_to_array({sql_normalize('text')}, '{WS_SPLIT}'),
+        t -> t <> '') AS w,
+    len(list_filter(regexp_split_to_array(lower(text), '{WS_SPLIT}'),
+        t -> t IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) AS n_stop,
+    length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+    len(list_filter(regexp_split_to_array(text, '{WS_SPLIT}'), t -> t <> '')) AS n_ws_tokens,
+    len(regexp_extract_all(lower(text), '{_BPE_RE_SQL}')) AS n_bpe_tokens,
+    md5({sql_normalize('text')}) AS fp,
+    length({sql_normalize('text')}) AS n_norm_chars
+  FROM documents
+),
+t AS (SELECT *, len(w) AS n_tokens FROM m)
+SELECT doc_id, labeled_lang,
+  {_SQL_DETECTED} AS detected_lang,
+  n_chars, n_tokens,
+  CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) AS stopword_ratio,
+  CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+  CAST(n_digit AS DOUBLE) / greatest(n_chars, 1) AS digit_ratio,
+  CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1) AS chars_per_token,
+  CASE WHEN n_tokens >= 20
+        AND CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) >= 0.01
+        AND CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) < 0.2
+       THEN 1 ELSE 0 END AS passes_quality,
+  n_ws_tokens, n_bpe_tokens,
+  CAST(n_chars AS DOUBLE) / greatest(n_bpe_tokens, 1) AS chars_per_bpe_token,
+  fp, substring(fp, 1, 16) AS fp64, n_norm_chars,
+  len(list_distinct(w)) AS n_distinct_tokens,
+  CASE WHEN n_tokens > 0
+       THEN CAST(list_aggregate(list_transform(w, t -> length(t)), 'sum') AS DOUBLE)
+            / n_tokens
+       ELSE NULL END AS avg_word_len
+FROM t
 """,
 )
-def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting two ways: whitespace tokens and a BPE-ish regex
-    (letter runs / digit runs / single symbols) — the cheap proxy for LLM
-    token budgeting over a corpus."""
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consolidated per-document profiling pass: language ID, quality
+    metrics + gate, token counts (whitespace + BPE-ish regex), content
+    fingerprints, and token statistics — every per-doc metric a curation
+    pipeline wants, in ONE scan and one codegen stage.
+
+    Token statistics (count/distinct/avg length) are array-native over the
+    normalized token array — zero shuffle, unlike a groupBy over exploded
+    tokens. Consolidates the formerly separate text_langid / text_quality /
+    token_count_regex / doc_fingerprint / token_stats_per_doc queries
+    (same expressions, same oracles — now one driver row).
+    """
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), WS_SPLIT)
+    low_words = F.split(F.lower(F.col("text")), WS_SPLIT)
+    norm = normalize_text(F.col("text"))
+    w = F.filter(F.split(norm, WS_SPLIT), lambda t: t != "")
     n_bpe = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), 0))
-    return docs.select(
+    fp = F.md5(norm)
+    scores = {
+        lang: _marker_score(low_words, mk).alias(f"s_{lang}")
+        for lang, mk in LANG_MARKERS.items()
+    }
+    s_zh = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", "[\\x{4e00}-\\x{9fff}]", ""))
+    ).alias("s_zh")
+    m = docs.select(
         "doc_id",
-        F.size(F.filter(ws, lambda t: t != "")).alias("n_ws_tokens"),
+        F.col("lang").alias("labeled_lang"),
+        *scores.values(),
+        s_zh,
+        F.length("text").alias("n_chars"),
+        w.alias("w"),
+        _marker_score(low_words, STOPWORDS).alias("n_stop"),
+        F.length(F.regexp_replace("text", r"[^\p{Punct}]", "")).alias("n_punct"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("n_digit"),
+        F.size(
+            F.filter(F.split(F.col("text"), WS_SPLIT), lambda t: t != "")
+        ).alias("n_ws_tokens"),
         n_bpe.alias("n_bpe_tokens"),
-        (F.length("text").cast("double") / F.greatest(n_bpe, F.lit(1))).alias(
+        fp.alias("fp"),
+        F.length(norm).alias("n_norm_chars"),
+    ).withColumn("n_tokens", F.size("w"))
+    g = lambda c: F.greatest(F.col(c), F.lit(1))  # noqa: E731
+    stop_ratio = F.col("n_stop").cast("double") / g("n_tokens")
+    punct_ratio = F.col("n_punct").cast("double") / g("n_chars")
+    return m.select(
+        "doc_id",
+        "labeled_lang",
+        _detected_lang().alias("detected_lang"),
+        "n_chars",
+        "n_tokens",
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        (F.col("n_digit").cast("double") / g("n_chars")).alias("digit_ratio"),
+        (F.col("n_chars").cast("double") / g("n_tokens")).alias("chars_per_token"),
+        F.when(
+            (F.col("n_tokens") >= 20) & (stop_ratio >= 0.01) & (punct_ratio < 0.2),
+            1,
+        )
+        .otherwise(0)
+        .alias("passes_quality"),
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        (F.col("n_chars").cast("double") / g("n_bpe_tokens")).alias(
             "chars_per_bpe_token"
         ),
-    )
-
-
-@query(
-    "doc_fingerprint",
-    oracle=f"""
-SELECT doc_id, md5({sql_normalize('text')}) AS fp,
-  substring(md5({sql_normalize('text')}), 1, 16) AS fp64,
-  length({sql_normalize('text')}) AS n_norm_chars
-FROM documents
-""",
-)
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprint over normalized text (md5 + 64-bit prefix) —
-    the join key for exact dedup across shards/snapshots."""
-    docs = load_table(spark, sf_dir, "documents")
-    norm = normalize_text(F.col("text"))
-    fp = F.md5(norm)
-    return docs.select(
-        "doc_id",
-        fp.alias("fp"),
-        F.substring(fp, 1, 16).alias("fp64"),
-        F.length(norm).alias("n_norm_chars"),
-    )
-
-
-@query(
-    "corpus_lang_stats",
-    oracle="""
-SELECT lang, source, count(*) AS n_docs,
-  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-  CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars
-FROM documents GROUP BY lang, source
-""",
-)
-def corpus_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus composition rollup by (lang, source) — integer sums, exact."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("lang", "source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        "fp",
+        F.substring("fp", 1, 16).alias("fp64"),
+        "n_norm_chars",
+        F.size(F.array_distinct("w")).alias("n_distinct_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.aggregate(
+                F.transform("w", lambda t: F.length(t).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).cast("double")
+            / F.col("n_tokens"),
+        ).alias("avg_word_len"),
     )
 
 
 # -- TF-IDF + n-grams ------------------------------------------------------
 
 from gcp_map_reduce_spark.functions.text import sql_tokens_cte, tokenize  # noqa: E402
+from gcp_map_reduce_spark.operators.scale import ensure_parallelism  # noqa: E402
 
 
 @query(
@@ -311,7 +347,9 @@ def corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram counting path, built array-natively like the dedup shingles
     (zip_with over a shifted slice; no per-token shuffle)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # Fan out ONLY if the scan under-splits (tiny local files); at scale
+    # the scan's own splits carry the per-row work with no Exchange.
+    docs = ensure_parallelism(docs, spark.sparkContext.defaultParallelism)
     w = F.filter(
         F.split(normalize_text(F.col("text")), WS_SPLIT), lambda t: t != ""
     )

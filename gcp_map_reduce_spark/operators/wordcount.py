@@ -55,17 +55,12 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_tokens(spark, sf_dir).groupBy("word").agg(F.count("*").alias("cnt"))
 
 
-@query(
-    "wordcount_topk",
-    oracle=_TOKENS_CTE
-    + "SELECT word, count(*) AS cnt FROM toks WHERE word <> '' GROUP BY word "
-    "ORDER BY cnt DESC, word LIMIT 20",
-)
 def wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 tokens; tiebreak on word so the result set is deterministic.
 
-    The reference has no limit/top-k (SURVEY.md §2.2); this is the extended
-    surface. ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject —
+    Library helper (the registered top-k demonstrations are
+    ``topk_orders`` and the ORDER BY ... LIMIT TPC-H queries).
+    ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject —
     a per-partition top-k + single merge, no global sort at scale.
     """
     return (
@@ -125,18 +120,7 @@ def doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "token_stats_per_doc",
-    oracle=_TOKENS_CTE
-    + "SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_distinct,"
-    " CAST(SUM(length(word)) AS DOUBLE) / count(*) AS avg_word_len"
-    " FROM toks WHERE word <> '' GROUP BY doc_id",
-)
-def token_stats_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token statistics (extended text-analysis surface)."""
-    toks = doc_tokens(spark, sf_dir)
-    return toks.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.count_distinct("word").alias("n_distinct"),
-        (F.sum(F.length("word")).cast("double") / F.count("*")).alias("avg_word_len"),
-    )
+# Per-document token statistics are part of the consolidated
+# ``text_profile`` query (operators/text_analysis.py), computed
+# array-natively there (zero shuffle vs the groupBy-over-exploded-tokens
+# formulation this module would use).
