@@ -39,11 +39,57 @@ def test_binary_table_schema(spark):
     assert dt["meta"].startswith("struct<modality:string,n_bytes:int")
 
 
-def test_decode_media_is_stubbed():
+def test_decode_media_dispatches_on_registered_codec():
     from gcp_map_reduce_spark.operators.multimodal import decode_media
 
-    with pytest.raises(NotImplementedError):
+    feats = decode_media(b"abc", "text-as-bytes")
+    assert feats["n_bytes"] == 3
+    assert feats["first_byte"] == ord("a") and feats["last_byte"] == ord("c")
+    # no codec libraries in this container: unregistered modalities fail
+    # loudly with the known-modality list
+    with pytest.raises(KeyError, match="text-as-bytes"):
         decode_media(b"\x89PNG", "image")
+
+
+def test_registered_codec_round_trips_through_features(spark):
+    """A codec registered for a new modality is picked up by the
+    multimodal_features pipeline (dispatch happens per row on
+    meta.modality inside the Arrow batches)."""
+    from pyspark.sql import functions as F
+
+    from gcp_map_reduce_spark.operators.multimodal import (
+        CODEC_REGISTRY,
+        FEATURE_SCHEMA,
+        build_binary_table,
+        make_feature_batches,
+        register_codec,
+    )
+
+    register_codec(
+        "upper-text",
+        lambda b: {
+            "n_bytes": len(b),
+            "first_byte": 1,
+            "last_byte": 2,
+            "byte_sum_mod": 3,
+            "mean_byte": 4.0,
+        },
+    )
+    try:
+        bt = build_binary_table(spark, SF_SMALL).limit(5).select(
+            "doc_id",
+            F.lit("upper-text").alias("modality"),
+            "payload",
+        )
+        rows = bt.mapInPandas(
+            make_feature_batches(), schema=FEATURE_SCHEMA
+        ).collect()
+        assert rows and all(
+            (r["first_byte"], r["last_byte"], r["byte_sum_mod"]) == (1, 2, 3)
+            for r in rows
+        )
+    finally:
+        del CODEC_REGISTRY["upper-text"]
 
 
 def test_resize_shrinks_deterministically(spark):
