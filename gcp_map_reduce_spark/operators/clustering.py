@@ -112,10 +112,70 @@ def kmeans_fit(
     return assignments, centroids
 
 
-@query("kmeans_embeddings")  # iterative; no single-statement SQL analog
+def _kmeans_oracle(k: int = K_CELLS, n_iters: int = N_ITERS) -> str:
+    """SQL replica of the full Lloyd fit: the fixed iteration count is
+    UNROLLED into one CTE chain (assign -> integer-scaled update, per
+    round). Every arithmetic step mirrors the Spark expressions exactly —
+    ordered-fold squared distances in double, floor(x*1e12) BIGINT sums,
+    one double division per mean — so the round-3 assignment (and hence
+    the cell cardinalities) is bit-identical across engines. This is what
+    makes an ITERATIVE algorithm oracle-checkable: determinism by
+    construction, not by tolerance."""
+    d2 = (
+        "list_reduce(list_transform(range(1, len(v.e) + 1), "
+        "i -> (v.e[i] - cb.c[i]) * (v.e[i] - cb.c[i])), (acc, x) -> acc + x)"
+    )
+    parts = [
+        f"""emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+cb0 AS (
+  SELECT CAST(vec_id AS INT) AS cell_id, e AS c FROM emb WHERE vec_id < {k}
+)"""
+    ]
+    for t in range(1, n_iters + 1):
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT v.vec_id, cb.cell_id, {d2} AS d
+    FROM emb v CROSS JOIN cb{t - 1} cb
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) = 1
+),
+u{t} AS (
+  SELECT cell_id, list(CAST(s AS DOUBLE) / (n * 1e12) ORDER BY dim_idx) AS c_new
+  FROM (
+    SELECT cell_id, dim_idx,
+      SUM(CAST(floor(x * 1e12) AS BIGINT)) AS s, count(*) AS n
+    FROM (
+      SELECT a.cell_id, generate_subscripts(e, 1) AS dim_idx, unnest(e) AS x
+      FROM a{t} a JOIN emb USING (vec_id)
+    ) GROUP BY cell_id, dim_idx
+  ) GROUP BY cell_id
+),
+cb{t} AS (
+  SELECT cb.cell_id, COALESCE(u.c_new, cb.c) AS c
+  FROM cb{t - 1} cb LEFT JOIN u{t} u USING (cell_id)
+)"""
+        )
+    parts.append(
+        f"""final AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT v.vec_id, cb.cell_id, {d2} AS d
+    FROM emb v CROSS JOIN cb{n_iters} cb
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) = 1
+)"""
+    )
+    ctes = ",\n".join(parts)
+    return f"WITH {ctes}\nSELECT cell_id, count(*) AS n_vectors FROM final GROUP BY cell_id"
+
+
+@query("kmeans_embeddings", oracle=_kmeans_oracle())
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster cardinalities after N_ITERS Lloyd rounds over the
     embeddings table — the deterministic summary of the fit (cell sizes
-    sum to the corpus; bit-reproducible across runs, asserted in tests)."""
+    sum to the corpus; bit-reproducible across runs, asserted in tests).
+    The oracle unrolls the same fixed iteration count in SQL — see
+    :func:`_kmeans_oracle`."""
     assignments, _ = kmeans_fit(spark, sf_dir)
     return assignments.groupBy("cell_id").agg(F.count("*").alias("n_vectors"))

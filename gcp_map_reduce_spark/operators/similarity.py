@@ -58,16 +58,10 @@ def _with_norm2(df: DataFrame) -> DataFrame:
     return df.withColumn("e", e).withColumn("n2", _dot(F.col("e"), F.col("e")))
 
 
-@query(
-    "embedding_norms",
-    oracle=f"""
-SELECT vec_id, label,
-  {_SQL_DOT.format(a='embedding', b='embedding')} AS norm2
-FROM embeddings
-""",
-)
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Squared L2 norm per vector — per-row array fold, no shuffle at all."""
+    """Squared L2 norm per vector — per-row array fold, no shuffle at all.
+    (Library form; the registered norm audit is the ``norm2`` column of
+    ``embedding_quantize_error``.)"""
     emb = load_table(spark, sf_dir, "embeddings")
     return _with_norm2(emb).select("vec_id", "label", F.col("n2").alias("norm2"))
 
@@ -107,24 +101,11 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "similarity_bruteforce",
-    oracle=f"""
-WITH pairs AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-    {_SQL_DOT.format(a='q.embedding', b='c.embedding')} AS dot,
-    {_SQL_DOT.format(a='q.embedding', b='q.embedding')} AS qn2,
-    {_SQL_DOT.format(a='c.embedding', b='c.embedding')} AS cn2
-  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-  WHERE q.vec_id < {N_QUERIES}
-)
-SELECT query_id, cand_id, dot / sqrt(qn2 * cn2) AS cosine
-FROM pairs
-QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) <= {TOP_K}
-""",
-)
 def similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k for the first N_QUERIES vectors vs the corpus.
+    """Exact cosine top-k for the first N_QUERIES vectors vs the corpus —
+    the ANN correctness baseline. (Library form; registered and
+    oracle-checked as the core of ``semantic_search_docs``, which runs
+    this exact plan plus the metadata enrichment join.)
 
     Plan shape: the tiny query set is broadcast; every candidate partition
     computes its local pairs; the only exchange is the per-query top-k
@@ -374,14 +355,59 @@ def lsh_sketch(df: DataFrame, dim: int = 64) -> DataFrame:
     return df.withColumn("sketch", sum(bits))
 
 
-@query("similarity_lsh_ann")  # plane literals not expressible in the oracle -> rows-only
+def _lsh_oracle(dim: int = 64) -> str:
+    """Full SQL replica of the LSH ANN plan: the hyperplane matrix is
+    embedded as DOUBLE list literals (repr round-trips doubles exactly, so
+    DuckDB folds the same IEEE values in the same order as Spark), sketch
+    bits and band values are integer arithmetic, and the final re-rank is
+    the same ordered-fold cosine. The oracle uses the all-pairs form with
+    the band-agreement predicate (fine at oracle scale; the Spark plan is
+    the banded bucket join)."""
+    band_bits = N_PLANES // _LSH_BANDS
+    mask = (1 << band_bits) - 1
+    rows = ",\n    ".join(
+        f"({j}, [{', '.join(repr(v) for v in p)}]::DOUBLE[])"
+        for j, p in enumerate(_hyperplanes(dim))
+    )
+    proj = _SQL_DOT.format(a="list_transform(e.embedding, x -> CAST(x AS DOUBLE))", b="pl.p")
+    band_eq = " OR ".join(
+        f"((q.sketch >> {b * band_bits}) & {mask}) = ((c.sketch >> {b * band_bits}) & {mask})"
+        for b in range(_LSH_BANDS)
+    )
+    return f"""
+WITH planes(j, p) AS (VALUES
+    {rows}
+),
+sk AS (
+  SELECT e.vec_id,
+    SUM(CASE WHEN {proj} > 0 THEN (CAST(1 AS BIGINT) << pl.j) ELSE 0 END) AS sketch
+  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id
+),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id
+  FROM sk q JOIN sk c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+  WHERE {band_eq}
+)
+SELECT query_id, cand_id,
+  {_SQL_DOT.format(a='qe.embedding', b='ce.embedding')}
+    / sqrt({_SQL_DOT.format(a='qe.embedding', b='qe.embedding')}
+           * {_SQL_DOT.format(a='ce.embedding', b='ce.embedding')}) AS cosine
+FROM cand JOIN embeddings qe ON query_id = qe.vec_id
+          JOIN embeddings ce ON cand_id = ce.vec_id
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) <= {TOP_K}
+"""
+
+
+@query("similarity_lsh_ann", oracle=_lsh_oracle())
 def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k: random-hyperplane buckets -> banded candidate join ->
     exact cosine re-rank of candidates only.
 
     At 100 TB: sketches are one long per row; the candidate join keys on
     (band_id, band_bits) so only same-bucket pairs materialize, and AQE
-    splits hot buckets. Recall vs brute force asserted in unit tests.
+    splits hot buckets. Recall vs brute force asserted in unit tests;
+    the full result (sketches included) value-hash-checks against a SQL
+    replica with the plane matrix embedded as literals.
     """
     # both band sides derive from the sketch pipeline: materialize once
     emb = materialize(
@@ -450,10 +476,11 @@ WITH prep AS (
 ),
 err AS (
   SELECT vec_id, scale,
+    {_SQL_DOT.format(a='e', b='e')} AS norm2,
     list_transform(e, x -> abs(x - floor(x / scale) * scale)) AS errs
   FROM prep WHERE scale > 0
 )
-SELECT vec_id, scale,
+SELECT vec_id, scale, norm2,
   list_reduce(errs, (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS max_err,
   {_SQL_DOT.format(a='errs', b='errs')} AS err_norm2
 FROM err
@@ -487,13 +514,19 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e"),
         lambda x: F.abs(x - F.floor(x / F.col("scale")) * F.col("scale")),
     )
-    with_err = prep.select("vec_id", "scale", errs.alias("errs"))
+    with_err = prep.select(
+        "vec_id",
+        "scale",
+        _dot(F.col("e"), F.col("e")).alias("norm2"),
+        errs.alias("errs"),
+    )
     max_err = F.aggregate(
         F.col("errs"), F.lit(0.0), lambda a, b: F.when(b > a, b).otherwise(a)
     )
     return with_err.select(
         "vec_id",
         "scale",
+        "norm2",
         max_err.alias("max_err"),
         _dot(F.col("errs"), F.col("errs")).alias("err_norm2"),
     )

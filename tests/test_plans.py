@@ -57,8 +57,15 @@ def test_wordcount_partial_count(spark):
 
 
 def test_bruteforce_broadcasts_query_side(spark):
-    plan = _plan(spark, "similarity_bruteforce")
-    assert "BroadcastExchange" in plan
+    import contextlib
+    import io
+
+    from gcp_map_reduce_spark.operators.similarity import similarity_bruteforce
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        similarity_bruteforce(spark, SF_ORACLE).explain("formatted")
+    assert "BroadcastExchange" in buf.getvalue()
 
 
 def test_dedup_exact_prunes_to_needed_columns(spark):
