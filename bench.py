@@ -22,26 +22,30 @@ HEADLINE = [
     "inverted_index",
     # scan-heavy relational
     "q1_pricing_summary",
-    "q6_forecast_revenue",
+    "q6_q14_revenue",
     # join-heavy relational
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "join_outer_counts",
-    # windows
+    "join_outer_broadcast",
+    # windows (rank; lag/frames/distribution; funnel+sessionize)
     "window_rank_orders",
-    "sessionize_events",
+    "window_suite",
+    "user_event_profile",
     # temporal agg
-    "events_hourly",
+    "events_enriched_hourly",
     # grouping sets / rollup
-    "agg_cube",
-    # dedup ladder
+    "agg_multidim",
+    # dedup ladder (exact -> sketch -> graph clustering)
     "dedup_exact",
     "dedup_minhash",
-    # similarity
-    "similarity_bruteforce",
+    "dedup_clusters",
+    # similarity (IVF + LSH ANN, and the doc-enriched search)
     "similarity_ivf_ann",
+    "similarity_lsh_ann",
+    "semantic_search_docs",
     # text analysis
-    "text_quality",
+    "text_profile",
+    "text_tfidf",
     # python-boundary cost reference point (Arrow grouped-map)
     "udf_wordcount_grouped",
     # flagship composition: quality -> dedup -> near-dup -> token budget

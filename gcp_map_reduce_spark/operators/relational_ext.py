@@ -1,5 +1,5 @@
-"""Extended relational operators: as-of / range joins, pivot, numeric
-profiling, exact percentiles, string functions.
+"""Extended relational operators: as-of / range joins, pivot, column
+profiling (variance / percentiles / approx sketches), scalar functions.
 
 The reference has no joins at all (SURVEY.md §2.2); these cover the join
 variants Spark lacks as single primitives (as-of) plus the profiling
@@ -11,7 +11,12 @@ Determinism notes:
   sequence in both engines -> identical results (no order-dependent
   accumulation anywhere);
 - exact percentiles: both engines sort and linearly interpolate on the
-  same doubles (verified bit-exact empirically).
+  same doubles (verified bit-exact empirically);
+- approx sketches (HLL++ distinct, Greenwald-Khanna percentiles) are
+  engine-specific by design, so they are checked as INVARIANTS: the query
+  emits a boolean "within tolerance of the exact value" computed Spark-
+  side, and the oracle emits literal true — the hash matches iff the
+  sketch really is inside its error budget.
 """
 
 from __future__ import annotations
@@ -20,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from gcp_map_reduce_spark.functions.numeric import dec
+from gcp_map_reduce_spark.functions.numeric import dec, dsum
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
@@ -122,90 +127,54 @@ def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "pivot_order_status",
+    "orders_by_month_pivot",
     oracle="""
-SELECT o_orderpriority,
+SELECT strftime(o_orderdate, '%Y-%m') AS ym, o_orderpriority,
   CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
   CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
-  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
-FROM orders GROUP BY o_orderpriority
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+  count(*) AS n,
+  COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE), 0.0)
+  + COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE), 0.0)
+  + COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE), 0.0)
+    AS total
+FROM orders GROUP BY ym, o_orderpriority
 """,
 )
-def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot (long -> wide): order counts by status per priority. Explicit
-    pivot values keep the plan static (no extra distinct-values job)."""
+def orders_by_month_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing (date_format to year-month) + pivot (long ->
+    wide status counts) in one grouped pass. Explicit pivot values keep
+    the plan static (no extra distinct-values job); n/total are recovered
+    from the pivoted per-status aggregates (status domain is O/F/P), so
+    the whole result is one Expand-free single-shuffle aggregation."""
     orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.groupBy("o_orderpriority")
+    piv = (
+        orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"), "o_orderpriority"
+        )
         .pivot("o_orderstatus", ["O", "F", "P"])
-        .agg(F.count(F.lit(1)))
-        .select(
-            "o_orderpriority",
-            F.coalesce("O", F.lit(0)).alias("n_open"),
-            F.coalesce("F", F.lit(0)).alias("n_filled"),
-            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice", precision=12)).cast("double").alias("t"),
         )
     )
-
-
-@query(
-    "numeric_profile",
-    oracle="""
-WITH s AS (
-  SELECT c_mktsegment, count(*) AS n,
-    CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
-    CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_sq,
-    MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
-  FROM customer GROUP BY c_mktsegment
-)
-SELECT c_mktsegment, n, min_bal, max_bal,
-  sum_bal / n AS mean_bal,
-  (n * sum_sq - sum_bal * sum_bal) / (CAST(n AS DOUBLE) * (n - 1)) AS var_bal,
-  sqrt((n * sum_sq - sum_bal * sum_bal) / (CAST(n AS DOUBLE) * (n - 1))) AS std_bal
-FROM s
-""",
-)
-def numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column profiling: count/min/max/mean/variance/stddev per segment.
-    Variance uses the sum-of-squares identity over decimal-exact sums so
-    no order-dependent double accumulation exists anywhere."""
-    cust = _t(spark, sf_dir, "customer")
-    bal = dec("c_acctbal", precision=12)
-    s = cust.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n"),
-        F.sum(bal).cast("double").alias("sum_bal"),
-        F.sum(bal * bal).cast("double").alias("sum_sq"),
-        F.min("c_acctbal").alias("min_bal"),
-        F.max("c_acctbal").alias("max_bal"),
-    )
-    n_d = F.col("n").cast("double")
-    var = (F.col("n") * F.col("sum_sq") - F.col("sum_bal") * F.col("sum_bal")) / (
-        n_d * (F.col("n") - 1)
-    )
-    return s.select(
-        "c_mktsegment",
-        "n",
-        "min_bal",
-        "max_bal",
-        (F.col("sum_bal") / F.col("n")).alias("mean_bal"),
-        var.alias("var_bal"),
-        F.sqrt(var).alias("std_bal"),
+    cnt = lambda s: F.coalesce(F.col(f"{s}_n"), F.lit(0))  # noqa: E731
+    tot = lambda s: F.coalesce(F.col(f"{s}_t"), F.lit(0.0))  # noqa: E731
+    return piv.select(
+        "ym",
+        "o_orderpriority",
+        cnt("O").alias("n_open"),
+        cnt("F").alias("n_filled"),
+        cnt("P").alias("n_partial"),
+        (cnt("O") + cnt("F") + cnt("P")).alias("n"),
+        (tot("O") + tot("F") + tot("P")).alias("total"),
     )
 
 
-@query(
-    "percentiles_totalprice",
-    oracle="""
-SELECT o_orderpriority,
-  quantile_cont(o_totalprice, 0.5) AS p50,
-  quantile_cont(o_totalprice, 0.9) AS p90,
-  quantile_cont(o_totalprice, 0.99) AS p99
-FROM orders GROUP BY o_orderpriority
-""",
-)
 def percentiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (sort + linear interpolation — bit-identical
-    across engines). At 100 TB swap to approx_percentile (t-digest
+    across engines). Library form; the registered profiling query is
+    ``customer_profile``. At 100 TB swap to approx_percentile (t-digest
     sketch): exact percentile materializes each group."""
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
@@ -215,13 +184,12 @@ def percentiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_percentiles_totalprice")  # sketch internals differ per engine
 def approx_percentiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (Greenwald-Khanna sketch, accuracy 1e4):
     the 100 TB path — constant memory per group, mergeable partials,
-    single shuffle of sketches instead of materialized groups. Accuracy
-    vs the exact operator is asserted in tests (no SQL oracle: sketch
-    internals are engine-specific)."""
+    single shuffle of sketches instead of materialized groups. Library
+    form; its tolerance-vs-exact invariant is registered inside
+    ``customer_profile``."""
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
@@ -231,75 +199,91 @@ def approx_percentiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
-    "map_functions",
+    "customer_profile",
     oracle="""
-SELECT o_orderpriority,
-  count(*) FILTER (o_orderstatus = 'F') AS n_f,
-  count(*) FILTER (o_orderstatus = 'O') AS n_o,
-  count(*) FILTER (o_orderstatus = 'P') AS n_p
-FROM orders GROUP BY o_orderpriority
+WITH s AS (
+  SELECT c_mktsegment, count(*) AS n_customers,
+    count(DISTINCT c_nationkey) AS n_nations,
+    CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
+    CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_sq,
+    MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+    quantile_cont(c_acctbal, 0.5) AS p50,
+    quantile_cont(c_acctbal, 0.9) AS p90,
+    quantile_cont(c_acctbal, 0.99) AS p99
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n_customers, n_nations, min_bal, max_bal,
+  sum_bal / n_customers AS mean_bal,
+  (n_customers * sum_sq - sum_bal * sum_bal)
+    / (CAST(n_customers AS DOUBLE) * (n_customers - 1)) AS var_bal,
+  sqrt((n_customers * sum_sq - sum_bal * sum_bal)
+    / (CAST(n_customers AS DOUBLE) * (n_customers - 1))) AS std_bal,
+  p50, p90, p99,
+  true AS approx_nations_ok,
+  true AS approx_p50_ok
+FROM s
 """,
 )
-def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map-typed column functions: build a status->count map per priority
-    (map_from_entries over collect_list) and extract with element_at.
-    The map is internal — output is plain integers so the oracle (plain
-    conditional aggregation) hash-matches."""
-    orders = _t(spark, sf_dir, "orders")
-    by_status = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
-        F.count("*").alias("n")
+def customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling per market segment: counts, exact COUNT(DISTINCT),
+    min/max/mean/variance/stddev (sum-of-squares identity over decimal-
+    exact sums — no order-dependent double accumulation), exact
+    percentiles, PLUS the approximate-sketch invariants:
+
+    - ``approx_nations_ok``: HLL++ approx_count_distinct (rsd=0.02)
+      within 5% (or +-1) of the exact distinct count;
+    - ``approx_p50_ok``: Greenwald-Khanna approx median within 5% of the
+      value range of the exact median.
+
+    The oracle asserts the invariants as literal ``true`` — the driver's
+    value hash therefore FAILS if a sketch ever leaves its error budget,
+    which is the strongest cross-engine statement possible for
+    engine-specific sketch internals."""
+    cust = _t(spark, sf_dir, "customer")
+    bal = dec("c_acctbal", precision=12)
+    s = cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.count_distinct("c_nationkey").alias("n_nations"),
+        F.approx_count_distinct("c_nationkey", rsd=0.02).alias("approx_nations"),
+        F.sum(bal).cast("double").alias("sum_bal"),
+        F.sum(bal * bal).cast("double").alias("sum_sq"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.expr("percentile(c_acctbal, 0.5)").alias("p50"),
+        F.expr("percentile(c_acctbal, 0.9)").alias("p90"),
+        F.expr("percentile(c_acctbal, 0.99)").alias("p99"),
+        F.percentile_approx("c_acctbal", 0.5, 10000).alias("approx_p50"),
     )
-    mapped = by_status.groupBy("o_orderpriority").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("o_orderstatus", "n"))
-        ).alias("status_counts")
+    n_d = F.col("n_customers").cast("double")
+    var = (
+        F.col("n_customers") * F.col("sum_sq") - F.col("sum_bal") * F.col("sum_bal")
+    ) / (n_d * (F.col("n_customers") - 1))
+    nations_ok = (
+        F.abs(F.col("approx_nations") - F.col("n_nations"))
+        <= F.greatest(F.lit(1.0), 0.05 * F.col("n_nations"))
     )
-    get = lambda s: F.coalesce(  # noqa: E731
-        F.element_at("status_counts", s), F.lit(0)
+    p50_ok = F.abs(F.col("approx_p50") - F.col("p50")) <= (
+        0.05 * (F.col("max_bal") - F.col("min_bal")) + F.lit(1e-6)
     )
-    return mapped.select(
-        "o_orderpriority",
-        get("F").alias("n_f"),
-        get("O").alias("n_o"),
-        get("P").alias("n_p"),
+    return s.select(
+        "c_mktsegment",
+        "n_customers",
+        "n_nations",
+        "min_bal",
+        "max_bal",
+        (F.col("sum_bal") / F.col("n_customers")).alias("mean_bal"),
+        var.alias("var_bal"),
+        F.sqrt(var).alias("std_bal"),
+        "p50",
+        "p90",
+        "p99",
+        nations_ok.alias("approx_nations_ok"),
+        p50_ok.alias("approx_p50_ok"),
     )
 
 
 @query(
-    "math_functions",
-    oracle="""
-SELECT l_orderkey, l_linenumber,
-  abs(l_discount - 0.05) AS disc_dev,
-  round(l_extendedprice, 1) AS price_r1,
-  CAST(floor(l_quantity / 10) AS BIGINT) AS qty_decile,
-  CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
-  sqrt(l_extendedprice) AS price_sqrt,
-  l_quantity * l_quantity AS qty_sq,
-  CAST(l_quantity AS BIGINT) % 7 AS qty_mod7
-FROM lineitem WHERE l_orderkey < 100
-""",
-)
-def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math scalar functions over the fact table — the deterministic set
-    (abs/round/floor/ceil/sqrt/multiply/mod are IEEE-exact or integer;
-    transcendentals are excluded — see text_tfidf for why ln can't
-    value-hash)."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
-        F.round("l_extendedprice", 1).alias("price_r1"),
-        F.floor(F.col("l_quantity") / 10).alias("qty_decile"),
-        F.ceil(F.col("l_tax") * 100).alias("tax_pct_ceil"),
-        F.sqrt("l_extendedprice").alias("price_sqrt"),
-        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
-        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
-    )
-
-
-@query(
-    "string_functions",
+    "scalar_functions",
     oracle="""
 SELECT p_partkey,
   upper(p_brand) AS brand_u,
@@ -307,15 +291,35 @@ SELECT p_partkey,
   concat(p_brand, ':', p_type) AS brand_type,
   length(p_name) AS name_len,
   replace(p_type, ' ', '_') AS type_snake,
-  CAST(position('a' IN p_name) AS INTEGER) AS first_a
+  CAST(position('a' IN p_name) AS INTEGER) AS first_a,
+  abs(p_retailprice - 1000) AS price_dev,
+  round(p_retailprice, 1) AS price_r1,
+  CAST(floor(p_size / 10) AS BIGINT) AS size_decile,
+  CAST(ceil(p_retailprice / 100) AS BIGINT) AS price_centile,
+  sqrt(p_retailprice) AS price_sqrt,
+  p_size * p_size AS size_sq,
+  CAST(p_size AS BIGINT) % 7 AS size_mod7,
+  p_brand AS brand_from_map,
+  2 AS map_n_keys
 FROM part
 WHERE p_name LIKE '%e%' AND p_size BETWEEN 10 AND 40
 """,
 )
-def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar string-function surface (the reference's only string ops are
-    the §1.4 normalization chain): case, slicing, concat, search, LIKE."""
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface in one pass over the part dimension
+    (the reference's only string ops are the §1.4 normalization chain):
+
+    - strings: case, slicing, concat, length, search/replace, LIKE;
+    - math: abs/round/floor/ceil/sqrt/multiply/mod (the deterministic
+      set — transcendentals are excluded; see text_tfidf for why ln
+      can't value-hash);
+    - maps: build with create_map, read back with element_at / size
+      (values chosen so the oracle can state the result relationally).
+    """
     part = _t(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
     return part.filter(
         F.col("p_name").like("%e%") & F.col("p_size").between(10, 40)
     ).select(
@@ -326,4 +330,13 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("p_name").alias("name_len"),
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
         F.instr("p_name", "a").cast("int").alias("first_a"),
+        F.abs(F.col("p_retailprice") - 1000).alias("price_dev"),
+        F.round("p_retailprice", 1).alias("price_r1"),
+        F.floor(F.col("p_size") / 10).alias("size_decile"),
+        F.ceil(F.col("p_retailprice") / 100).alias("price_centile"),
+        F.sqrt("p_retailprice").alias("price_sqrt"),
+        (F.col("p_size") * F.col("p_size")).alias("size_sq"),
+        (F.col("p_size").cast("bigint") % 7).alias("size_mod7"),
+        F.element_at(m, "brand").alias("brand_from_map"),
+        F.size(F.map_keys(m)).alias("map_n_keys"),
     )

@@ -1,19 +1,23 @@
 """Catalog — importing this module registers every query in the registry.
 
 Add one import line per operator module; modules self-register via the
-``@query`` decorator.
+``@query`` decorator. IMPORT ORDER IS REGISTRATION ORDER, and the driver
+evaluates queries in registration order — reference-parity operators
+(wordcount / inverted index / UDF plug-in surface) register first, then
+the LLM-pipeline families (text, dedup, similarity, multimodal), then the
+extended relational surface.
 """
 
 from gcp_map_reduce_spark.operators import (  # noqa: F401,I001
-    clustering,
+    wordcount,
+    udf_plugin,
+    text_analysis,
+    scale,
     dedup,
-    multimodal,
     pipeline,
+    similarity,
+    clustering,
+    multimodal,
     relational,
     relational_ext,
-    scale,
-    similarity,
-    text_analysis,
-    udf_plugin,
-    wordcount,
 )  # noqa: F401

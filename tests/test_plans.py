@@ -27,8 +27,17 @@ def _plan(spark, name: str) -> str:
     return buf.getvalue()
 
 
+def _fn_plan(spark, fn) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fn(spark, SF_ORACLE).explain("formatted")
+    return buf.getvalue()
+
+
 def test_q6_filter_pushdown_and_column_pruning(spark):
-    plan = _plan(spark, "q6_forecast_revenue")
+    from gcp_map_reduce_spark.operators.relational import q6_forecast_revenue
+
+    plan = _fn_plan(spark, q6_forecast_revenue)
     assert "PushedFilters:" in plan and "l_shipdate" in plan.split("PushedFilters:")[1].split("\n")[0]
     # projection needs only 4 of lineitem's 16 columns; the scan schema
     # must not include untouched ones
@@ -57,15 +66,9 @@ def test_wordcount_partial_count(spark):
 
 
 def test_bruteforce_broadcasts_query_side(spark):
-    import contextlib
-    import io
-
     from gcp_map_reduce_spark.operators.similarity import similarity_bruteforce
 
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        similarity_bruteforce(spark, SF_ORACLE).explain("formatted")
-    assert "BroadcastExchange" in buf.getvalue()
+    assert "BroadcastExchange" in _fn_plan(spark, similarity_bruteforce)
 
 
 def test_dedup_exact_prunes_to_needed_columns(spark):
