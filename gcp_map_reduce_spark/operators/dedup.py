@@ -251,23 +251,35 @@ MINHASH_B = [int(v) for v in _rng.randint(0, MERSENNE31, NUM_HASHES, dtype=np.in
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sig: array<bigint>[k]) — k independent min-hashes per doc.
 
-    The base shingle hash is :func:`portable_hash64` reduced mod P; each
-    family member is an affine map over it (JVM-side, whole-stage-
-    codegen'd); min-aggregation is map-side-combinable, and because
-    explode preserves the scan's locality every doc's shingles sit in one
-    partition — the groupBy shuffle moves exactly k longs per doc.
+    ZERO-shuffle: each document is already one row holding its distinct
+    shingle array, so the base hash is one ``transform`` (md5 computed
+    once per shingle) and each family member is ``array_min`` over an
+    affine re-map of that hash array — all JVM-side higher-order
+    functions on the scan's own partitions. No explode, no groupBy: at
+    100 TB the signature stage adds no Exchange at all, where a
+    (doc_id, shingle)-exploded groupBy formulation would shuffle k longs
+    per doc. Empty shingle arrays (docs shorter than n tokens) yield
+    null mins and are dropped, matching the exploded/grouped semantics.
     (A_i*h + B_i stays under 2^62: both operands < 2^31.)
     """
-    sh = doc_shingles(spark, sf_dir, n=3).withColumn(
-        "h", portable_hash64(F.col("sh")) % MERSENNE31
+    arrs = doc_shingle_arrays(spark, sf_dir, n=3)
+    h_arr = F.transform(
+        F.col("sh_arr"), lambda s: portable_hash64(s) % MERSENNE31
     )
-    return sh.groupBy("doc_id").agg(
-        F.array(
-            *[
-                F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31)
-                for a, b in zip(MINHASH_A, MINHASH_B)
-            ]
-        ).alias("sig")
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("h_arr"), lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31
+                )
+            )
+            for a, b in zip(MINHASH_A, MINHASH_B)
+        ]
+    )
+    return (
+        arrs.select("doc_id", h_arr.alias("h_arr"))
+        .filter(F.size("h_arr") > 0)
+        .select("doc_id", sig.alias("sig"))
     )
 
 
@@ -599,23 +611,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         doubled = labels.join(
             chase, labels.label == chase.cs, "left"
         ).select("s", "label", F.col("clabel").alias("dlabel"))
+        new_label = F.least(
+            F.col("label"),
+            F.coalesce(F.col("nlabel"), F.col("label")),
+            F.coalesce(F.col("dlabel"), F.col("label")),
+        )
+        # change flag computed in the SAME pass (old label is already a
+        # column here) — a separate updated-vs-old join per round would
+        # double the per-round shuffle count
         updated = materialize(
             doubled.join(neigh, doubled.s == neigh.ns, "left").select(
                 F.col("s"),
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("nlabel"), F.col("label")),
-                    F.coalesce(F.col("dlabel"), F.col("label")),
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label < F.col("label")).alias("changed"),
             )
         )
-        changed = (
-            updated.select(F.col("s").alias("us"), F.col("label").alias("ulabel"))
-            .join(labels, F.col("us") == F.col("s"))
-            .filter(F.col("ulabel") != F.col("label"))
-            .count()
-        )
-        labels = updated
+        changed = updated.filter("changed").count()
+        labels = updated.select("s", "label")
         if changed == 0:
             break
     log.info("dedup_clusters converged in %d rounds", rounds)
