@@ -52,8 +52,13 @@ def run_file_trigger_wordcount(
     corpus_dir = f"{output_dir}/_corpus"
 
     def recompute(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(corpus_dir)
-        corpus = batch_df.sparkSession.read.parquet(corpus_dir)
+        # foreachBatch is at-least-once: a replayed batch (write landed,
+        # checkpoint commit didn't) must overwrite its own subdir, not
+        # append a second copy of the rows into the corpus
+        batch_df.write.mode("overwrite").parquet(
+            f"{corpus_dir}/batch_id={batch_id}"
+        )
+        corpus = batch_df.sparkSession.read.parquet(f"{corpus_dir}/*")
         toks = tokenize(corpus, text_col="line", out_col="word", keep_cols=["doc"])
         (
             toks.groupBy("word")

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -36,7 +37,17 @@ _MS = 1_000_000  # pandas datetime64[ns] -> ms divisor is 1e6
 
 
 def _sessionize_fn(gap_ms: int):
-    """Build the grouped-map-with-state function for a given gap."""
+    """Build the grouped-map-with-state function for a given gap.
+
+    The batch's events are sorted by ts and SPLIT at gaps > gap_ms —
+    two events five hours apart in one micro-batch are two sessions,
+    exactly as in the batch ``sessionize_events`` operator. Sessions
+    closed inside the batch (a later in-batch session follows them) are
+    emitted immediately; only the trailing open session stays in state.
+    The stored open session is likewise closed and emitted as soon as a
+    batch arrives whose earliest event is beyond its gap window, or when
+    the event-time timeout fires with no successor batch.
+    """
 
     def fn(
         key: Tuple[Any, ...],
@@ -58,32 +69,79 @@ def _sessionize_fn(gap_ms: int):
             )
             return
 
-        start = end = None
-        n = 0
-        total = 0.0
-        if state.exists:
-            start, end, n, total = state.get
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            ts_ms = pdf["ts"].astype("int64") // _MS
-            lo, hi = int(ts_ms.min()), int(ts_ms.max())
-            start = lo if start is None else min(start, lo)
-            end = hi if end is None else max(end, hi)
-            n += len(pdf)
-            total += float(pdf["value"].sum())
-        if start is not None:
-            state.update((start, end, n, total))
-            state.setTimeoutTimestamp(end + gap_ms)
-        yield pd.DataFrame(
-            columns=[
-                "user_id",
-                "session_start",
-                "session_end",
-                "n_events",
-                "total_value",
+        # open session carried from previous batches: [start, end, n, total]
+        cur = list(state.get) if state.exists else None
+        closed: list[tuple[int, int, int, float]] = []
+
+        frames = [p for p in pdfs if not p.empty]
+        if frames:
+            rows = pd.concat(frames) if len(frames) > 1 else frames[0]
+            rows = rows.sort_values("ts")
+            ts = (rows["ts"].astype("int64") // _MS).to_numpy()
+            val = rows["value"].to_numpy()
+            # vectorized gap split: a new session starts wherever the
+            # inter-event gap exceeds gap_ms
+            brk = np.empty(len(ts), dtype=bool)
+            brk[0] = True
+            brk[1:] = (ts[1:] - ts[:-1]) > gap_ms
+            sid = np.cumsum(brk) - 1
+            agg = (
+                pd.DataFrame({"sid": sid, "ts": ts, "val": val})
+                .groupby("sid", sort=True)
+                .agg(start=("ts", "min"), end=("ts", "max"),
+                     n=("ts", "size"), total=("val", "sum"))
+            )
+            sess = [
+                [int(r.start), int(r.end), int(r.n), float(r.total)]
+                for r in agg.itertuples(index=False)
             ]
-        )
+            if cur is not None:
+                if sess and sess[0][0] - cur[1] <= gap_ms:
+                    # first in-batch session continues the stored one
+                    first = sess.pop(0)
+                    cur = [
+                        min(cur[0], first[0]),
+                        max(cur[1], first[1]),
+                        cur[2] + first[2],
+                        cur[3] + first[3],
+                    ]
+                if sess:
+                    # a later in-batch session exists => the stored/merged
+                    # session is definitively over
+                    closed.append(tuple(cur))
+                    cur = None
+            if sess:
+                closed.extend(tuple(s) for s in sess[:-1])
+                cur = sess[-1]
+
+        if cur is not None:
+            state.update((int(cur[0]), int(cur[1]), int(cur[2]), float(cur[3])))
+            state.setTimeoutTimestamp(int(cur[1]) + gap_ms)
+        elif state.exists:
+            state.remove()
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(s[0], unit="ms") for s in closed
+                    ],
+                    "session_end": [pd.Timestamp(s[1], unit="ms") for s in closed],
+                    "n_events": [s[2] for s in closed],
+                    "total_value": [s[3] for s in closed],
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                columns=[
+                    "user_id",
+                    "session_start",
+                    "session_end",
+                    "n_events",
+                    "total_value",
+                ]
+            )
 
     return fn
 

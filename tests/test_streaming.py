@@ -3,6 +3,7 @@ wordcount, and incremental watermarked aggregation vs the batch answer."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 
@@ -33,6 +34,21 @@ def test_file_trigger_full_recompute(spark, tmp_path):
         for r in spark.read.parquet(str(out / "final")).collect()
     }
     assert got2 == {"hello": 2, "world": 2, "again": 1, "encore": 1}
+
+    # replay idempotence: foreachBatch is at-least-once, so a crashed
+    # checkpoint commit replays batches. Simulate by wiping the checkpoint
+    # and re-draining — every file re-arrives under the same batch ids and
+    # must OVERWRITE its corpus subdir, leaving the counts unchanged
+    import shutil
+
+    shutil.rmtree(str(ckpt))
+    q3 = run_file_trigger_wordcount(spark, str(inp), str(out), str(ckpt))
+    q3.awaitTermination(120)
+    got3 = {
+        r["word"]: r["cnt"]
+        for r in spark.read.parquet(str(out / "final")).collect()
+    }
+    assert got3 == got2, "replayed batches must not inflate the corpus"
 
 
 def test_incremental_event_counts_matches_batch(spark, tmp_path):
@@ -97,21 +113,57 @@ def test_stateful_sessionize_emits_closed_sessions(spark, tmp_path):
     got = spark.sql("SELECT * FROM sessions_test").collect()
     assert got, "watermark advance across micro-batches should close sessions"
 
-    # each emitted session must be internally consistent and bounded by
-    # the batch-side per-user truth
+    # per-session ground truth, computed directly: sort per user by ts,
+    # split at gaps > 30 min — every emitted session must match one of
+    # these EXACTLY (start, end, n_events, total), which fails if the
+    # operator ever merges across an intra-batch gap
+    gap_us = 30 * 60 * 1_000_000
+    truth = set()
+    last_per_user = set()
+    for uid, g in pdf.sort_values("ts").groupby("user_id"):
+        ts = g["ts"].astype("int64").to_numpy()  # microseconds
+        brk = [0] + [i for i in range(1, len(ts)) if ts[i] - ts[i - 1] > gap_us]
+        bounds = brk + [len(ts)]
+        for j in range(len(brk)):
+            lo, hi = bounds[j], bounds[j + 1]
+            key = (
+                uid,
+                int(ts[lo] // 1000),
+                int(ts[hi - 1] // 1000),
+                hi - lo,
+                round(float(g["value"].iloc[lo:hi].sum()), 6),
+            )
+            truth.add(key)
+            if j == len(brk) - 1:
+                last_per_user.add(key)
+    emitted = set()
+    for r in got:
+        key = (
+            r["user_id"],
+            int(pd.Timestamp(r["session_start"]).value // 1_000_000),
+            int(pd.Timestamp(r["session_end"]).value // 1_000_000),
+            r["n_events"],
+            round(r["total_value"], 6),
+        )
+        assert key not in emitted, f"duplicate session emission: {key}"
+        emitted.add(key)
+        assert key in truth, f"emitted session not in batch truth: {key}"
+    # everything except (possibly) each user's trailing open session must
+    # have been closed and emitted by the drain
+    assert truth - last_per_user <= emitted, (
+        "closed sessions missing from the stream output: "
+        f"{sorted(truth - last_per_user - emitted)[:5]}"
+    )
+    # sanity on aggregate counts vs the registered batch operator
     batch = {
-        r["user_id"]: (r["n_sessions"], r["n_events"])
+        r["user_id"]: r["n_sessions"]
         for r in sessionize_events(spark, "/root/testdata/sf0.001").collect()
     }
     from collections import Counter
 
-    per_user_sessions = Counter()
-    for r in got:
-        assert r["session_start"] <= r["session_end"]
-        assert r["n_events"] >= 1
-        per_user_sessions[r["user_id"]] += 1
-    for uid, n_sess in per_user_sessions.items():
-        assert n_sess <= batch[uid][0], (uid, n_sess, batch[uid])
+    per_user = Counter(k[0] for k in emitted)
+    for uid, n_sess in per_user.items():
+        assert n_sess <= batch[uid], (uid, n_sess, batch[uid])
 
 
 def test_streaming_dedup_emits_each_hash_once(spark, tmp_path):
