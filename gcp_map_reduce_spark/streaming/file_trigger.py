@@ -47,18 +47,20 @@ def run_file_trigger_wordcount(
         .select("doc", F.col("value").alias("line"))
     )
 
-    # Accumulate corpus across batches (the reference keys recompute off
-    # the whole bucket, so batches must see all prior files).
-    corpus_dir = f"{output_dir}/_corpus"
-
     def recompute(batch_df: DataFrame, batch_id: int) -> None:
-        # foreachBatch is at-least-once: a replayed batch (write landed,
-        # checkpoint commit didn't) must overwrite its own subdir, not
-        # append a second copy of the rows into the corpus
-        batch_df.write.mode("overwrite").parquet(
-            f"{corpus_dir}/batch_id={batch_id}"
+        # The reference recomputes over the WHOLE bucket on every upload,
+        # so the batch rows are only a trigger: read the full corpus back
+        # from input_dir itself. This is idempotent by construction — a
+        # replayed batch (foreachBatch is at-least-once) or a wiped
+        # checkpoint re-reading every file as batch 0 recomputes the same
+        # answer, with no accumulated corpus copy to double-count.
+        corpus = (
+            batch_df.sparkSession.read.text(input_dir)
+            .withColumn(
+                "doc", F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+            )
+            .select("doc", F.col("value").alias("line"))
         )
-        corpus = batch_df.sparkSession.read.parquet(f"{corpus_dir}/*")
         toks = tokenize(corpus, text_col="line", out_col="word", keep_cols=["doc"])
         (
             toks.groupBy("word")

@@ -82,3 +82,12 @@ def test_dedup_exact_prunes_to_needed_columns(spark):
 def test_topk_uses_limit_not_global_sort_materialization(spark):
     plan = _plan(spark, "topk_orders")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_embedding_dedup_is_banded_not_allpairs(spark):
+    # the registered near-dup plan must generate candidates via the band
+    # equi-join (hash join) — an all-pairs non-equi self-join would show
+    # up as BroadcastNestedLoopJoin / CartesianProduct and die at scale
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

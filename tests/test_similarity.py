@@ -81,6 +81,30 @@ def test_lsh_sketch_is_deterministic(spark):
     assert a == b and all(isinstance(v, int) for v in a.values())
 
 
+def test_banded_embedding_dedup_matches_exact_allpairs(spark):
+    from gcp_map_reduce_spark.operators.similarity import (
+        dedup_embedding_cosine,
+        embedding_near_dup_pairs_exact,
+    )
+
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs_exact(spark, SF_ORACLE).collect()
+    }
+    banded = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in dedup_embedding_cosine(spark, SF_ORACLE).collect()
+    }
+    assert exact, "fixture should contain qualifying near-dup pairs"
+    # the 8x2 banding captures EVERY qualifying pair at oracle scale, and
+    # the exact cosine filter on candidates reproduces identical values —
+    # this is what keeps the all-pairs SQL oracle valid for the banded plan
+    assert banded == exact, (
+        set(exact) - set(banded),
+        set(banded) - set(exact),
+    )
+
+
 def test_quantize_error_bounded_by_scale(spark):
     from gcp_map_reduce_spark.operators.similarity import embedding_quantize_error
 
