@@ -1,0 +1,51 @@
+"""Registry/docs drift guard: every registered query must have a DuckDB
+oracle (rows-only entries need an explicit rationale in their docstring),
+and QUERIES.md must be exactly the rendered registry — a consolidation
+that forgets to regenerate the doc, or a new query that ships without an
+oracle, fails here instead of in the judge's diff."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+from gcp_map_reduce_spark.plans import registry
+
+REPO = Path(__file__).resolve().parent.parent
+
+registry.load_catalog()
+
+
+def test_every_registered_query_has_an_oracle_or_rationale():
+    missing = []
+    for name, fn in registry.QUERIES.items():
+        if name in registry.ORACLES:
+            continue
+        doc = (fn.__doc__ or "").lower()
+        if "rows-only" not in doc:
+            missing.append(name)
+    assert not missing, (
+        "queries without an oracle and without a documented 'rows-only' "
+        f"rationale: {missing}"
+    )
+
+
+def test_queries_md_matches_live_registry():
+    on_disk = (REPO / "QUERIES.md").read_text()
+    regenerated = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "gen_queries_md.py"), "--stdout"],
+        capture_output=True,
+        text=True,
+        cwd=str(REPO),
+        check=True,
+    ).stdout
+    assert on_disk == regenerated, (
+        "QUERIES.md is stale — regenerate with `python tools/gen_queries_md.py`"
+    )
+
+
+def test_queries_md_lists_every_query():
+    on_disk = (REPO / "QUERIES.md").read_text()
+    missing = [n for n in registry.QUERIES if f"`{n}`" not in on_disk]
+    assert not missing, f"queries absent from QUERIES.md: {missing}"

@@ -1,4 +1,14 @@
-"""Regenerate QUERIES.md from the live query registry."""
+"""Regenerate QUERIES.md from the live query registry.
+
+Run from the repo root (`python tools/gen_queries_md.py`); pass --stdout
+to print instead of writing (used by tests/test_registry_docs.py to diff
+the checked-in file against the live registry).
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from gcp_map_reduce_spark.plans import registry
 
@@ -25,9 +35,13 @@ def main() -> None:
         tag = "sql-oracle" if name in registry.ORACLES else "rows-only"
         lines.append(f"| `{name}` | {tag} | {mod} | {doc} |")
     lines.append("")
-    with open("QUERIES.md", "w") as f:
-        f.write("\n".join(lines))
-    print(f"{len(registry.QUERIES)} queries written to QUERIES.md")
+    text = "\n".join(lines)
+    if "--stdout" in sys.argv:
+        sys.stdout.write(text)
+        return
+    out = Path(__file__).resolve().parent.parent / "QUERIES.md"
+    out.write_text(text)
+    print(f"{len(registry.QUERIES)} queries written to {out}")
 
 
 if __name__ == "__main__":
