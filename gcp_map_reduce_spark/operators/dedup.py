@@ -337,19 +337,22 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked: the DuckDB twin recomputes identical signatures and
     applies the same band-collision predicate over all pairs.
 
-    The signature rides along the band rows as an array column (k longs =
-    256 bytes/row), so the whole operator is ONE computation of the
-    signatures + one band self-join — no signature re-join, no cache. The
-    band key is the STRUCT of the band's r signature values (exact
-    equality — a hashed key could admit false-positive candidates the
-    oracle's predicate would not). The estimated Jaccard is zip_with
-    agreement over the two arrays.
+    The band self-join carries (doc_id, band_id, band_key) ONLY — the
+    k-long signature (256 B/row) re-joins onto the deduped candidate
+    pairs afterwards. That trades one extra shuffle of the candidate set
+    (tiny: band collisions only) for a 4x slimmer band exchange, the
+    same id-only shape as the embedding dedup/ANN band joins. The band
+    key is the STRUCT of the band's r signature values (exact equality —
+    a hashed key could admit false-positive candidates the oracle's
+    predicate would not). The estimated Jaccard is zip_with agreement
+    over the two re-joined arrays.
     """
-    sig = minhash_signatures(spark, sf_dir)
+    # band sides + both signature re-joins read the signatures:
+    # materialize once or the whole pipeline runs four times
+    sig = materialize(minhash_signatures(spark, sf_dir))
     r = NUM_HASHES // BANDS
     bands = sig.select(
         "doc_id",
-        "sig",
         F.posexplode(
             F.array(
                 *[
@@ -364,9 +367,6 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_id", "band_key"),
     )
-    # self-join: materialize once or the whole signature pipeline runs
-    # twice (no cross-side subexpression reuse in Spark)
-    bands = materialize(bands)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -378,10 +378,16 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
-        .distinct()  # sig is functionally determined by doc_id
+        .distinct()
+        .join(
+            sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
     )
     agree = F.size(
         F.filter(

@@ -464,11 +464,16 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: sketches are one long per row; the candidate join keys on
     (band_id, band_bits) so only same-bucket pairs materialize, and AQE
-    splits hot buckets. Recall vs brute force asserted in unit tests;
-    the full result (sketches included) value-hash-checks against a SQL
-    replica with the plane matrix embedded as literals.
+    splits hot buckets. The band self-join carries IDS ONLY — two longs
+    per exploded row instead of the 64-double embedding + norm (~4x
+    slimmer big exchange); payloads re-join onto the deduped candidate
+    set, which is orders of magnitude smaller than the band-pair volume.
+    Recall vs brute force asserted in unit tests; the full result
+    (sketches included) value-hash-checks against a SQL replica with the
+    plane matrix embedded as literals.
     """
-    # both band sides derive from the sketch pipeline: materialize once
+    # band sides + two payload re-joins derive from the sketch pipeline:
+    # materialize once
     emb = materialize(
         lsh_sketch(_with_norm2(load_table(spark, sf_dir, "embeddings")))
     )
@@ -478,8 +483,6 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     def bands(df: DataFrame, prefix: str) -> DataFrame:
         return df.select(
             F.col("vec_id").alias(f"{prefix}_id"),
-            F.col("e").alias(f"{prefix}e"),
-            F.col("n2").alias(f"{prefix}n2"),
             F.posexplode(
                 F.array(
                     *[
@@ -503,12 +506,26 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("q_id").alias("query_id"),
             F.col("c_id").alias("cand_id"),
-            "qe",
-            "ce",
-            "qn2",
-            "cn2",
         )
         .dropDuplicates(["query_id", "cand_id"])
+        .join(
+            F.broadcast(
+                emb.filter(F.col("vec_id") < N_QUERIES).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("e").alias("qe"),
+                    F.col("n2").alias("qn2"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("e").alias("ce"),
+                F.col("n2").alias("cn2"),
+            ),
+            "cand_id",
+        )
     )
     cosine = _dot(F.col("qe"), F.col("ce")) / F.sqrt(F.col("qn2") * F.col("cn2"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
