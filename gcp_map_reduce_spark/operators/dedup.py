@@ -322,6 +322,45 @@ WHERE ({band_pred})
 """
 
 
+def minhash_band_candidates(sig: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) band-collision candidate pairs from a
+    (doc_id, sig) signature DataFrame — the shared candidate generator
+    for ``dedup_minhash`` and the clusters' minhash edge source. Pass a
+    MATERIALIZED sig or the signature pipeline runs once per join side.
+    """
+    r = NUM_HASHES // BANDS
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        *[
+                            F.col("sig")[band * r + j].alias(f"k{j}")
+                            for j in range(r)
+                        ]
+                    )
+                    for band in range(BANDS)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 @query("dedup_minhash", oracle=_minhash_oracle())
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates, verified by signature similarity.
@@ -350,36 +389,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band sides + both signature re-joins read the signatures:
     # materialize once or the whole pipeline runs four times
     sig = materialize(minhash_signatures(spark, sf_dir))
-    r = NUM_HASHES // BANDS
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.struct(
-                        *[
-                            F.col("sig")[band * r + j].alias(f"k{j}")
-                            for j in range(r)
-                        ]
-                    )
-                    for band in range(BANDS)
-                ]
-            )
-        ).alias("band_id", "band_key"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
+        minhash_band_candidates(sig)
         .join(
             sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
             "doc_a",
@@ -536,6 +547,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_CC_ROUNDS = 64  # pointer doubling: rounds needed ~ log2(diameter)
 
 
+def near_dup_edges_minhash_verified(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """(doc_a, doc_b) near-dup edges, the 100 TB shape: minhash band
+    collisions generate candidates (bounded shuffle — k longs per doc),
+    then the EXACT shingle Jaccard verifies each candidate with a
+    per-pair ``array_intersect`` on the two docs' shingle arrays — no
+    inverted-index self-join anywhere, so the hot-shingle quadratic
+    blowup of the exact edge source can't happen. Recall equals the band
+    recall at the threshold (8 bands x 4 rows: >98.5% at j=0.8, ~1.0 for
+    the near-identical copies dedup actually targets); precision is
+    exact."""
+    sig = materialize(minhash_signatures(spark, sf_dir))
+    arrs = materialize(doc_shingle_arrays(spark, sf_dir, n=3))
+    cand = minhash_band_candidates(sig)
+    a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("sh_a"))
+    b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("sh_b"))
+    isect = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = isect.cast("double") / (F.size("sh_a") + F.size("sh_b") - isect)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
 @query(
     "dedup_clusters",
     oracle=f"""
@@ -566,10 +604,23 @@ SELECT s AS doc_id, min(d) AS cluster_id, count(DISTINCT d) AS reach_size
 FROM reach GROUP BY s
 """,
 )
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, edge_source: str = "exact"
+) -> DataFrame:
     """Connected components over the near-dup pair graph: every document
     in any >= 0.8-Jaccard pair gets a cluster id (the component's minimum
     doc_id) — the dedup ENDGAME: keep cluster_id == doc_id, drop the rest.
+
+    ``edge_source`` picks where the pair graph comes from:
+
+    - ``"exact"`` (default, what the recursive-CTE oracle checks): the
+      exact shingle inverted-index self-join (``dedup_ngram_jaccard``) —
+      full recall, but quadratic in the hottest shingle's doc frequency;
+    - ``"minhash"`` (the 100 TB plan): minhash band-collision candidates
+      exactly verified per pair (``near_dup_edges_minhash_verified``) —
+      bounded shuffle, recall = band recall (~1.0 for true copies).
+      ``tests/test_dedup.py`` asserts both sources produce IDENTICAL
+      clusterings at oracle scale.
 
     Spark side is min-label propagation WITH pointer doubling: each round
     a node's label drops to the minimum of (its label, its neighbors'
@@ -584,9 +635,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure — engine-independent agreement on an iterative algorithm's
     fixpoint. reach_size doubles as the component size.
     """
-    pairs = materialize(
-        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    )
+    if edge_source == "exact":
+        edge_df = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    elif edge_source == "minhash":
+        edge_df = near_dup_edges_minhash_verified(spark, sf_dir)
+    else:
+        raise ValueError(f"unknown edge_source: {edge_source!r}")
+    pairs = materialize(edge_df)
     fwd = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
     rev = pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
     edges = materialize(fwd.union(rev))

@@ -50,6 +50,35 @@ def test_minhash_signatures_shape(spark):
     assert all(isinstance(h, int) for h in row["sig"])
 
 
+def test_minhash_edge_source_matches_exact_clustering(spark):
+    from gcp_map_reduce_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_ngram_jaccard,
+        near_dup_edges_minhash_verified,
+    )
+
+    # the scale-path edge set must equal the exact one here (planted dups
+    # are j~0.99 where band recall is ~1; precision is exact by the
+    # per-pair verification)
+    exact_edges = _pairs(dedup_ngram_jaccard(spark, SF_ORACLE))
+    mh_edges = _pairs(near_dup_edges_minhash_verified(spark, SF_ORACLE))
+    assert mh_edges == exact_edges, (
+        exact_edges - mh_edges,
+        mh_edges - exact_edges,
+    )
+
+    # and therefore the clusterings are identical
+    def clustering(edge_source):
+        return {
+            (r["doc_id"], r["cluster_id"], r["reach_size"])
+            for r in dedup_clusters(
+                spark, SF_ORACLE, edge_source=edge_source
+            ).collect()
+        }
+
+    assert clustering("minhash") == clustering("exact")
+
+
 def test_dedup_clusters_invariants(spark):
     from gcp_map_reduce_spark.operators.dedup import (
         dedup_clusters,
