@@ -50,6 +50,20 @@ def test_minhash_signatures_shape(spark):
     assert all(isinstance(h, int) for h in row["sig"])
 
 
+def test_minhash_fast_hash_mode_agrees_on_pairs(spark):
+    from gcp_map_reduce_spark.operators.dedup import dedup_minhash
+
+    # the bench/production path (xxhash64) and the oracle-portable path
+    # (md5) are different hash families, so est_jaccard values differ in
+    # the tail — but the near-dup PAIR SET they surface must agree on the
+    # planted ~0.99-jaccard duplicates
+    portable = _pairs(dedup_minhash(spark, SF_ORACLE))
+    fast = _pairs(dedup_minhash(spark, SF_ORACLE, fast_hash=True))
+    assert portable
+    agree = len(portable & fast) / len(portable)
+    assert agree >= 0.9, (agree, len(portable), len(fast))
+
+
 def test_minhash_edge_source_matches_exact_clustering(spark):
     from gcp_map_reduce_spark.operators.dedup import (
         dedup_clusters,
