@@ -561,7 +561,10 @@ MAX_CC_ROUNDS = 64  # pointer doubling: rounds needed ~ log2(diameter)
 
 
 def near_dup_edges_minhash_verified(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b) near-dup edges, the 100 TB shape: minhash band
     collisions generate candidates (bounded shuffle — k longs per doc),
@@ -572,7 +575,7 @@ def near_dup_edges_minhash_verified(
     recall at the threshold (8 bands x 4 rows: >98.5% at j=0.8, ~1.0 for
     the near-identical copies dedup actually targets); precision is
     exact."""
-    sig = materialize(minhash_signatures(spark, sf_dir))
+    sig = materialize(minhash_signatures(spark, sf_dir, fast_hash=fast_hash))
     arrs = materialize(doc_shingle_arrays(spark, sf_dir, n=3))
     cand = minhash_band_candidates(sig)
     a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("sh_a"))
@@ -587,9 +590,7 @@ def near_dup_edges_minhash_verified(
     )
 
 
-@query(
-    "dedup_clusters",
-    oracle=f"""
+_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE {_SHINGLES_SQL},
 sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
 inter AS (
@@ -615,10 +616,15 @@ reach AS (
 )
 SELECT s AS doc_id, min(d) AS cluster_id, count(DISTINCT d) AS reach_size
 FROM reach GROUP BY s
-""",
-)
+"""
+
+
+@query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def dedup_clusters(
-    spark: SparkSession, sf_dir: str, edge_source: str = "exact"
+    spark: SparkSession,
+    sf_dir: str,
+    edge_source: str = "exact",
+    fast_hash: bool = False,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: every document
     in any >= 0.8-Jaccard pair gets a cluster id (the component's minimum
@@ -651,7 +657,9 @@ def dedup_clusters(
     if edge_source == "exact":
         edge_df = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     elif edge_source == "minhash":
-        edge_df = near_dup_edges_minhash_verified(spark, sf_dir)
+        edge_df = near_dup_edges_minhash_verified(
+            spark, sf_dir, fast_hash=fast_hash
+        )
     else:
         raise ValueError(f"unknown edge_source: {edge_source!r}")
     pairs = materialize(edge_df)
@@ -711,3 +719,14 @@ def dedup_clusters(
         comp.join(sizes, "cluster_id")
         .select(F.col("s").alias("doc_id"), "cluster_id", "reach_size")
     )
+
+
+@query("dedup_clusters_minhash", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB clustering plan, registered in its own right: connected
+    components over minhash-candidate edges (exactly verified per pair —
+    ``near_dup_edges_minhash_verified``), checked against the SAME
+    recursive-CTE oracle as ``dedup_clusters`` — the driver proves the
+    scale path and the exact path agree on the full clustering, not just
+    that the scale path runs."""
+    return dedup_clusters(spark, sf_dir, edge_source="minhash")

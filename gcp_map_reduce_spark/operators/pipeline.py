@@ -27,6 +27,7 @@ from gcp_map_reduce_spark.operators.dedup import (
     _SHINGLES_SQL,
     dedup_exact_keepers,
     dedup_ngram_jaccard,
+    near_dup_edges_minhash_verified,
 )
 from gcp_map_reduce_spark.operators.text_analysis import text_quality
 from gcp_map_reduce_spark.plans.registry import query
@@ -76,9 +77,20 @@ JOIN keepers USING (doc_id)
 ANTI JOIN drops USING (doc_id)
 """,
 )
-def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curated_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    near_dup_source: str = "exact",
+    fast_hash: bool = False,
+) -> DataFrame:
     """Documents surviving quality gate + exact dedup + near-dup removal,
-    with their token budget — the corpus a training run would consume."""
+    with their token budget — the corpus a training run would consume.
+
+    ``near_dup_source`` mirrors ``dedup_clusters``' edge_source: "exact"
+    (default; what the oracle replicates) uses the shingle self-join,
+    "minhash" (the 100 TB plan, optionally with ``fast_hash``) drops docs
+    via verified band-collision candidates — identical survivor sets at
+    oracle scale (tests/test_dedup.py asserts edge-set equality)."""
     docs = load_table(spark, sf_dir, "documents")
     quality = (
         text_quality(spark, sf_dir)
@@ -86,11 +98,15 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "n_chars")
     )
     keepers = dedup_exact_keepers(spark, sf_dir)
-    drops = (
-        dedup_ngram_jaccard(spark, sf_dir)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    if near_dup_source == "exact":
+        near = dedup_ngram_jaccard(spark, sf_dir)
+    elif near_dup_source == "minhash":
+        near = near_dup_edges_minhash_verified(
+            spark, sf_dir, fast_hash=fast_hash
+        )
+    else:
+        raise ValueError(f"unknown near_dup_source: {near_dup_source!r}")
+    drops = near.select(F.col("doc_b").alias("doc_id")).distinct()
     return (
         docs.select("doc_id", "lang")
         .join(quality, "doc_id")

@@ -93,6 +93,22 @@ def test_minhash_edge_source_matches_exact_clustering(spark):
     assert clustering("minhash") == clustering("exact")
 
 
+def test_curated_corpus_minhash_source_matches_exact(spark):
+    from gcp_map_reduce_spark.operators.pipeline import curated_corpus
+
+    exact = {
+        tuple(r) for r in curated_corpus(spark, SF_ORACLE).collect()
+    }
+    minhash = {
+        tuple(r)
+        for r in curated_corpus(
+            spark, SF_ORACLE, near_dup_source="minhash", fast_hash=True
+        ).collect()
+    }
+    assert exact
+    assert minhash == exact
+
+
 def test_dedup_clusters_invariants(spark):
     from gcp_map_reduce_spark.operators.dedup import (
         dedup_clusters,
