@@ -680,8 +680,14 @@ def dedup_clusters(
                 f"dedup_clusters did not converge in {MAX_CC_ROUNDS} rounds"
             )
         rounds += 1
+        # pointer doubling folded INTO the neighbor-min join: augmenting
+        # the edge list with each node's (s -> label(s)) pseudo-edge makes
+        # the neighbor-label min also cover label(label(s)) — one join +
+        # one groupBy per round instead of separate neighbor and
+        # label-chase joins (the union itself is shuffle-free)
+        aug = edges.union(labels.select("s", F.col("label").alias("d")))
         neigh = (
-            edges.select(F.col("s").alias("ns"), F.col("d").alias("nd"))
+            aug.select(F.col("s").alias("ns"), F.col("d").alias("nd"))
             .join(
                 labels.select(F.col("s").alias("ls"), "label"),
                 F.col("nd") == F.col("ls"),
@@ -689,23 +695,14 @@ def dedup_clusters(
             .groupBy("ns")
             .agg(F.min("label").alias("nlabel"))
         )
-        # pointer doubling: label-of-label
-        chase = labels.select(
-            F.col("s").alias("cs"), F.col("label").alias("clabel")
-        )
-        doubled = labels.join(
-            chase, labels.label == chase.cs, "left"
-        ).select("s", "label", F.col("clabel").alias("dlabel"))
         new_label = F.least(
-            F.col("label"),
-            F.coalesce(F.col("nlabel"), F.col("label")),
-            F.coalesce(F.col("dlabel"), F.col("label")),
+            F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
         )
         # change flag computed in the SAME pass (old label is already a
         # column here) — a separate updated-vs-old join per round would
         # double the per-round shuffle count
         updated = materialize(
-            doubled.join(neigh, doubled.s == neigh.ns, "left").select(
+            labels.join(neigh, labels.s == neigh.ns, "left").select(
                 F.col("s"),
                 new_label.alias("label"),
                 (new_label < F.col("label")).alias("changed"),
