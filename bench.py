@@ -47,6 +47,8 @@ HEADLINE = [
     # text analysis
     "text_profile",
     "text_tfidf",
+    # sampling / shard packing
+    "corpus_shards",
     # python-boundary cost reference point (Arrow grouped-map)
     "udf_wordcount_grouped",
     # flagship composition: quality -> dedup -> near-dup -> token budget

@@ -1,0 +1,200 @@
+"""Deterministic corpus sampling, mixing, and sharding — the steps between
+a curated corpus and a training run.
+
+Not in the reference (it has no sampling of any kind); these are the
+standard large-corpus operations a training-data pipeline needs after
+dedup/quality filtering:
+
+- ``corpus_mixture``: per-domain (here: per-language) sampling rates —
+  "train on 100% of en, 40% of zh, ..." — applied via DETERMINISTIC
+  hash-based Bernoulli sampling: keep a doc iff
+  ``portable_hash64(doc_id) % 1000 < rate_permille[lang]``. Unlike
+  ``df.sample()`` (seeded per-partition RNG — resplitting the input
+  changes the sample), the hash gate depends only on the ROW, so the
+  sample is stable under repartitioning, retries, and engine changes —
+  which also makes it exactly reproducible in the DuckDB oracle.
+- ``corpus_shards``: pack the mixed corpus into ~equal-token training
+  shards: cumulative token count in deterministic doc_id order, shard_id
+  = floor(cum_before / budget) — every shard holds consecutive docs and
+  (budget + one straggler doc) tokens max, the shape shard writers want.
+
+Scale notes: the mixture filter is a pure per-row predicate — no shuffle,
+no state, pushes through any plan. The sharding cumsum is a global
+ordered window (single-partition at the limit); at 100 TB you run it
+per-partition-group instead: range-partition by doc_id into O(cores)
+groups, cumsum within groups, then add the (tiny, broadcast) per-group
+offsets — same result, no single-task bottleneck. The registered query
+keeps the simple form; ``corpus_shards_scalable`` implements the
+two-level shape and a test asserts they agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_map_reduce_spark.functions.text import WS_SPLIT, normalize_text, sql_normalize
+from gcp_map_reduce_spark.operators.dedup import portable_hash64, sql_portable_hash64
+from gcp_map_reduce_spark.plans.registry import query
+from gcp_map_reduce_spark.sources.tables import load_table
+
+# per-language keep rates in permille: oversample the low-resource
+# languages relative to en — the standard mixture-rebalancing shape
+MIXTURE_PERMILLE = {"en": 600, "de": 1000, "fr": 1000, "es": 800, "zh": 800}
+DEFAULT_PERMILLE = 500  # languages not in the table
+SHARD_TOKEN_BUDGET = 20_000
+
+
+def _rate_expr(lang_col):
+    rate = F.lit(DEFAULT_PERMILLE)
+    for lang, pm in MIXTURE_PERMILLE.items():
+        rate = F.when(lang_col == lang, F.lit(pm)).otherwise(rate)
+    return rate
+
+
+def _sql_rate(expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {expr} = '{lang}' THEN {pm}" for lang, pm in MIXTURE_PERMILLE.items()
+    )
+    return f"CASE {whens} ELSE {DEFAULT_PERMILLE} END"
+
+
+_N_TOKENS_SQL = (
+    f"len(list_filter(regexp_split_to_array({sql_normalize('text')}, "
+    f"'{WS_SPLIT}'), t -> t <> ''))"
+)
+
+
+@query(
+    "corpus_mixture",
+    oracle=f"""
+SELECT doc_id, lang,
+  {sql_portable_hash64("CAST(doc_id AS VARCHAR)")} % 1000 AS bucket,
+  {_sql_rate('lang')} AS rate_permille,
+  {_N_TOKENS_SQL} AS n_tokens
+FROM documents
+WHERE {sql_portable_hash64("CAST(doc_id AS VARCHAR)")} % 1000 < {_sql_rate('lang')}
+""",
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language mixture sample with each survivor's
+    token count — the input to shard packing. Pure per-row predicate +
+    per-row token count: zero shuffle, survives any repartitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash64(F.col("doc_id").cast("string")) % 1000
+    n_tokens = F.size(
+        F.filter(
+            F.split(normalize_text(F.col("text")), WS_SPLIT), lambda t: t != ""
+        )
+    ).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            bucket.alias("bucket"),
+            _rate_expr(F.col("lang")).cast("int").alias("rate_permille"),
+            n_tokens.alias("n_tokens"),
+        )
+        .filter(F.col("bucket") < F.col("rate_permille"))
+    )
+
+
+@query(
+    "corpus_shards",
+    oracle=f"""
+WITH mix AS (
+  SELECT doc_id, lang, {_N_TOKENS_SQL} AS n_tokens
+  FROM documents
+  WHERE {sql_portable_hash64("CAST(doc_id AS VARCHAR)")} % 1000 < {_sql_rate('lang')}
+),
+packed AS (
+  SELECT doc_id, lang, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM mix
+)
+SELECT CAST(floor(cum_before / {SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard_id,
+  count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM packed GROUP BY 1
+""",
+)
+def corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest: the mixture sample packed into consecutive
+    ~SHARD_TOKEN_BUDGET-token shards (cumsum in doc_id order), one row per
+    shard with its doc range and realized token count. See the module
+    docstring for the scale-out form of the cumsum."""
+    mix = corpus_mixture(spark, sf_dir).select("doc_id", "lang", "n_tokens")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    packed = mix.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        packed.withColumn(
+            "shard_id",
+            F.floor(F.col("cum_before") / SHARD_TOKEN_BUDGET).cast("long"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+N_RANGE_GROUPS = 32  # scale-out cumsum: number of range groups
+
+
+def corpus_shards_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``corpus_shards``' cumulative sum: docs are
+    range-grouped by doc_id, token counts cumsum WITHIN each group (the
+    window is per-group, so it parallelizes), per-group totals (one row
+    per group) roll into broadcast offsets, and cum_before = group offset
+    + within-group cumsum. Identical output to the single-window form
+    (asserted in tests) with no single-task sort of the corpus.
+
+    Group boundaries use doc_id ranges (id-hash ordering would break the
+    ORDER BY doc_id semantics); with roughly uniform doc_ids the groups
+    balance. A production variant samples quantiles first (what Spark's
+    range partitioner does internally).
+    """
+    mix = corpus_mixture(spark, sf_dir).select("doc_id", "lang", "n_tokens")
+    hi = mix.agg((F.max("doc_id") + 1).alias("hi"))
+    grouped = mix.crossJoin(F.broadcast(hi)).withColumn(
+        "grp",
+        F.least(
+            F.floor(F.col("doc_id") * N_RANGE_GROUPS / F.col("hi")),
+            F.lit(N_RANGE_GROUPS - 1),
+        ),
+    )
+    wg = (
+        Window.partitionBy("grp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = grouped.withColumn(
+        "cum_in_grp", F.coalesce(F.sum("n_tokens").over(wg), F.lit(0))
+    )
+    totals = grouped.groupBy("grp").agg(F.sum("n_tokens").alias("grp_total"))
+    woff = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "grp_offset", F.coalesce(F.sum("grp_total").over(woff), F.lit(0))
+    ).select("grp", "grp_offset")
+    packed = within.join(F.broadcast(offsets), "grp").withColumn(
+        "cum_before", F.col("grp_offset") + F.col("cum_in_grp")
+    )
+    return (
+        packed.withColumn(
+            "shard_id",
+            F.floor(F.col("cum_before") / SHARD_TOKEN_BUDGET).cast("long"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -15,6 +15,7 @@ from gcp_map_reduce_spark.operators import (  # noqa: F401,I001
     scale,
     dedup,
     pipeline,
+    sampling,
     similarity,
     clustering,
     multimodal,

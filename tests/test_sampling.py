@@ -1,0 +1,93 @@
+"""Semantic tests for deterministic sampling/mixing/sharding (the oracle
+covers exact values; these cover the properties that make the operators
+trustworthy at scale)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+def test_mixture_is_repartition_invariant(spark):
+    from gcp_map_reduce_spark.operators.sampling import corpus_mixture
+
+    base = {r["doc_id"] for r in corpus_mixture(spark, SF_ORACLE).collect()}
+    assert base
+    # df.sample() would change under a different partitioning; the hash
+    # gate must not
+    reparted = {
+        r["doc_id"]
+        for r in corpus_mixture(spark, SF_ORACLE)
+        .repartition(7, "lang")
+        .collect()
+    }
+    assert reparted == base
+
+
+def test_mixture_rates_are_respected(spark):
+    from gcp_map_reduce_spark.operators.sampling import (
+        MIXTURE_PERMILLE,
+        corpus_mixture,
+    )
+    from gcp_map_reduce_spark.sources.tables import load_table
+
+    total = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, SF_ORACLE, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    kept = {
+        r["lang"]: r["n"]
+        for r in corpus_mixture(spark, SF_ORACLE)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, pm in MIXTURE_PERMILLE.items():
+        if pm == 1000:
+            assert kept.get(lang) == total[lang], lang  # keep-all is exact
+        else:
+            # hash buckets are uniform: observed rate within a loose
+            # binomial band around pm/1000 (small n per lang)
+            rate = kept.get(lang, 0) / total[lang]
+            assert abs(rate - pm / 1000) < 0.2, (lang, rate, pm)
+
+
+def test_shards_respect_budget_and_cover_mixture(spark):
+    from gcp_map_reduce_spark.operators.sampling import (
+        SHARD_TOKEN_BUDGET,
+        corpus_mixture,
+        corpus_shards,
+    )
+
+    shards = corpus_shards(spark, SF_ORACLE).orderBy("shard_id").collect()
+    assert shards
+    mix = corpus_mixture(spark, SF_ORACLE)
+    n_docs = mix.count()
+    total_tokens = mix.agg(F.sum("n_tokens")).collect()[0][0]
+    assert sum(r["n_docs"] for r in shards) == n_docs
+    assert sum(r["shard_tokens"] for r in shards) == total_tokens
+    # consecutive doc ranges, no overlap
+    for prev, nxt in zip(shards, shards[1:]):
+        assert prev["last_doc"] < nxt["first_doc"]
+    # every shard except the last holds >= budget tokens only via its one
+    # straggler doc: cum_before-based packing means a shard's tokens
+    # minus its last doc is < budget
+    for r in shards[:-1]:
+        assert r["shard_tokens"] >= SHARD_TOKEN_BUDGET * 0.5  # non-degenerate
+
+
+def test_scalable_cumsum_matches_single_window(spark):
+    from gcp_map_reduce_spark.operators.sampling import (
+        corpus_shards,
+        corpus_shards_scalable,
+    )
+
+    simple = {tuple(r) for r in corpus_shards(spark, SF_ORACLE).collect()}
+    scalable = {
+        tuple(r) for r in corpus_shards_scalable(spark, SF_ORACLE).collect()
+    }
+    assert scalable == simple
