@@ -115,21 +115,10 @@ def dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- shingling (shared by jaccard / minhash / simhash) --------------------
 
 
-def doc_shingle_arrays(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
-    """(doc_id, sh_arr: array<string>) — the DISTINCT n-token shingles of
-    each document as one array row. Zero shuffle on the scale path:
-    per-doc array work only (see ``ensure_parallelism`` — an Exchange is
-    added ONLY when the scan under-splits a tiny local file).
-
-    Each document is one row, so shingles are built array-natively with
-    zip_with over shifted slices of the token array — ~2x faster than a
-    posexplode + lead()-window formulation (and that one shuffles every
-    token on doc_id first). Shifted zips pad with null past the shorter
-    end; nulls mark incomplete trailing grams and are filtered before
-    distinct.
-    """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = ensure_parallelism(docs, spark.sparkContext.defaultParallelism)
+def shingle_arrays_for(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh_arr) for an arbitrary (doc_id, text) DataFrame — the
+    DF-level core of :func:`doc_shingle_arrays`, reused by the streaming
+    near-dup operator on micro-batch DataFrames."""
     w = F.filter(
         F.split(normalize_text(F.col("text")), WS_SPLIT), lambda t: t != ""
     )
@@ -145,6 +134,24 @@ def doc_shingle_arrays(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFram
         )
     sh_arr = F.array_distinct(F.filter(grams, lambda x: x.isNotNull()))
     return docs.select("doc_id", sh_arr.alias("sh_arr"))
+
+
+def doc_shingle_arrays(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """(doc_id, sh_arr: array<string>) — the DISTINCT n-token shingles of
+    each document as one array row. Zero shuffle on the scale path:
+    per-doc array work only (see ``ensure_parallelism`` — an Exchange is
+    added ONLY when the scan under-splits a tiny local file).
+
+    Each document is one row, so shingles are built array-natively with
+    zip_with over shifted slices of the token array — ~2x faster than a
+    posexplode + lead()-window formulation (and that one shuffles every
+    token on doc_id first). Shifted zips pad with null past the shorter
+    end; nulls mark incomplete trailing grams and are filtered before
+    distinct.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = ensure_parallelism(docs, spark.sparkContext.defaultParallelism)
+    return shingle_arrays_for(docs, n)
 
 
 def doc_shingles(
@@ -248,6 +255,37 @@ MINHASH_A = [int(v) for v in _rng.randint(1, MERSENNE31, NUM_HASHES, dtype=np.in
 MINHASH_B = [int(v) for v in _rng.randint(0, MERSENNE31, NUM_HASHES, dtype=np.int64)]
 
 
+def minhash_signatures_for(
+    arrs: DataFrame, fast_hash: bool = False
+) -> DataFrame:
+    """Signatures for an arbitrary (doc_id, sh_arr) DataFrame — the
+    DF-level core of :func:`minhash_signatures` (streaming micro-batches
+    use this directly)."""
+    if fast_hash:
+        base = lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31))  # noqa: E731
+    else:
+        base = lambda s: portable_hash64(s) % MERSENNE31  # noqa: E731
+    h_arr = F.transform(F.col("sh_arr"), base)
+    # single-traversal fold: one pass over the hash array updating all k
+    # mins via zip_with/least — ~15% faster than k separate
+    # array_min(transform(...)) passes (same arithmetic, 1/k the
+    # traversals), and bit-identical (verified)
+    init = F.array(*[F.lit(MERSENNE31).cast("long")] * NUM_HASHES)
+    remaps = lambda h: F.array(  # noqa: E731
+        *[(F.lit(a) * h + F.lit(b)) % MERSENNE31 for a, b in zip(MINHASH_A, MINHASH_B)]
+    )
+    sig = F.aggregate(
+        F.col("h_arr"),
+        init,
+        lambda acc, h: F.zip_with(acc, remaps(h), lambda x, y: F.least(x, y)),
+    )
+    return (
+        arrs.select("doc_id", h_arr.alias("h_arr"))
+        .filter(F.size("h_arr") > 0)
+        .select("doc_id", sig.alias("sig"))
+    )
+
+
 def minhash_signatures(
     spark: SparkSession, sf_dir: str, fast_hash: bool = False
 ) -> DataFrame:
@@ -271,29 +309,8 @@ def minhash_signatures(
     value-hash-checked by the oracle. Candidate sets agree for true
     near-dups either way (asserted in tests).
     """
-    arrs = doc_shingle_arrays(spark, sf_dir, n=3)
-    if fast_hash:
-        base = lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31))  # noqa: E731
-    else:
-        base = lambda s: portable_hash64(s) % MERSENNE31  # noqa: E731
-    h_arr = F.transform(F.col("sh_arr"), base)
-    # single-traversal fold: one pass over the hash array updating all k
-    # mins via zip_with/least — ~15% faster than k separate
-    # array_min(transform(...)) passes (same arithmetic, 1/k the
-    # traversals), and bit-identical (verified)
-    init = F.array(*[F.lit(MERSENNE31).cast("long")] * NUM_HASHES)
-    remaps = lambda h: F.array(  # noqa: E731
-        *[(F.lit(a) * h + F.lit(b)) % MERSENNE31 for a, b in zip(MINHASH_A, MINHASH_B)]
-    )
-    sig = F.aggregate(
-        F.col("h_arr"),
-        init,
-        lambda acc, h: F.zip_with(acc, remaps(h), lambda x, y: F.least(x, y)),
-    )
-    return (
-        arrs.select("doc_id", h_arr.alias("h_arr"))
-        .filter(F.size("h_arr") > 0)
-        .select("doc_id", sig.alias("sig"))
+    return minhash_signatures_for(
+        doc_shingle_arrays(spark, sf_dir, n=3), fast_hash=fast_hash
     )
 
 
@@ -336,14 +353,12 @@ WHERE ({band_pred})
 """
 
 
-def minhash_band_candidates(sig: DataFrame) -> DataFrame:
-    """Distinct (doc_a, doc_b) band-collision candidate pairs from a
-    (doc_id, sig) signature DataFrame — the shared candidate generator
-    for ``dedup_minhash`` and the clusters' minhash edge source. Pass a
-    MATERIALIZED sig or the signature pipeline runs once per join side.
-    """
+def minhash_band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) — the exploded LSH band rows of a
+    (doc_id, sig) DataFrame; band_key is the struct of the band's r
+    signature positions (exact equality join key)."""
     r = NUM_HASHES // BANDS
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -359,6 +374,15 @@ def minhash_band_candidates(sig: DataFrame) -> DataFrame:
             )
         ).alias("band_id", "band_key"),
     )
+
+
+def minhash_band_candidates(sig: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) band-collision candidate pairs from a
+    (doc_id, sig) signature DataFrame — the shared candidate generator
+    for ``dedup_minhash`` and the clusters' minhash edge source. Pass a
+    MATERIALIZED sig or the signature pipeline runs once per join side.
+    """
+    bands = minhash_band_rows(sig)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

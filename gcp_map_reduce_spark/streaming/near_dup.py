@@ -1,0 +1,158 @@
+"""Streaming near-duplicate dedup: MinHash-LSH against a durable
+signature store.
+
+The ingest-time counterpart of the batch ``dedup_minhash`` operator (the
+reference has nothing comparable — its streaming story is whole-corpus
+recompute per upload): documents arrive as files; each micro-batch
+computes its docs' minhash signatures, band-joins them against the
+ACCEPTED-signature store accumulated so far (plus the batch itself), and
+emits only documents that are not near-duplicates of anything earlier.
+Accepted docs' signatures append to the store.
+
+State is the store itself — one k-long signature row per accepted doc,
+partitioned by the batch that accepted it. That is bounded by DISTINCT
+content (not stream length), lives in parquet (not executor memory, so
+restarts and scale-out are free), and the band join reads it with
+ordinary predicate pushdown. At 100 TB/day you compact the store
+periodically and partition it by band prefix so each micro-batch's join
+prunes to colliding buckets.
+
+Replay safety (foreachBatch is at-least-once): both the store and the
+output are written to ``batch_id=N`` subdirectories with overwrite — a
+replayed batch rewrites its own subdir instead of appending a second
+copy. Cross-batch matching excludes same-doc_id rows, so a replay that
+re-sees a doc whose signature already landed does not flag the doc as a
+duplicate of itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from gcp_map_reduce_spark.operators.dedup import (
+    NUM_HASHES,
+    minhash_band_rows,
+    minhash_signatures_for,
+    shingle_arrays_for,
+)
+
+NEAR_DUP_EST_JACCARD = 0.7  # same acceptance threshold as dedup_minhash
+
+
+def _est_jaccard(sig_a, sig_b):
+    agree = F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda eq: eq)
+    )
+    return agree / F.lit(float(NUM_HASHES))
+
+
+def run_streaming_near_dup_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    output_dir: str,
+    max_files_per_trigger: int | None = None,
+    fast_hash: bool = True,
+):
+    """Start the stream (availableNow trigger: drains pending files and
+    stops). ``output_dir`` accumulates accepted (doc_id) rows;
+    ``store_dir`` accumulates their signatures. Defaults to the xxhash64
+    family — there is no oracle in the loop, so the production hash is
+    the right default (``fast_hash=False`` matches batch
+    ``dedup_minhash`` signatures exactly for cross-checking)."""
+    schema = "doc_id bigint, text string"
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(docs_dir)
+
+    sig_schema = "doc_id bigint, sig array<bigint>"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        sigs = minhash_signatures_for(
+            shingle_arrays_for(batch_df.select("doc_id", "text")),
+            fast_hash=fast_hash,
+        ).localCheckpoint(eager=True)
+
+        try:
+            store = ss.read.schema(sig_schema).parquet(f"{store_dir}/*")
+            # a replayed batch must not match against its own prior write
+            store = store.withColumn(
+                "_bid",
+                F.regexp_extract(F.input_file_name(), r"batch_id=(\d+)", 1).cast(
+                    "long"
+                ),
+            ).filter(F.col("_bid") != batch_id).drop("_bid")
+        except AnalysisException:  # first batch: no store yet
+            store = ss.createDataFrame([], sig_schema)
+
+        batch_bands = minhash_band_rows(sigs)
+        store_bands = minhash_band_rows(store)
+
+        # vs earlier batches: any store doc (id-only band join, signatures
+        # re-join for the estimate)
+        vs_store = (
+            batch_bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+            .join(
+                store_bands.select(
+                    F.col("doc_id").alias("doc_a"), "band_id", "band_key"
+                ),
+                ["band_id", "band_key"],
+            )
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+            .join(
+                store.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+                "doc_a",
+            )
+            .join(
+                sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+                "doc_b",
+            )
+            .filter(_est_jaccard(F.col("sig_a"), F.col("sig_b")) >= NEAR_DUP_EST_JACCARD)
+            .select("doc_b")
+        )
+        # within the batch: keep the lower doc_id of each near-dup pair
+        a, b = batch_bands.alias("a"), batch_bands.alias("b")
+        within = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+            .join(
+                sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+                "doc_a",
+            )
+            .join(
+                sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+                "doc_b",
+            )
+            .filter(_est_jaccard(F.col("sig_a"), F.col("sig_b")) >= NEAR_DUP_EST_JACCARD)
+            .select("doc_b")
+        )
+        dups = vs_store.union(within).distinct()
+        accepted = sigs.join(dups, sigs.doc_id == dups.doc_b, "left_anti")
+
+        accepted.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
+        accepted.select("doc_id").write.mode("overwrite").parquet(
+            f"{output_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

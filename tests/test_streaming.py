@@ -259,6 +259,56 @@ def test_streaming_dedup_restart_resumes_from_checkpoint(spark, tmp_path):
     assert after == n_distinct, (after, n_distinct)
 
 
+def test_streaming_near_dup_dedup(spark, tmp_path):
+    from gcp_map_reduce_spark.streaming import run_streaming_near_dup_dedup
+    from gcp_map_reduce_spark.sources.tables import load_table
+
+    src = tmp_path / "docs_nd"
+    ckpt = tmp_path / "ckpt_nd"
+    store = tmp_path / "nd_store"
+    out = tmp_path / "nd_out"
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    pdf = docs.toPandas().sort_values("doc_id")
+    src.mkdir()
+    # batch 1: the corpus as-is
+    pdf.to_parquet(str(src / "a.parquet"), index=False)
+    q1 = run_streaming_near_dup_dedup(
+        spark, str(src), str(ckpt), str(store), str(out)
+    )
+    q1.awaitTermination(180)
+    first = {
+        r["doc_id"] for r in spark.read.parquet(str(out / "*")).collect()
+    }
+    assert first, "first batch should accept documents"
+
+    # batch 2 (restart from checkpoint): lightly-perturbed COPIES of
+    # accepted docs (append two words -> jaccard stays ~1) plus one
+    # genuinely novel document
+    dup = pdf[pdf["doc_id"].isin(sorted(first)[:20])].copy()
+    dup["doc_id"] = dup["doc_id"] + 700000
+    dup["text"] = dup["text"] + " trailing perturbation"
+    novel_id = 990001
+    novel = dup.iloc[:1].copy()
+    novel["doc_id"] = novel_id
+    novel["text"] = "completely novel zebra quantum discourse " * 30
+    import pandas as pd
+
+    pd.concat([dup, novel]).to_parquet(str(src / "b.parquet"), index=False)
+    q2 = run_streaming_near_dup_dedup(
+        spark, str(src), str(ckpt), str(store), str(out)
+    )
+    q2.awaitTermination(180)
+    after = {
+        r["doc_id"] for r in spark.read.parquet(str(out / "*")).collect()
+    }
+    new_ids = after - first
+    assert novel_id in new_ids, "novel content must be accepted"
+    # every perturbed copy must be suppressed as a near-dup of the store
+    assert not (new_ids & set(dup["doc_id"])), sorted(new_ids)[:5]
+
+
 def test_stream_stream_join_matches_batch_interval_join(spark, tmp_path):
     from gcp_map_reduce_spark.streaming import run_stream_stream_join
     from gcp_map_reduce_spark.sources.tables import load_table
