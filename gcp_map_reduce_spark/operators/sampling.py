@@ -19,13 +19,15 @@ dedup/quality filtering:
   (budget + one straggler doc) tokens max, the shape shard writers want.
 
 Scale notes: the mixture filter is a pure per-row predicate — no shuffle,
-no state, pushes through any plan. The sharding cumsum is a global
-ordered window (single-partition at the limit); at 100 TB you run it
-per-partition-group instead: range-partition by doc_id into O(cores)
-groups, cumsum within groups, then add the (tiny, broadcast) per-group
-offsets — same result, no single-task bottleneck. The registered query
-keeps the simple form; ``corpus_shards_scalable`` implements the
-two-level shape and a test asserts they agree.
+no state, pushes through any plan. A naive sharding cumsum would be a
+global ordered window (single-task sort at the limit); the REGISTERED
+``corpus_shards`` therefore uses the two-level form — range-group by
+doc_id, cumsum within groups (parallel windows), add tiny broadcast
+per-group offsets — which produces the identical packing with no
+single-task stage. ``corpus_shards_simple`` keeps the one-window form as
+the readable reference implementation; a test asserts they agree and the
+oracle (itself the simple form in SQL) checks the registered plan's
+values.
 """
 
 from __future__ import annotations
@@ -99,9 +101,7 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "corpus_shards",
-    oracle=f"""
+_SHARDS_ORACLE = f"""
 WITH mix AS (
   SELECT doc_id, lang, {_N_TOKENS_SQL} AS n_tokens
   FROM documents
@@ -117,13 +117,13 @@ SELECT CAST(floor(cum_before / {SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard_id,
   count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
   min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM packed GROUP BY 1
-""",
-)
-def corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-shard manifest: the mixture sample packed into consecutive
-    ~SHARD_TOKEN_BUDGET-token shards (cumsum in doc_id order), one row per
-    shard with its doc range and realized token count. See the module
-    docstring for the scale-out form of the cumsum."""
+"""
+
+
+def corpus_shards_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-window reference form of :func:`corpus_shards` (library only:
+    the global ordered window is a single-task sort at scale — the
+    registered query runs the two-level cumsum instead)."""
     mix = corpus_mixture(spark, sf_dir).select("doc_id", "lang", "n_tokens")
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     packed = mix.withColumn(
@@ -147,13 +147,19 @@ def corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_RANGE_GROUPS = 32  # scale-out cumsum: number of range groups
 
 
-def corpus_shards_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB form of ``corpus_shards``' cumulative sum: docs are
-    range-grouped by doc_id, token counts cumsum WITHIN each group (the
-    window is per-group, so it parallelizes), per-group totals (one row
-    per group) roll into broadcast offsets, and cum_before = group offset
-    + within-group cumsum. Identical output to the single-window form
-    (asserted in tests) with no single-task sort of the corpus.
+@query("corpus_shards", oracle=_SHARDS_ORACLE)
+def corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest: the mixture sample packed into consecutive
+    ~SHARD_TOKEN_BUDGET-token shards, one row per shard with its doc range
+    and realized token count.
+
+    The cumulative sum is the two-level scale form: docs range-grouped by
+    doc_id, token counts cumsum WITHIN each group (per-group windows —
+    parallel), per-group totals (one row per group) roll into broadcast
+    offsets, cum_before = group offset + within-group cumsum. Identical
+    output to the one-window reference form (``corpus_shards_simple``,
+    asserted in tests; the SQL oracle IS the one-window form) with no
+    single-task sort of the corpus.
 
     Group boundaries use doc_id ranges (id-hash ordering would break the
     ORDER BY doc_id semantics); with roughly uniform doc_ids the groups

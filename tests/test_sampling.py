@@ -83,11 +83,11 @@ def test_shards_respect_budget_and_cover_mixture(spark):
 def test_scalable_cumsum_matches_single_window(spark):
     from gcp_map_reduce_spark.operators.sampling import (
         corpus_shards,
-        corpus_shards_scalable,
+        corpus_shards_simple,
     )
 
-    simple = {tuple(r) for r in corpus_shards(spark, SF_ORACLE).collect()}
-    scalable = {
-        tuple(r) for r in corpus_shards_scalable(spark, SF_ORACLE).collect()
+    simple = {
+        tuple(r) for r in corpus_shards_simple(spark, SF_ORACLE).collect()
     }
-    assert scalable == simple
+    registered = {tuple(r) for r in corpus_shards(spark, SF_ORACLE).collect()}
+    assert registered == simple
