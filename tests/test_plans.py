@@ -84,6 +84,36 @@ def test_topk_uses_limit_not_global_sort_materialization(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+# Queries whose plans INTENTIONALLY contain a BroadcastNestedLoopJoin:
+# each broadcasts a side that is 1-10 rows BY CONSTRUCTION (a scalar
+# aggregate, a collected codebook, or the fixed query set), so the
+# "nested loop" is really a map-side constant lookup. Anything outside
+# this list growing a BNLJ (or any CartesianProduct anywhere) is an
+# accidental all-pairs plan and fails the sweep below.
+_INTENTIONAL_BNLJ = {
+    "corpus_shards",  # one-row max(doc_id) bound for range grouping
+    "kmeans_embeddings",  # one-row collected codebook per iteration
+    "semantic_search_docs",  # N_QUERIES(=10)-row broadcast query side
+    "similarity_ivf_ann",  # one-row collected IVF codebook
+    "text_tfidf",  # one-row corpus doc-count for the IDF term
+}
+
+
+def test_no_accidental_nested_loop_or_cartesian_anywhere(spark):
+    hits = {}
+    for name in sorted(registry.QUERIES):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        if "BroadcastNestedLoopJoin" in plan:
+            # intentional ones must actually broadcast (tiny side), not
+            # shuffle-replicate
+            assert "BroadcastExchange" in plan, name
+            hits[name] = True
+    assert set(hits) <= _INTENTIONAL_BNLJ, (
+        f"unexpected nested-loop joins: {sorted(set(hits) - _INTENTIONAL_BNLJ)}"
+    )
+
+
 def test_embedding_dedup_is_banded_not_allpairs(spark):
     # the registered near-dup plan must generate candidates via the band
     # equi-join (hash join) — an all-pairs non-equi self-join would show
