@@ -1,0 +1,89 @@
+"""Benchmark decontamination: flag training documents that share n-gram
+shingles with an evaluation set.
+
+The standard pre-training hygiene step (not in the reference): before
+training, any document overlapping the eval benchmarks must be dropped or
+the eval numbers are contaminated. Overlap = shared n-token shingles
+(n = DECONTAM_NGRAM; real pipelines use 8-13-grams — the synthetic corpus
+has short docs, so 5 keeps the check non-vacuous).
+
+The eval set here is a deterministic stand-in: ``doc_id % EVAL_MOD == 0``
+(a benchmark suite would arrive as its own table; the operator takes any
+(doc_id, text) DataFrame for that side).
+
+Scale shape: benchmark suites are TINY relative to a 100 TB training
+corpus, so the eval shingle set is broadcast and the train side never
+shuffles — each train partition checks membership locally; only the
+contaminated survivors (rare) reach the final per-doc aggregation. The
+whole operator adds one small broadcast and one skinny groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_map_reduce_spark.functions.text import WS_SPLIT, sql_normalize
+from gcp_map_reduce_spark.operators.dedup import shingle_arrays_for
+from gcp_map_reduce_spark.plans.registry import query
+from gcp_map_reduce_spark.sources.tables import load_table
+
+DECONTAM_NGRAM = 5
+EVAL_MOD = 50  # doc_id % EVAL_MOD == 0 -> eval-set stand-in
+
+
+def _sql_shingles(n: int, pred: str) -> str:
+    """DuckDB CTE body: DISTINCT (doc_id, sh) n-gram shingles of the
+    documents matching ``pred`` (twin of :func:`shingle_arrays_for`)."""
+    gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(n))
+    return f"""(
+  SELECT DISTINCT doc_id, {gram} AS sh
+  FROM (
+    SELECT doc_id, regexp_split_to_array({sql_normalize('text')}, '{WS_SPLIT}') AS w
+    FROM documents WHERE {pred}
+  ), UNNEST(range(1, len(w) - {n - 2})) AS t(i)
+  WHERE len(w) >= {n}
+)"""
+
+
+def doc_shingles_for(docs: DataFrame, n: int) -> DataFrame:
+    """DISTINCT (doc_id, sh) rows for an arbitrary (doc_id, text) frame."""
+    return shingle_arrays_for(docs, n).select(
+        "doc_id", F.explode("sh_arr").alias("sh")
+    )
+
+
+@query(
+    "corpus_decontamination",
+    oracle=f"""
+WITH train AS {_sql_shingles(DECONTAM_NGRAM, f"doc_id % {EVAL_MOD} <> 0")},
+eval_sh AS {_sql_shingles(DECONTAM_NGRAM, f"doc_id % {EVAL_MOD} = 0")}
+SELECT t.doc_id AS train_doc,
+  count(*) AS n_shared_shingles,
+  CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs,
+  min(e.doc_id) AS sample_eval_doc
+FROM train t JOIN eval_sh e ON t.sh = e.sh
+GROUP BY t.doc_id
+""",
+)
+def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per contaminated training doc: how many {DECONTAM_NGRAM}-gram
+    shingles it shares with the eval set, how many eval docs it touches,
+    and one offending eval doc id. Plan: eval shingles broadcast (tiny
+    side), train shingles stream through the hash join, groupBy only the
+    (rare) matching rows."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    train_sh = doc_shingles_for(docs.filter(~is_eval), DECONTAM_NGRAM)
+    eval_sh = doc_shingles_for(docs.filter(is_eval), DECONTAM_NGRAM).select(
+        F.col("doc_id").alias("eval_doc"), "sh"
+    )
+    return (
+        train_sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy(F.col("doc_id").alias("train_doc"))
+        .agg(
+            F.count("*").alias("n_shared_shingles"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+            F.min("eval_doc").alias("sample_eval_doc"),
+        )
+    )

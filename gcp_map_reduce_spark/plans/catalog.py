@@ -13,6 +13,7 @@ from gcp_map_reduce_spark.operators import (  # noqa: F401,I001
     udf_plugin,
     text_analysis,
     scale,
+    decontam,
     dedup,
     pipeline,
     sampling,
