@@ -47,8 +47,9 @@ HEADLINE = [
     # text analysis
     "text_profile",
     "text_tfidf",
-    # sampling / shard packing
+    # sampling / shard packing / decontamination
     "corpus_shards",
+    "corpus_decontamination",
     # python-boundary cost reference point (Arrow grouped-map)
     "udf_wordcount_grouped",
     # flagship composition: quality -> dedup -> near-dup -> token budget

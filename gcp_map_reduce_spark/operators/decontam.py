@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from gcp_map_reduce_spark.functions.text import WS_SPLIT, sql_normalize
 from gcp_map_reduce_spark.operators.dedup import shingle_arrays_for
+from gcp_map_reduce_spark.operators.scale import materialize
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
@@ -71,11 +72,18 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles it shares with the eval set, how many eval docs it touches,
     and one offending eval doc id. Plan: eval shingles broadcast (tiny
     side), train shingles stream through the hash join, groupBy only the
-    (rare) matching rows."""
+    (rare) matching rows. The gram build is linear per-row CPU with no
+    shuffle; at extreme scale you can additionally hash grams to longs
+    before the membership probe (identical matches when both sides share
+    the hash) to shrink the broadcast table."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # shingle the corpus ONCE (normalize + n-gram build is the dominant
+    # cost), then split the exploded rows by membership — materialized so
+    # the two consumers don't re-run the scan
+    sh = materialize(doc_shingles_for(docs, DECONTAM_NGRAM))
     is_eval = F.col("doc_id") % EVAL_MOD == 0
-    train_sh = doc_shingles_for(docs.filter(~is_eval), DECONTAM_NGRAM)
-    eval_sh = doc_shingles_for(docs.filter(is_eval), DECONTAM_NGRAM).select(
+    train_sh = sh.filter(~is_eval)
+    eval_sh = sh.filter(is_eval).select(
         F.col("doc_id").alias("eval_doc"), "sh"
     )
     return (
