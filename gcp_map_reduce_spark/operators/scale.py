@@ -156,3 +156,34 @@ def salted_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = tokenize(docs, text_col="text", out_col="word", keep_cols=[])
     return salted_groupby_count(toks, "word")
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet dataset into ~``target_file_bytes`` files;
+    returns the file count written.
+
+    The 100 TB operational chore the reference never faces (its whole
+    corpus is 1.28 MB): streaming sinks and fine-grained partitions leave
+    thousands of KB-sized files, and scan throughput collapses under
+    per-file open overhead. Sizing reads the ACTUAL on-disk bytes through
+    the Hadoop FileSystem API (works for any scheme Spark can read), then
+    one round-robin repartition spreads rows evenly across the target
+    file count.
+    """
+    import math
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = path.getFileSystem(conf)
+    total = fs.getContentSummary(path).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src_path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(dest_path)
+    return n_files

@@ -84,3 +84,26 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_compact_parquet_reduces_file_count_preserving_data(spark, tmp_path):
+    import glob
+
+    from gcp_map_reduce_spark.operators.scale import compact_parquet
+    from gcp_map_reduce_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    df = load_table(spark, SF_ORACLE, "orders")
+    # simulate a fragmented sink: 64 tiny files
+    df.repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+
+    n = compact_parquet(spark, src, dst, target_file_bytes=512 * 1024)
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(files) == n < 64
+    # data survives byte-for-byte (row multiset)
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    assert a == b
