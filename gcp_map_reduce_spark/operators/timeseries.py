@@ -1,0 +1,90 @@
+"""Time-series regularization: resample events onto a fixed grid and
+gap-fill — the feature-pipeline step between raw event logs and anything
+windowed/trained downstream.
+
+Not in the reference (strings only, no timestamps). ``events_resample_hourly``
+produces, per user, one row per hour from their first to their last active
+hour: observed hours carry the hourly aggregate, gap hours carry
+``n_events = 0`` and a carried-forward ``filled_value`` (last observed
+hourly total) — the standard forward-fill shape.
+
+Scale shape: the hourly pre-aggregation shrinks the data BEFORE the spine
+join (events -> user-hours), the spine generates from a 2-column span
+table (one row per user — ``sequence`` + ``explode`` is per-row, no
+shuffle), the join keys on (user_id, hour) and the fill is a per-user
+ordered window — all partitioned by user, no global ordering anywhere.
+Decimal-cast sums keep cross-engine float determinism (same scheme as
+``events_enriched_hourly``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_map_reduce_spark.plans.registry import query
+from gcp_map_reduce_spark.sources.tables import load_table
+
+
+@query(
+    "events_resample_hourly",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1),
+spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM span
+)
+SELECT s.user_id, s.hour,
+  COALESCE(h.n_events, 0) AS n_events,
+  h.total_value AS total_value,
+  last_value(h.total_value IGNORE NULLS) OVER (
+    PARTITION BY s.user_id ORDER BY s.hour
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+""",
+)
+def events_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly grid from first to last active hour: observed rows
+    keep their aggregate, gaps get n_events=0 and the forward-filled last
+    observed total (null until the first observation)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+    )
+    hourly = ev.groupBy("user_id", "hour").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            "total_value",
+            F.last("total_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )

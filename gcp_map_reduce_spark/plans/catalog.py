@@ -22,4 +22,5 @@ from gcp_map_reduce_spark.operators import (  # noqa: F401,I001
     multimodal,
     relational,
     relational_ext,
+    timeseries,
 )  # noqa: F401
