@@ -204,3 +204,68 @@ def corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+STRATA_K = 40  # exact per-language sample size
+SPLIT_BOUNDS = (80, 90)  # hash-percent bounds: train < 80 <= val < 90 <= test
+
+
+@query(
+    "corpus_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang, rk,
+  CASE WHEN split_bucket < {SPLIT_BOUNDS[0]} THEN 'train'
+       WHEN split_bucket < {SPLIT_BOUNDS[1]} THEN 'val'
+       ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+    CAST(row_number() OVER (
+      PARTITION BY lang
+      ORDER BY {sql_portable_hash64("'strat:' || CAST(doc_id AS VARCHAR)")}, doc_id
+    ) AS BIGINT) AS rk,
+    {sql_portable_hash64("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS split_bucket
+  FROM documents
+)
+WHERE rk <= {STRATA_K}
+""",
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY STRATA_K documents per language (vs the mixture's Bernoulli
+    rates): rank docs within each language by a salted content-independent
+    hash and keep the first K — a deterministic stratified sample that is
+    stable under repartitioning and reproducible cross-engine. Each kept
+    doc also gets its train/val/test assignment from an INDEPENDENTLY
+    salted hash (the two decisions must not correlate — same hash would
+    put every sampled doc in the same split region).
+
+    Plan: one shuffle on lang (bounded cardinality) for the ranking
+    window; K rows per group survive. At extreme per-group sizes swap
+    row_number for a two-phase top-k (per-partition heads, then merge).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    strat_h = portable_hash64(
+        F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))
+    )
+    split_bucket = (
+        portable_hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % 100
+    )
+    w = Window.partitionBy("lang").orderBy(strat_h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).cast("long").alias("rk"),
+            split_bucket.alias("split_bucket"),
+        )
+        .filter(F.col("rk") <= STRATA_K)
+        .select(
+            "doc_id",
+            "lang",
+            "rk",
+            F.when(F.col("split_bucket") < SPLIT_BOUNDS[0], "train")
+            .when(F.col("split_bucket") < SPLIT_BOUNDS[1], "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )

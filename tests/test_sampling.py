@@ -91,3 +91,28 @@ def test_scalable_cumsum_matches_single_window(spark):
     }
     registered = {tuple(r) for r in corpus_shards(spark, SF_ORACLE).collect()}
     assert registered == simple
+
+
+def test_stratified_sample_exact_k_and_split_independence(spark):
+    from gcp_map_reduce_spark.operators.sampling import (
+        STRATA_K,
+        corpus_stratified_sample,
+    )
+
+    rows = corpus_stratified_sample(spark, SF_ORACLE).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    # exactly K per language (every language has > K docs in the fixture)
+    assert all(len(v) == STRATA_K for v in by_lang.values()), {
+        k: len(v) for k, v in by_lang.items()
+    }
+    # all three splits appear — the independently-salted split hash must
+    # not collapse the sample into one region
+    splits = {r["split"] for r in rows}
+    assert splits == {"train", "val", "test"}, splits
+    # deterministic across invocations
+    again = corpus_stratified_sample(spark, SF_ORACLE).collect()
+    assert {(r["doc_id"], r["split"]) for r in rows} == {
+        (r["doc_id"], r["split"]) for r in again
+    }
