@@ -168,3 +168,30 @@ def test_approx_percentiles_close_to_exact(spark):
             # GK sketch at accuracy 1e4 over ~3k rows/group: near-exact;
             # allow 1% relative slack
             assert abs(a - e) <= 0.01 * abs(e), (k, e, a)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_TRICKY, min_size=1, max_size=30))
+def test_portable_hash64_spark_duckdb_agree(spark, samples):
+    """portable_hash64 is the base of every sketch oracle (minhash,
+    simhash, sampling gates): the Spark expression and the DuckDB twin
+    must agree on arbitrary strings or every hash-matched sketch row is
+    coincidence."""
+    from gcp_map_reduce_spark.operators.dedup import (
+        portable_hash64,
+        sql_portable_hash64,
+    )
+
+    pdf = pd.DataFrame({"s": samples})
+    sdf = spark.createDataFrame(pdf)
+    got = [
+        r["h"]
+        for r in sdf.select(portable_hash64(F.col("s")).alias("h"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = [r[0] for r in con.execute(
+        f"SELECT {sql_portable_hash64('s')} FROM t"
+    ).fetchall()]
+    assert got == want
