@@ -246,6 +246,40 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NUM_HASHES = 32  # signature length k
 BANDS = 8  # b bands of r = k/b rows; P(collide) = 1-(1-j^r)^b
+ROLL_C = 1_000_003  # rolling-combine multiplier for gram hashes
+
+
+def gram_hash_arrays_for(
+    docs: DataFrame, n: int = 3, fast_hash: bool = False
+) -> DataFrame:
+    """(doc_id, gh_arr: array<bigint>) — DISTINCT rolling hashes of each
+    doc's n-token shingles, built WITHOUT materializing gram strings:
+    hash each TOKEN once (md5 portable / xxhash64 fast), then combine
+    with the exact integer polynomial ``((h1*C + h2) % P) * C + h3) % P``
+    via the same shifted zip_with chain as the string shingles. Skips
+    both the per-gram string concat and the per-gram md5 of a ~25-byte
+    string — the signature pipeline's two biggest CPU items. All
+    operands stay under 2^52 (h < 2^31, C < 2^20), so the arithmetic is
+    exact in both Spark longs and DuckDB BIGINTs and the oracle
+    reproduces identical gram hashes (null padding past the shorter
+    slice propagates through the arithmetic and is filtered, same as
+    the string form)."""
+    w = F.filter(
+        F.split(normalize_text(F.col("text")), WS_SPLIT), lambda t: t != ""
+    )
+    if fast_hash:
+        base = lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31))  # noqa: E731
+    else:
+        base = lambda s: portable_hash64(s) % MERSENNE31  # noqa: E731
+    th = F.transform(w, base)
+    g = th
+    for j in range(1, n):
+        shifted = F.slice(th, j + 1, F.greatest(F.size(th) - j, F.lit(0)))
+        g = F.zip_with(
+            g, shifted, lambda a, b: (a * ROLL_C + b) % MERSENNE31
+        )
+    gh_arr = F.array_distinct(F.filter(g, lambda x: x.isNotNull()))
+    return docs.select("doc_id", gh_arr.alias("gh_arr"))
 
 # Fixed affine hash family over the Mersenne prime: h_i(x) = (A_i*x + B_i)
 # mod P. Literal coefficients are embedded in BOTH the Spark expressions
@@ -255,17 +289,11 @@ MINHASH_A = [int(v) for v in _rng.randint(1, MERSENNE31, NUM_HASHES, dtype=np.in
 MINHASH_B = [int(v) for v in _rng.randint(0, MERSENNE31, NUM_HASHES, dtype=np.int64)]
 
 
-def minhash_signatures_for(
-    arrs: DataFrame, fast_hash: bool = False
-) -> DataFrame:
-    """Signatures for an arbitrary (doc_id, sh_arr) DataFrame — the
-    DF-level core of :func:`minhash_signatures` (streaming micro-batches
-    use this directly)."""
-    if fast_hash:
-        base = lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31))  # noqa: E731
-    else:
-        base = lambda s: portable_hash64(s) % MERSENNE31  # noqa: E731
-    h_arr = F.transform(F.col("sh_arr"), base)
+def minhash_signatures_for(gh: DataFrame) -> DataFrame:
+    """Signatures for a (doc_id, gh_arr) gram-hash DataFrame (see
+    :func:`gram_hash_arrays_for`) — the DF-level core of
+    :func:`minhash_signatures` (streaming micro-batches use this
+    directly)."""
     # single-traversal fold: one pass over the hash array updating all k
     # mins via zip_with/least — ~15% faster than k separate
     # array_min(transform(...)) passes (same arithmetic, 1/k the
@@ -275,14 +303,12 @@ def minhash_signatures_for(
         *[(F.lit(a) * h + F.lit(b)) % MERSENNE31 for a, b in zip(MINHASH_A, MINHASH_B)]
     )
     sig = F.aggregate(
-        F.col("h_arr"),
+        F.col("gh_arr"),
         init,
         lambda acc, h: F.zip_with(acc, remaps(h), lambda x, y: F.least(x, y)),
     )
     return (
-        arrs.select("doc_id", h_arr.alias("h_arr"))
-        .filter(F.size("h_arr") > 0)
-        .select("doc_id", sig.alias("sig"))
+        gh.filter(F.size("gh_arr") > 0).select("doc_id", sig.alias("sig"))
     )
 
 
@@ -291,16 +317,15 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>[k]) — k independent min-hashes per doc.
 
-    ZERO-shuffle: each document is already one row holding its distinct
-    shingle array, so the base hash is one ``transform`` (md5 computed
-    once per shingle) and each family member is ``array_min`` over an
-    affine re-map of that hash array — all JVM-side higher-order
-    functions on the scan's own partitions. No explode, no groupBy: at
-    100 TB the signature stage adds no Exchange at all, where a
-    (doc_id, shingle)-exploded groupBy formulation would shuffle k longs
-    per doc. Empty shingle arrays (docs shorter than n tokens) yield
-    null mins and are dropped, matching the exploded/grouped semantics.
-    (A_i*h + B_i stays under 2^62: both operands < 2^31.)
+    ZERO-shuffle: each document is one row holding its distinct gram-hash
+    array (rolling token-hash combine — no gram strings, see
+    :func:`gram_hash_arrays_for`), and the k mins fold over it in one
+    array pass — all JVM-side higher-order functions on the scan's own
+    partitions. No explode, no groupBy: at 100 TB the signature stage
+    adds no Exchange at all, where a (doc_id, shingle)-exploded groupBy
+    formulation would shuffle k longs per doc. Empty gram arrays (docs
+    shorter than n tokens) are dropped, matching the exploded/grouped
+    semantics. (A_i*h + B_i stays under 2^62: both operands < 2^31.)
 
     ``fast_hash=True`` swaps the portable md5 base hash for Spark's
     xxhash64 — ~30% faster signatures, same statistical quality, but NOT
@@ -309,19 +334,24 @@ def minhash_signatures(
     value-hash-checked by the oracle. Candidate sets agree for true
     near-dups either way (asserted in tests).
     """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = ensure_parallelism(docs, spark.sparkContext.defaultParallelism)
     return minhash_signatures_for(
-        doc_shingle_arrays(spark, sf_dir, n=3), fast_hash=fast_hash
+        gram_hash_arrays_for(docs, n=3, fast_hash=fast_hash)
     )
 
 
 def _minhash_oracle() -> str:
-    """Full SQL replica: signatures, band-collision candidates, estimated
-    Jaccard. All-pairs form (fine at oracle scale; the Spark plan is the
-    banded join)."""
+    """Full SQL replica: token hashes, rolling gram hashes, signatures,
+    band-collision candidates, estimated Jaccard — identical integer
+    arithmetic in identical order, so DuckDB recomputes the exact
+    signatures. All-pairs form (fine at oracle scale; the Spark plan is
+    the banded join)."""
     p = MERSENNE31
+    c = ROLL_C
     r = NUM_HASHES // BANDS
     mins = ",\n    ".join(
-        f"min(({a} * h + {b}) % {p}) AS s{i}"
+        f"min(({a} * gh + {b}) % {p}) AS s{i}"
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     )
     band_pred = " OR ".join(
@@ -336,14 +366,26 @@ def _minhash_oracle() -> str:
         f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
     )
     return f"""
-WITH {_SHINGLES_SQL},
-hs AS (
-  SELECT doc_id, {sql_portable_hash64('sh')} % {p} AS h FROM shingles
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array({sql_normalize('text')}, '{WS_SPLIT}'),
+                t -> t <> '') AS w
+  FROM documents
+),
+th AS (
+  SELECT doc_id, list_transform(w, t -> {sql_portable_hash64('t')} % {p}) AS h
+  FROM toks
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+    ((((h[i] * {c} + h[i+1]) % {p}) * {c} + h[i+2]) % {p}) AS gh
+  FROM th, UNNEST(range(1, len(h) - 1)) AS t(i)
+  WHERE len(h) >= 3
 ),
 sig AS (
   SELECT doc_id,
     {mins}
-  FROM hs GROUP BY doc_id
+  FROM grams GROUP BY doc_id
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
   ({agree}) / {float(NUM_HASHES)} AS est_jaccard

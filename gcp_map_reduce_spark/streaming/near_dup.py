@@ -33,9 +33,9 @@ from pyspark.sql.utils import AnalysisException
 
 from gcp_map_reduce_spark.operators.dedup import (
     NUM_HASHES,
+    gram_hash_arrays_for,
     minhash_band_rows,
     minhash_signatures_for,
-    shingle_arrays_for,
 )
 
 NEAR_DUP_EST_JACCARD = 0.7  # same acceptance threshold as dedup_minhash
@@ -74,8 +74,9 @@ def run_streaming_near_dup_dedup(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         ss = batch_df.sparkSession
         sigs = minhash_signatures_for(
-            shingle_arrays_for(batch_df.select("doc_id", "text")),
-            fast_hash=fast_hash,
+            gram_hash_arrays_for(
+                batch_df.select("doc_id", "text"), fast_hash=fast_hash
+            )
         ).localCheckpoint(eager=True)
 
         try:
