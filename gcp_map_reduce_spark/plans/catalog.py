@@ -22,5 +22,6 @@ from gcp_map_reduce_spark.operators import (  # noqa: F401,I001
     multimodal,
     relational,
     relational_ext,
+    relational_subq,
     timeseries,
 )  # noqa: F401
