@@ -1,0 +1,266 @@
+"""Curation-rule operators: PII redaction and repetition-based quality
+gates (the Gopher/C4 rule family) over the documents corpus.
+
+These complete the text-curation surface (SURVEY.md LLM-pipeline families)
+alongside text_analysis.py's profiling pass:
+
+- ``pii_scrub`` — regex redaction of emails / phone numbers / IPv4
+  addresses, with per-type match counts. The synthetic corpus contains no
+  PII (word-only text), so the operator first injects deterministic
+  pseudo-PII derived from ``doc_id`` — identically in Spark and the DuckDB
+  oracle — then redacts it; the value check covers the injected+scrubbed
+  text hash AND the counts, so the redaction regexes are verified
+  end-to-end, not vacuously green on an already-clean corpus.
+- ``quality_rules`` — per-document repetition metrics in the style of the
+  Gopher rules (Rae et al. 2021) / C4 heuristics: token count, distinct
+  ratio, most-frequent-token fraction, most-frequent-bigram fraction,
+  longest identical-token run, and the resulting keep/drop gate.
+
+Both are single-scan, shuffle-free, fully JVM-side (regexp + higher-order
+array functions — no Python UDFs): per-row expressions pipeline inside one
+codegen stage and scale linearly to 100 TB. The per-doc frequency fold is
+O(distinct x tokens) per row — bounded by document length, embarrassingly
+parallel, and shuffle-free, which beats an explode+groupBy+join-back
+(two shuffles of the exploded corpus) for bounded-length documents; for
+million-token documents flip to the explode plan.
+
+Regex portability: patterns are restricted to the Java/RE2 common subset
+(no lookarounds, no backreferences; explicit character classes). DuckDB's
+``regexp_replace`` needs the ``'g'`` flag to match Spark's replace-all
+semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_map_reduce_spark.functions.text import WS_SPLIT
+from gcp_map_reduce_spark.plans.registry import query
+from gcp_map_reduce_spark.sources.tables import load_table
+
+# Java/RE2-common-subset PII patterns.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+1-555-[0-9]{4}"
+IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+# Gopher-style gate thresholds, centered on the synthetic corpus medians
+# (n 10-99 med 56; distinct_ratio med 0.46; top_token_frac med 0.09) so
+# the gate genuinely splits the corpus instead of passing everything.
+MIN_TOKENS = 30
+MIN_DISTINCT_RATIO = 0.4
+MAX_TOP_TOKEN_FRAC = 0.12
+MAX_RUN = 2
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+WITH salted AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com call +1-555-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+      AS salted
+  FROM documents),
+scrubbed AS (
+  SELECT doc_id,
+    len(regexp_extract_all(salted, '{EMAIL_RE}')) AS n_emails,
+    len(regexp_extract_all(salted, '{PHONE_RE}')) AS n_phones,
+    len(regexp_extract_all(salted, '{IPV4_RE}')) AS n_ips,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(salted, '{EMAIL_RE}', '<EMAIL>', 'g'),
+        '{PHONE_RE}', '<PHONE>', 'g'),
+      '{IPV4_RE}', '<IP>', 'g') AS clean
+  FROM salted)
+SELECT doc_id, n_emails, n_phones, n_ips,
+  length(clean) AS clean_len, md5(clean) AS clean_hash
+FROM scrubbed
+""",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: count and replace emails, phone numbers, and
+    IPv4 addresses with typed placeholders. Deterministic pseudo-PII is
+    injected from ``doc_id`` first (the synthetic corpus is word-only) so
+    the redaction machinery is value-checked end-to-end — the oracle
+    recomputes the identical injection, counts, and scrubbed-text hash.
+
+    Plan: one documents scan, one codegen stage, zero shuffles; regex
+    evaluation is JVM-side and linear in text length."""
+    doc = load_table(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(salted, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IPV4_RE,
+        "<IP>",
+    )
+    return doc.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(salted, F.lit(EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(salted, F.lit(PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.size(F.regexp_extract_all(salted, F.lit(IPV4_RE), F.lit(0))).alias("n_ips"),
+        F.length(clean).alias("clean_len"),
+        F.md5(clean).alias("clean_hash"),
+    )
+
+
+def _max_run(tokens: Column) -> Column:
+    """Longest run of consecutive identical tokens, as a single fold."""
+    return F.aggregate(
+        tokens,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc.prev, acc.run + F.lit(1)).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(t == acc.prev, acc.run + F.lit(1)).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+
+
+@query(
+    "quality_rules",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+    regexp_split_to_array(lower(text), '{WS_SPLIT}') AS t
+  FROM documents),
+m AS (
+  SELECT doc_id, t, len(t) AS n_tokens,
+    len(list_distinct(t)) AS n_distinct,
+    list_max(list_transform(list_distinct(t),
+      u -> len(list_filter(t, x -> x = u)))) AS top_cnt,
+    CASE WHEN len(t) >= 2 THEN
+      list_transform(range(2, len(t) + 1), i -> t[i-1] || ' ' || t[i])
+    ELSE [] END AS bigrams
+  FROM toks),
+runs AS (
+  SELECT doc_id, max(run_len) AS max_run
+  FROM (
+    SELECT doc_id, count(*) AS run_len
+    FROM (
+      SELECT doc_id, u.tok,
+        u.i - row_number() OVER (PARTITION BY doc_id, u.tok ORDER BY u.i)
+          AS grp
+      FROM (
+        SELECT doc_id,
+          unnest(list_transform(range(1, len(t) + 1),
+            i -> {{'i': i, 'tok': t[i]}})) AS u
+        FROM toks) flat)
+    GROUP BY doc_id, tok, grp)
+  GROUP BY doc_id),
+big AS (
+  SELECT doc_id,
+    coalesce(list_max(list_transform(list_distinct(bigrams),
+      u -> len(list_filter(bigrams, x -> x = u)))), 0) AS top_bigram_cnt
+  FROM m)
+SELECT m.doc_id, n_tokens, n_distinct,
+  n_distinct * 1.0 / n_tokens AS distinct_ratio,
+  top_cnt * 1.0 / n_tokens AS top_token_frac,
+  CASE WHEN n_tokens >= 2
+    THEN top_bigram_cnt * 1.0 / (n_tokens - 1) ELSE 0.0 END
+    AS top_bigram_frac,
+  max_run,
+  CAST(n_tokens >= {MIN_TOKENS}
+    AND n_distinct * 1.0 / n_tokens >= {MIN_DISTINCT_RATIO}
+    AND top_cnt * 1.0 / n_tokens <= {MAX_TOP_TOKEN_FRAC}
+    AND max_run <= {MAX_RUN} AS INT) AS keep
+FROM m JOIN runs ON m.doc_id = runs.doc_id
+  JOIN big ON m.doc_id = big.doc_id
+""",
+)
+def quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality gate, per document: token count,
+    distinct-token ratio, most-frequent-token fraction, most-frequent-
+    bigram fraction, longest identical-token run, and the combined
+    keep/drop decision. All ratios are single double divisions of exact
+    integer counts, so values are bit-identical across engines.
+
+    Plan: one documents scan, zero shuffles — every metric is a per-row
+    higher-order array expression (the frequency maxima are
+    O(distinct x tokens) folds; see module docstring for the trade-off vs
+    explode+groupBy). The DuckDB oracle computes max_run relationally via
+    gaps-and-islands over an unnested (i, token) list — deliberately a
+    DIFFERENT algorithm than the Spark fold, which makes the cross-check
+    stronger."""
+    doc = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.lower(F.col("text")), WS_SPLIT)
+    d = doc.select("doc_id", tokens.alias("t"))
+    distinct = F.array_distinct(F.col("t"))
+    top_cnt = F.array_max(
+        F.transform(
+            distinct, lambda u: F.size(F.filter(F.col("t"), lambda x: x == u))
+        )
+    )
+    n = F.size(F.col("t"))
+    bigrams = F.when(
+        n >= 2,
+        F.expr(
+            "transform(sequence(2, size(t)), i ->"
+            " concat(element_at(t, i-1), ' ', element_at(t, i)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.select(
+        "doc_id",
+        "t",
+        n.alias("n_tokens"),
+        F.size(distinct).alias("n_distinct"),
+        top_cnt.alias("top_cnt"),
+        bigrams.alias("bigrams"),
+        _max_run(F.col("t")).alias("max_run"),
+    )
+    top_bigram_cnt = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(F.col("bigrams")),
+                lambda u: F.size(F.filter(F.col("bigrams"), lambda x: x == u)),
+            )
+        ),
+        F.lit(0),
+    )
+    distinct_ratio = F.col("n_distinct") * F.lit(1.0) / F.col("n_tokens")
+    top_token_frac = F.col("top_cnt") * F.lit(1.0) / F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        distinct_ratio.alias("distinct_ratio"),
+        top_token_frac.alias("top_token_frac"),
+        F.when(
+            F.col("n_tokens") >= 2,
+            top_bigram_cnt * F.lit(1.0) / (F.col("n_tokens") - F.lit(1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        "max_run",
+        (
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (distinct_ratio >= MIN_DISTINCT_RATIO)
+            & (top_token_frac <= MAX_TOP_TOKEN_FRAC)
+            & (F.col("max_run") <= MAX_RUN)
+        )
+        .cast("int")
+        .alias("keep"),
+    )

@@ -12,6 +12,7 @@ from gcp_map_reduce_spark.operators import (  # noqa: F401,I001
     wordcount,
     udf_plugin,
     text_analysis,
+    curation_rules,
     scale,
     decontam,
     dedup,
