@@ -93,6 +93,7 @@ def test_topk_uses_limit_not_global_sort_materialization(spark):
 _INTENTIONAL_BNLJ = {
     "corpus_shards",  # one-row max(doc_id) bound for range grouping
     "kmeans_embeddings",  # one-row collected codebook per iteration
+    "q22_inactive_customers",  # one-row scalar AVG threshold broadcast
     "semantic_search_docs",  # N_QUERIES(=10)-row broadcast query side
     "similarity_ivf_ann",  # one-row collected IVF codebook
     "text_tfidf",  # one-row corpus doc-count for the IDF term
@@ -121,3 +122,28 @@ def test_embedding_dedup_is_banded_not_allpairs(spark):
     plan = _plan(spark, "dedup_embedding_cosine")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+def test_q21_semi_anti_and_topk(spark):
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_disjunctive_partial_pushdown(spark):
+    # Catalyst must extract the per-side partial disjunctions and push
+    # them below the join: the lineitem scan gets the quantity-range OR,
+    # the part scan gets the brand/size OR.
+    plan = _plan(spark, "q19_disjunctive")
+    pushed = [
+        seg.split("\n")[0] for seg in plan.split("PushedFilters: ")[1:]
+    ]
+    assert any("l_quantity" in p for p in pushed), pushed
+    assert any("p_brand" in p for p in pushed), pushed
+
+
+def test_q4_exists_becomes_semi_join(spark):
+    plan = _plan(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+    # date range reaches the orders scan
+    pushed = plan.split("PushedFilters: ")[1].split("\n")[0]
+    assert "o_orderdate" in pushed or "o_orderdate" in plan.split("PushedFilters: ")[2].split("\n")[0]
