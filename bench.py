@@ -28,6 +28,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "join_outer_broadcast",
+    # subquery shapes (EXISTS+NOT EXISTS self-joins; scalar subquery)
+    "q21_waiting_suppliers",
     # windows (rank; lag/frames/distribution; funnel+sessionize)
     "window_rank_orders",
     "window_suite",
@@ -47,6 +49,7 @@ HEADLINE = [
     # text analysis
     "text_profile",
     "text_tfidf",
+    "quality_rules",
     # sampling / shard packing / decontamination
     "corpus_shards",
     "corpus_decontamination",
