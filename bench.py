@@ -106,16 +106,25 @@ def main() -> None:
             print(f"warm-up failed for {name}: {exc!r}", file=sys.stderr)
 
     # best-of-3: single-shot timings on a shared box swing 2-4x from GC
-    # and JIT pauses; the minimum is the stable steady-state number
+    # and JIT pauses; the minimum is the stable steady-state number.
+    # Fault-isolated per query: one broken plan must NOT zero the whole
+    # round's perf evidence (round-4 postmortem) — record {"err": ...} for
+    # it and keep timing the rest.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         q = plan(name)
         best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            q(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:
+            errors[name] = repr(exc)[:500]
+            print(f"timed run failed for {name}: {exc!r}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
@@ -126,6 +135,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": sf,
             }
         )

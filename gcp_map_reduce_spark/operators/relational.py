@@ -551,7 +551,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     in its single-pass fold.)"""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.floor(F.col("ts").cast("double"))
+    # NTZ-safe epoch seconds (matches DuckDB floor(epoch(ts)) for
+    # non-negative epochs); bare ts.cast("double") fails analysis when the
+    # source delivers TIMESTAMP_NTZ
+    epoch = F.col("ts").cast("timestamp").cast("long")
     new_session = F.when(
         (epoch - F.lag(epoch).over(w) > 1800) | F.lag("ts").over(w).isNull(), 1
     ).otherwise(0)
@@ -649,7 +652,8 @@ def user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # session fold: carry (prev epoch-second, session count)
     def sess_step(acc, x):
-        sec = F.floor(x["ts"].cast("double")).cast("long")
+        # NTZ-safe epoch seconds (see sessionize_events)
+        sec = x["ts"].cast("timestamp").cast("long")
         is_new = acc["prev"].isNull() | (sec - acc["prev"] > 1800)
         return F.struct(
             sec.alias("prev"),

@@ -77,9 +77,11 @@ def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(click_id, ignorenulls=True).over(w).alias("last_click_id"),
         F.last(click_ts, ignorenulls=True).over(w).alias("last_click_ts"),
     )
+    # NTZ-safe epoch seconds; bare ts.cast("double") fails analysis when
+    # the source delivers TIMESTAMP_NTZ
     gap = (
-        F.floor(F.col("ts").cast("double"))
-        - F.floor(F.col("last_click_ts").cast("double"))
+        F.col("ts").cast("timestamp").cast("long")
+        - F.col("last_click_ts").cast("timestamp").cast("long")
     ).cast("bigint")
     return tagged.filter(F.col("event_type") == "purchase").select(
         "user_id",
