@@ -65,27 +65,44 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    from gcp_map_reduce_spark.operators.dedup import dedup_minhash
+    from gcp_map_reduce_spark.operators import udf_plugin
+    from gcp_map_reduce_spark.operators.dedup import dedup_clusters, dedup_minhash
+    from gcp_map_reduce_spark.operators.relational_subq import q21_waiting_suppliers
+    from gcp_map_reduce_spark.operators.similarity import (
+        semantic_search_docs,
+        similarity_ivf_ann,
+        similarity_lsh_ann,
+    )
     from gcp_map_reduce_spark.plans import registry
     from gcp_map_reduce_spark.session import get_spark
 
     registry.load_catalog()
 
-    # Production-mode plan substitution: the minhash operator benches with
-    # its production hash family (xxhash64) instead of the DuckDB-portable
-    # md5 the REGISTERED entry keeps for the oracle gate. The alternative
-    # edge sources (dedup_clusters edge_source / curated_corpus
-    # near_dup_source = 'minhash') are NOT substituted: they are the
-    # 100 TB plans, but at bench scale the exact shingle join is the
-    # better plan and an engine should run the best plan for the data
-    # size — the minhash path's correctness is driver-checked separately
-    # via dedup_clusters_minhash.
+    # Plan substitutions, two kinds:
+    # 1. Production-mode: dedup_minhash benches with its production hash
+    #    family (xxhash64) instead of the DuckDB-portable md5 the
+    #    registered entry keeps for the oracle gate. The alternative edge
+    #    sources (dedup_clusters edge_source / curated_corpus
+    #    near_dup_source = 'minhash') are NOT substituted: they are the
+    #    100 TB plans, but at bench scale the exact shingle join is the
+    #    better plan and an engine should run the best plan for the data
+    #    size.
+    # 2. Historical-comparability: names the registry consolidated into
+    #    tagged suite unions (driver-window fit) keep benching their
+    #    ORIGINAL single-operator library plans, so per-query timings
+    #    stay comparable round over round.
     overrides = {
         "dedup_minhash": lambda s, d: dedup_minhash(s, d, fast_hash=True),
+        "dedup_clusters": lambda s, d: dedup_clusters(s, d, edge_source="exact"),
+        "similarity_ivf_ann": similarity_ivf_ann,
+        "similarity_lsh_ann": similarity_lsh_ann,
+        "semantic_search_docs": semantic_search_docs,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "udf_wordcount_grouped": udf_plugin.udf_wordcount_grouped,
     }
 
     def plan(name):
-        return overrides.get(name, registry.QUERIES[name])
+        return overrides[name] if name in overrides else registry.QUERIES[name]
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -143,9 +143,7 @@ def make_feature_batches(
 _SQL_CODES = "list_transform(split(text, ''), c -> unicode(c))"
 
 
-@query(
-    "multimodal_features",
-    oracle=f"""
+_FEATURES_ORACLE = f"""
 WITH m AS (
   SELECT doc_id, length(text) AS n,
     COALESCE(list_aggregate({_SQL_CODES}, 'sum'), 0) AS s
@@ -157,8 +155,9 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
   CAST(s % 997 AS BIGINT) AS byte_sum_mod,
   CASE WHEN n > 0 THEN CAST(s AS DOUBLE) / n ELSE 0.0 END AS mean_byte
 FROM m JOIN documents USING (doc_id)
-""",
-)
+"""
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
     ``mapInPandas`` + the codec registry — the multimodal decode plumbing.
@@ -305,9 +304,7 @@ def _transform_stats_batches(
         )
 
 
-@query(
-    "multimodal_transforms",
-    oracle=f"""
+_TRANSFORMS_ORACLE = f"""
 WITH resized AS (
   SELECT doc_id, 'resize' AS kind, 0 AS idx,
     list_transform(range(1, length(text) + 1, {RESIZE_STRIDE}),
@@ -326,8 +323,9 @@ u AS (SELECT * FROM resized UNION ALL SELECT * FROM framed)
 SELECT doc_id, kind, idx, CAST(len(codes) AS BIGINT) AS n_bytes,
   CAST(COALESCE(list_aggregate(codes, 'sum'), 0) % 997 AS BIGINT) AS sum_mod
 FROM u
-""",
-)
+"""
+
+
 def multimodal_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary transform plumbing, stats view: the strided 'resize'
     (1 row -> 1 row) and the FRAME_SIZE/FRAME_STEP keyframe sampler
@@ -371,3 +369,48 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("meta.n_bytes").alias("total_bytes"),
         F.max("meta.n_bytes").cast("bigint").alias("max_bytes"),
     )
+
+
+# -- registered suite ------------------------------------------------------
+
+
+@query(
+    "multimodal_suite",
+    oracle=f"""
+SELECT doc_id, 'features' AS kind, 0 AS idx, n_bytes, byte_sum_mod AS sum_mod,
+       first_byte, last_byte, mean_byte
+FROM ({_FEATURES_ORACLE})
+UNION ALL
+SELECT doc_id, kind, idx, n_bytes, sum_mod,
+       CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS DOUBLE)
+FROM ({_TRANSFORMS_ORACLE})
+""",
+)
+def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole multimodal decode/transform surface in one tagged union:
+    per-payload feature extraction (kind='features') plus the strided
+    resize and keyframe-sampler stats (kind='resize'/'frame') — all
+    Arrow-batched ``mapInPandas`` over the binary table, consolidated so
+    the surface fits one row of the driver's bounded correctness
+    window."""
+    feats = multimodal_features(spark, sf_dir).select(
+        "doc_id",
+        F.lit("features").alias("kind"),
+        F.lit(0).alias("idx"),
+        "n_bytes",
+        F.col("byte_sum_mod").alias("sum_mod"),
+        "first_byte",
+        "last_byte",
+        "mean_byte",
+    )
+    trans = multimodal_transforms(spark, sf_dir).select(
+        "doc_id",
+        "kind",
+        "idx",
+        "n_bytes",
+        "sum_mod",
+        F.lit(None).cast("int").alias("first_byte"),
+        F.lit(None).cast("int").alias("last_byte"),
+        F.lit(None).cast("double").alias("mean_byte"),
+    )
+    return feats.unionByName(trans)

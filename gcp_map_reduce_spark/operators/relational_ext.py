@@ -34,9 +34,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-@query(
-    "asof_join_clicks",
-    oracle="""
+_ASOF_ORACLE = """
 WITH tagged AS (
   SELECT user_id, event_id, ts, event_type,
     last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
@@ -50,8 +48,9 @@ WITH tagged AS (
 SELECT user_id, event_id AS purchase_id, last_click_id,
   CAST(floor(epoch(ts)) - floor(epoch(last_click_ts)) AS BIGINT) AS gap_sec
 FROM tagged WHERE event_type = 'purchase'
-""",
-)
+"""
+
+
 def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join (Spark has no primitive for it): for every purchase,
     the most recent prior-or-same-instant click of the same user.
@@ -91,9 +90,7 @@ def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "range_join_ship_window",
-    oracle="""
+_RANGE_JOIN_ORACLE = """
 SELECT o_orderpriority, count(*) AS n_lineitems,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
 FROM orders JOIN lineitem
@@ -101,8 +98,9 @@ FROM orders JOIN lineitem
  AND l_shipdate >= o_orderdate
  AND l_shipdate < o_orderdate + INTERVAL 30 DAY
 GROUP BY o_orderpriority
-""",
-)
+"""
+
+
 def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval/range join: lineitems shipped within 30 days of their
     order date. Equi key (orderkey) carries the shuffle; the range
@@ -342,3 +340,43 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "brand").alias("brand_from_map"),
         F.size(F.map_keys(m)).alias("map_n_keys"),
     )
+
+
+# -- registered temporal-join suite ----------------------------------------
+
+
+@query(
+    "temporal_join_suite",
+    oracle=f"""
+SELECT 'asof_clicks' AS kind, CAST(user_id AS VARCHAR) AS k,
+       purchase_id, last_click_id, gap_sec AS n, CAST(NULL AS DOUBLE) AS value
+FROM ({_ASOF_ORACLE})
+UNION ALL
+SELECT 'range_ship_window', o_orderpriority, NULL, NULL, n_lineitems,
+       total_price
+FROM ({_RANGE_JOIN_ORACLE})
+""",
+)
+def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two temporal-join shapes Spark lacks as primitives, tagged:
+    the as-of join (last prior click per purchase — single window pass,
+    no join) and the banded range join (equi key + interval residual).
+    Consolidated so both stay inside the driver's bounded correctness
+    window; each branch is value-checked via its UNION ALL oracle twin."""
+    asof = asof_join_clicks(spark, sf_dir).select(
+        F.lit("asof_clicks").alias("kind"),
+        F.col("user_id").cast("string").alias("k"),
+        "purchase_id",
+        "last_click_id",
+        F.col("gap_sec").alias("n"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    rj = range_join_ship_window(spark, sf_dir).select(
+        F.lit("range_ship_window").alias("kind"),
+        F.col("o_orderpriority").alias("k"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+        F.lit(None).cast("bigint").alias("last_click_id"),
+        F.col("n_lineitems").alias("n"),
+        F.col("total_price").alias("value"),
+    )
+    return asof.unionByName(rj)

@@ -52,9 +52,7 @@ def _revenue():
     )
 
 
-@query(
-    "q4_order_priority",
-    oracle="""
+_Q4_ORACLE = """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -64,8 +62,9 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
     WHERE l_orderkey = o_orderkey
       AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
 GROUP BY o_orderpriority
-""",
-)
+"""
+
+
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4-style order-priority check: correlated EXISTS decorrelated
     to a LEFT SEMI join whose condition mixes the equi key with a non-equi
@@ -90,9 +89,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q8_market_share",
-    oracle="""
+_Q8_ORACLE = """
 SELECT o_year,
   CAST(SUM(CASE WHEN n2.n_name = 'NATION_5' THEN volume ELSE 0 END) AS DOUBLE)
     / CAST(SUM(volume) AS DOUBLE) AS mkt_share
@@ -112,8 +109,9 @@ JOIN region ON r_regionkey = n1.n_regionkey AND r_name = 'AMERICA'
 JOIN supplier ON s_suppkey = l_suppkey
 JOIN nation n2 ON n2.n_nationkey = s_nationkey
 GROUP BY o_year
-""",
-)
+"""
+
+
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8-style national market share: NATION_5's fraction of ECONOMY
     part volume sold into AMERICA, by order year. Exercises a 6-way star
@@ -163,9 +161,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q13_customer_distribution",
-    oracle="""
+_Q13_ORACLE = """
 SELECT c_count, count(*) AS custdist
 FROM (
   SELECT c_custkey, count(o_orderkey) AS c_count
@@ -173,8 +169,9 @@ FROM (
     ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
   GROUP BY c_custkey) c_orders
 GROUP BY c_count
-""",
-)
+"""
+
+
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13-style customer order-count distribution: LEFT OUTER join
     with an ON-clause filter (not WHERE — null-extended rows must survive),
@@ -197,9 +194,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q15_top_supplier",
-    oracle="""
+_Q15_ORACLE = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
     SUM(CAST(l_extendedprice AS DECIMAL(12,2))
@@ -211,8 +206,9 @@ WITH revenue AS (
 SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
 FROM supplier JOIN revenue ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
-""",
-)
+"""
+
+
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15-style top supplier: revenue view reused twice — once for
     the per-supplier totals, once for the scalar MAX — with equality on the
@@ -244,9 +240,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q17_small_qty_revenue",
-    oracle="""
+_Q17_ORACLE = """
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
   AS avg_yearly
 FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -254,8 +248,9 @@ WHERE p_brand = 'Brand#3'
   AND l_quantity < (
     SELECT 0.2 * (SUM(l_quantity) / count(*))
     FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
-""",
-)
+"""
+
+
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-style small-quantity-order revenue: correlated scalar AVG
     subquery against the same fact table, decorrelated to a per-part
@@ -283,9 +278,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q19_disjunctive",
-    oracle="""
+_Q19_ORACLE = """
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
     * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -295,8 +288,9 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
        AND l_quantity BETWEEN 20 AND 30)
-""",
-)
+"""
+
+
 def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19-style disjunctive discounted revenue: an OR of three
     brand/size/quantity conjunctions spanning both join sides (the
@@ -333,9 +327,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q21_waiting_suppliers",
-    oracle="""
+_Q21_ORACLE = """
 SELECT s_name, count(*) AS numwait
 FROM supplier
 JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
@@ -350,8 +342,9 @@ WHERE EXISTS (
 GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 20
-""",
-)
+"""
+
+
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21-style waiting-supplier ranking: for finished orders with
     more than one supplier, find the supplier whose line shipped STRICTLY
@@ -392,9 +385,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q22_inactive_customers",
-    oracle="""
+_Q22_ORACLE = """
 WITH eligible AS (
   SELECT CAST(c_custkey % 10 AS INT) AS cntrycode, c_custkey, c_acctbal
   FROM customer WHERE CAST(c_custkey % 10 AS INT) IN (1, 2, 3, 4, 5))
@@ -408,8 +399,9 @@ WHERE c_acctbal > (
     SELECT 1 FROM orders WHERE o_custkey = c_custkey
       AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY cntrycode
-""",
-)
+"""
+
+
 def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22-style global sales opportunity: customers in selected
     "country codes" (custkey mod 10 — this schema has no c_phone) with
@@ -448,3 +440,134 @@ def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("c_acctbal", precision=12)).cast("double").alias("totacctbal"),
         )
     )
+
+
+# -- registered suites -----------------------------------------------------
+#
+# The eight subquery-shaped TPC-H queries stay as library API above; the
+# driver-facing registrations consolidate them into three tagged unions
+# (grouped by result shape) so the whole subquery surface fits the
+# driver's bounded (~50-query) correctness window. Each branch remains
+# fully value-checked via its UNION ALL twin in the SQL.
+
+
+@query(
+    "q15_q17_q19_scalars",
+    oracle=f"""
+SELECT 'q15_top_supplier' AS metric, s_suppkey, s_name, total_revenue AS value
+FROM ({_Q15_ORACLE})
+UNION ALL
+SELECT 'q17_small_qty_revenue', NULL, NULL, avg_yearly FROM ({_Q17_ORACLE})
+UNION ALL
+SELECT 'q19_disjunctive', NULL, NULL, revenue FROM ({_Q19_ORACLE})
+""",
+)
+def q15_q17_q19_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-result subquery shapes, tagged: q15 (aggregate view + scalar
+    MAX, identity columns populated), q17 (correlated scalar AVG
+    decorrelated to a per-part agg), q19 (disjunctive predicate pushdown).
+    Same one-tagged-row-per-metric shape as ``q6_q14_revenue``."""
+    nulll = F.lit(None).cast("bigint")
+    nulls = F.lit(None).cast("string")
+    q15 = q15_top_supplier(spark, sf_dir).select(
+        F.lit("q15_top_supplier").alias("metric"),
+        "s_suppkey",
+        "s_name",
+        F.col("total_revenue").alias("value"),
+    )
+    q17 = q17_small_qty_revenue(spark, sf_dir).select(
+        F.lit("q17_small_qty_revenue").alias("metric"),
+        nulll.alias("s_suppkey"),
+        nulls.alias("s_name"),
+        F.col("avg_yearly").alias("value"),
+    )
+    q19 = q19_disjunctive(spark, sf_dir).select(
+        F.lit("q19_disjunctive").alias("metric"),
+        nulll.alias("s_suppkey"),
+        nulls.alias("s_name"),
+        F.col("revenue").alias("value"),
+    )
+    return q15.unionByName(q17).unionByName(q19)
+
+
+@query(
+    "q4_q13_q21_counts",
+    oracle=f"""
+SELECT 'q4_order_priority' AS metric, o_orderpriority AS k,
+       order_count AS n
+FROM ({_Q4_ORACLE})
+UNION ALL
+SELECT 'q13_customer_distribution', CAST(c_count AS VARCHAR), custdist
+FROM ({_Q13_ORACLE})
+UNION ALL
+SELECT 'q21_waiting_suppliers', s_name, numwait FROM ({_Q21_ORACLE})
+""",
+)
+def q4_q13_q21_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-distribution subquery shapes, tagged: q4 (correlated EXISTS
+    -> semi join with non-equi residual), q13 (outer-join histogram of
+    counts), q21 (EXISTS + NOT EXISTS on the same fact, top-k). All three
+    results are (key, count) rows; the tag keeps them separable."""
+
+    def norm(df: DataFrame, metric: str, k, n) -> DataFrame:
+        return df.select(
+            F.lit(metric).alias("metric"),
+            k.cast("string").alias("k"),
+            n.cast("bigint").alias("n"),
+        )
+
+    return (
+        norm(
+            q4_order_priority(spark, sf_dir),
+            "q4_order_priority",
+            F.col("o_orderpriority"),
+            F.col("order_count"),
+        )
+        .unionByName(
+            norm(
+                q13_customer_distribution(spark, sf_dir),
+                "q13_customer_distribution",
+                F.col("c_count"),
+                F.col("custdist"),
+            )
+        )
+        .unionByName(
+            norm(
+                q21_waiting_suppliers(spark, sf_dir),
+                "q21_waiting_suppliers",
+                F.col("s_name"),
+                F.col("numwait"),
+            )
+        )
+    )
+
+
+@query(
+    "q8_q22_shares",
+    oracle=f"""
+SELECT 'q8_market_share' AS metric, o_year AS k, CAST(NULL AS BIGINT) AS numcust,
+       mkt_share AS value
+FROM ({_Q8_ORACLE})
+UNION ALL
+SELECT 'q22_inactive_customers', cntrycode, numcust, totacctbal
+FROM ({_Q22_ORACLE})
+""",
+)
+def q8_q22_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share/ratio subquery shapes, tagged: q8 (6-way star join with a
+    conditional-share division) and q22 (scalar AVG threshold broadcast +
+    anti-join). Both produce (int key, double measure) rows; q22 also
+    carries its customer count."""
+    q8 = q8_market_share(spark, sf_dir).select(
+        F.lit("q8_market_share").alias("metric"),
+        F.col("o_year").alias("k"),
+        F.lit(None).cast("bigint").alias("numcust"),
+        F.col("mkt_share").alias("value"),
+    )
+    q22 = q22_inactive_customers(spark, sf_dir).select(
+        F.lit("q22_inactive_customers").alias("metric"),
+        F.col("cntrycode").alias("k"),
+        "numcust",
+        F.col("totacctbal").alias("value"),
+    )
+    return q8.unionByName(q22)

@@ -67,17 +67,16 @@ _N_TOKENS_SQL = (
 )
 
 
-@query(
-    "corpus_mixture",
-    oracle=f"""
+_MIXTURE_ORACLE = f"""
 SELECT doc_id, lang,
   {sql_portable_hash64("CAST(doc_id AS VARCHAR)")} % 1000 AS bucket,
   {_sql_rate('lang')} AS rate_permille,
   {_N_TOKENS_SQL} AS n_tokens
 FROM documents
 WHERE {sql_portable_hash64("CAST(doc_id AS VARCHAR)")} % 1000 < {_sql_rate('lang')}
-""",
-)
+"""
+
+
 def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language mixture sample with each survivor's
     token count — the input to shard packing. Pure per-row predicate +
@@ -210,9 +209,7 @@ STRATA_K = 40  # exact per-language sample size
 SPLIT_BOUNDS = (80, 90)  # hash-percent bounds: train < 80 <= val < 90 <= test
 
 
-@query(
-    "corpus_stratified_sample",
-    oracle=f"""
+_STRATIFIED_ORACLE = f"""
 SELECT doc_id, lang, rk,
   CASE WHEN split_bucket < {SPLIT_BOUNDS[0]} THEN 'train'
        WHEN split_bucket < {SPLIT_BOUNDS[1]} THEN 'val'
@@ -227,8 +224,9 @@ FROM (
   FROM documents
 )
 WHERE rk <= {STRATA_K}
-""",
-)
+"""
+
+
 def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACTLY STRATA_K documents per language (vs the mixture's Bernoulli
     rates): rank docs within each language by a salted content-independent
@@ -269,3 +267,45 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+# -- registered suite ------------------------------------------------------
+
+
+@query(
+    "corpus_sampling",
+    oracle=f"""
+SELECT 'mixture' AS strategy, doc_id, lang, bucket AS k1,
+       CAST(rate_permille AS BIGINT) AS k2, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(NULL AS VARCHAR) AS split
+FROM ({_MIXTURE_ORACLE})
+UNION ALL
+SELECT 'stratified', doc_id, lang, rk, NULL, NULL, split
+FROM ({_STRATIFIED_ORACLE})
+""",
+)
+def corpus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both corpus-sampling strategies in one tagged union: the
+    per-language Bernoulli mixture (k1=hash bucket, k2=rate permille,
+    with each survivor's token count) and the exact-K stratified sample
+    with train/val/test splits (k1=rank). Independent zero/one-shuffle
+    plans; the union is a shuffle-free concatenation."""
+    mix = corpus_mixture(spark, sf_dir).select(
+        F.lit("mixture").alias("strategy"),
+        "doc_id",
+        "lang",
+        F.col("bucket").alias("k1"),
+        F.col("rate_permille").cast("bigint").alias("k2"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.lit(None).cast("string").alias("split"),
+    )
+    strat = corpus_stratified_sample(spark, sf_dir).select(
+        F.lit("stratified").alias("strategy"),
+        "doc_id",
+        "lang",
+        F.col("rk").alias("k1"),
+        F.lit(None).cast("bigint").alias("k2"),
+        F.lit(None).cast("bigint").alias("n_tokens"),
+        "split",
+    )
+    return mix.unionByName(strat)

@@ -95,12 +95,6 @@ register_udf(
 )
 
 
-@query(
-    "udf_wordcount_grouped",
-    oracle=f"WITH toks AS ({sql_tokens_cte()}) "
-    "SELECT doc_id, word, count(*) AS cnt FROM toks WHERE word <> '' "
-    "GROUP BY doc_id, word",
-)
 def udf_wordcount_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The plug-in path end-to-end: tokenize (JVM) -> grouped-map pandas
     UDF computing per-doc counts. Same oracle as the built-in would have —
@@ -116,15 +110,6 @@ def udf_wordcount_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- the other three UDF shapes (SURVEY §2.2: UDAF/UDTF as formal API) -----
 
 
-@query(
-    "udf_scalar_token_count",
-    oracle=f"""
-SELECT doc_id,
-  CAST(len(list_filter(regexp_split_to_array(text, '{WS_SPLIT}'), x -> x <> ''))
-       AS INT) AS n_tokens
-FROM documents
-""",
-)
 def udf_scalar_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCALAR pandas UDF (Arrow-vectorized, one Series in/out per batch):
     whitespace token count per document. Exists to prove the scalar
@@ -140,13 +125,6 @@ def udf_scalar_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", n_tokens("text").alias("n_tokens"))
 
 
-@query(
-    "udf_grouped_agg_extrema",
-    oracle="""
-SELECT c_mktsegment, max(c_acctbal) AS max_bal, min(c_acctbal) AS min_bal
-FROM customer GROUP BY c_mktsegment
-""",
-)
 def udf_grouped_agg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPED_AGG pandas UDFs (vectorized UDAF: Series -> scalar per
     group). Extrema are order-insensitive, so the Python answer is
@@ -167,11 +145,6 @@ def udf_grouped_agg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "udf_tokenize_udtf",
-    oracle=f"WITH toks AS ({sql_tokens_cte()}) "
-    "SELECT word, count(*) AS cnt FROM toks WHERE word <> '' GROUP BY word",
-)
 def udf_tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (table function: one row in, N rows out) — the typed
     Spark-native form of the reference's map-style emitters
@@ -194,4 +167,66 @@ def udf_tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.word, count(*) AS cnt "
         "FROM _udtf_docs d, LATERAL tokenize_udtf(d.text) t "
         "GROUP BY t.word"
+    )
+
+
+# -- registered suite ------------------------------------------------------
+#
+# The four UDF shapes above stay as the library API; the driver-facing
+# registration consolidates them into ONE tagged union so the whole
+# plug-in surface fits a single row of the driver's bounded correctness
+# window (it evaluates at most ~50 registered queries). Normalized to
+# (shape, key, v1, v2); each branch remains oracle-checked via the
+# matching UNION ALL branch in the SQL.
+
+
+def _norm(df: DataFrame, shape: str, key, v1, v2=None):
+    return df.select(
+        F.lit(shape).alias("shape"),
+        key.cast("string").alias("key"),
+        v1.cast("double").alias("v1"),
+        (F.lit(None) if v2 is None else v2).cast("double").alias("v2"),
+    )
+
+
+@query(
+    "udf_plugin_suite",
+    oracle=f"""
+WITH toks AS ({sql_tokens_cte()})
+SELECT 'grouped_map' AS shape, doc_id || ':' || word AS key,
+       CAST(count(*) AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
+FROM toks WHERE word <> '' GROUP BY doc_id, word
+UNION ALL
+SELECT 'scalar', CAST(doc_id AS VARCHAR),
+  CAST(len(list_filter(regexp_split_to_array(text, '{WS_SPLIT}'), x -> x <> ''))
+       AS DOUBLE), NULL
+FROM documents
+UNION ALL
+SELECT 'grouped_agg', c_mktsegment, max(c_acctbal), min(c_acctbal)
+FROM customer GROUP BY c_mktsegment
+UNION ALL
+SELECT 'udtf', word, CAST(count(*) AS DOUBLE), NULL
+FROM toks WHERE word <> '' GROUP BY word
+""",
+)
+def udf_plugin_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four pluggable-UDF shapes (grouped-map applyInPandas, scalar
+    pandas_udf, grouped-agg pandas UDAF, Python UDTF) in one tagged
+    union — the Spark-native O18 surface, each branch proving its Python
+    path computes exactly what the SQL oracle computes. The branches are
+    independent plans; the union is a no-shuffle concatenation."""
+    gm = udf_wordcount_grouped(spark, sf_dir)
+    sc = udf_scalar_token_count(spark, sf_dir)
+    ga = udf_grouped_agg_extrema(spark, sf_dir)
+    ut = udf_tokenize_udtf(spark, sf_dir)
+    return (
+        _norm(gm, "grouped_map",
+              F.concat_ws(":", F.col("doc_id"), F.col("word")),
+              F.col("cnt"))
+        .unionByName(_norm(sc, "scalar", F.col("doc_id"), F.col("n_tokens")))
+        .unionByName(
+            _norm(ga, "grouped_agg", F.col("c_mktsegment"),
+                  F.col("max_bal"), F.col("min_bal"))
+        )
+        .unionByName(_norm(ut, "udtf", F.col("word"), F.col("cnt")))
     )

@@ -93,9 +93,9 @@ def test_topk_uses_limit_not_global_sort_materialization(spark):
 _INTENTIONAL_BNLJ = {
     "corpus_shards",  # one-row max(doc_id) bound for range grouping
     "kmeans_embeddings",  # one-row collected codebook per iteration
-    "q22_inactive_customers",  # one-row scalar AVG threshold broadcast
-    "semantic_search_docs",  # N_QUERIES(=10)-row broadcast query side
-    "similarity_ivf_ann",  # one-row collected IVF codebook
+    "q8_q22_shares",  # q22 branch: one-row scalar AVG threshold broadcast
+    "similarity_ann_suite",  # N_QUERIES(=10)-row broadcast query side +
+    # one-row collected IVF codebook
     "text_tfidf",  # one-row corpus doc-count for the IDF term
 }
 
@@ -123,27 +123,35 @@ def test_embedding_dedup_is_banded_not_allpairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
+def _pushed_filters(plan: str) -> list[str]:
+    """Every PushedFilters line in the formatted plan (no positional
+    indexing — scan order is an implementation detail)."""
+    return [seg.split("\n")[0] for seg in plan.split("PushedFilters: ")[1:]]
+
+
 def test_q21_semi_anti_and_topk(spark):
-    plan = _plan(spark, "q21_waiting_suppliers")
+    from gcp_map_reduce_spark.operators.relational_subq import q21_waiting_suppliers
+
+    plan = _fn_plan(spark, q21_waiting_suppliers)
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "TakeOrderedAndProject" in plan
 
 
 def test_q19_disjunctive_partial_pushdown(spark):
+    from gcp_map_reduce_spark.operators.relational_subq import q19_disjunctive
+
     # Catalyst must extract the per-side partial disjunctions and push
     # them below the join: the lineitem scan gets the quantity-range OR,
     # the part scan gets the brand/size OR.
-    plan = _plan(spark, "q19_disjunctive")
-    pushed = [
-        seg.split("\n")[0] for seg in plan.split("PushedFilters: ")[1:]
-    ]
+    pushed = _pushed_filters(_fn_plan(spark, q19_disjunctive))
     assert any("l_quantity" in p for p in pushed), pushed
     assert any("p_brand" in p for p in pushed), pushed
 
 
 def test_q4_exists_becomes_semi_join(spark):
-    plan = _plan(spark, "q4_order_priority")
+    from gcp_map_reduce_spark.operators.relational_subq import q4_order_priority
+
+    plan = _fn_plan(spark, q4_order_priority)
     assert "LeftSemi" in plan
-    # date range reaches the orders scan
-    pushed = plan.split("PushedFilters: ")[1].split("\n")[0]
-    assert "o_orderdate" in pushed or "o_orderdate" in plan.split("PushedFilters: ")[2].split("\n")[0]
+    # date range reaches the orders scan (whichever scan it is)
+    assert any("o_orderdate" in p for p in _pushed_filters(plan)), plan
