@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 
 from gcp_map_reduce_spark.functions.text import WS_SPLIT, sql_normalize
 from gcp_map_reduce_spark.operators.dedup import shingle_arrays_for
-from gcp_map_reduce_spark.operators.scale import materialize
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
@@ -77,15 +76,18 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the membership probe (identical matches when both sides share
     the hash) to shrink the broadcast table."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # shingle the corpus ONCE (normalize + n-gram build is the dominant
-    # cost), then split the exploded rows by membership — materialized so
-    # the two consumers don't re-run the scan
-    sh = materialize(doc_shingles_for(docs, DECONTAM_NGRAM))
     is_eval = F.col("doc_id") % EVAL_MOD == 0
-    train_sh = sh.filter(~is_eval)
-    eval_sh = sh.filter(is_eval).select(
+    # Two scans, asymmetric by design: the eval side is a pushed-down
+    # 1/EVAL_MOD scan (the filter reaches the parquet reader), shingled
+    # and broadcast; the train side STREAMS through the broadcast hash
+    # join with no checkpoint/materialization anywhere. At 100 TB the
+    # corpus-wide shingle set must never be held — only the tiny eval
+    # side is; re-scanning that subset costs a rounding error vs holding
+    # the full corpus's shingles.
+    eval_sh = doc_shingles_for(docs.filter(is_eval), DECONTAM_NGRAM).select(
         F.col("doc_id").alias("eval_doc"), "sh"
     )
+    train_sh = doc_shingles_for(docs.filter(~is_eval), DECONTAM_NGRAM)
     return (
         train_sh.join(F.broadcast(eval_sh), "sh")
         .groupBy(F.col("doc_id").alias("train_doc"))

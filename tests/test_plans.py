@@ -115,6 +115,19 @@ def test_no_accidental_nested_loop_or_cartesian_anywhere(spark):
     )
 
 
+def test_decontamination_streams_train_side(spark):
+    # 100 TB posture: the eval side (1/EVAL_MOD pushed-down scan) is
+    # broadcast; the train side streams through the broadcast hash join
+    # with NO checkpoint/materialization of corpus-wide shingles anywhere
+    plan = _plan(spark, "corpus_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "Scan ExistingRDD" not in plan and "Checkpoint" not in plan
+    # both scans prune to the two needed columns
+    for seg in plan.split("ReadSchema: ")[1:]:
+        schema = seg.split("\n")[0]
+        assert "text" in schema and "lang" not in schema
+
+
 def test_embedding_dedup_is_banded_not_allpairs(spark):
     # the registered near-dup plan must generate candidates via the band
     # equi-join (hash join) — an all-pairs non-equi self-join would show
