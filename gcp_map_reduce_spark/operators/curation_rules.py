@@ -41,7 +41,13 @@ from gcp_map_reduce_spark.sources.tables import load_table
 
 # Java/RE2-common-subset PII patterns.
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-PHONE_RE = "\\+1-555-[0-9]{4}"
+# NANP-style phone numbers: optional +1 country code, optional (xxx)/xxx-
+# area code, then xxx[-. ]xxxx. The separator before the final 4 digits is
+# REQUIRED so bare 7-digit integers don't redact. Covers +1-555-0123,
+# 555-867-5309, (555) 867-5309, +1 (555) 867-5309, 555.867.5309.
+PHONE_RE = (
+    "(\\+1[-. ])?(\\([0-9]{3}\\)[ ]?|[0-9]{3}[-. ])?[0-9]{3}[-. ][0-9]{4}\\b"
+)
 IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
 # Gopher-style gate thresholds, centered on the synthetic corpus medians

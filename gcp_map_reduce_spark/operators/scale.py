@@ -20,10 +20,22 @@ cover the two situations that still need explicit treatment at 100 TB:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_SALTS = 16
+
+# materialize() backend switch. "local" (default) = localCheckpoint:
+# blocks live on executors — fast, but recomputed-from-nothing if an
+# executor dies mid-job. "reliable" = checkpoint to the configured
+# checkpoint dir (SPARK_GRAFT_CHECKPOINT_DIR, or the session's
+# sc.setCheckpointDir): survives executor loss — the production posture
+# for long multi-consumer jobs at 100 TB where a lost executor must not
+# restart the whole pipeline.
+MATERIALIZE_MODE_ENV = "SPARK_GRAFT_MATERIALIZE"
+CHECKPOINT_DIR_ENV = "SPARK_GRAFT_CHECKPOINT_DIR"
 
 
 def materialize(df: DataFrame) -> DataFrame:
@@ -32,11 +44,31 @@ def materialize(df: DataFrame) -> DataFrame:
     Spark has no cross-join-side common-subexpression reuse, so a
     self-join of an expensive derived table otherwise computes it twice.
 
-    ``localCheckpoint`` keeps the blocks on executors (fast, but lost
-    with an executor); on a production cluster prefer ``checkpoint`` to
-    reliable storage, or persist the intermediate as a table, for jobs
-    where recompute-on-loss is too expensive.
+    Backend is selected by ``$SPARK_GRAFT_MATERIALIZE``:
+
+    - ``local`` (default): ``localCheckpoint`` — executor-memory blocks,
+      fastest, lost with an executor (acceptable for short jobs / tests);
+    - ``reliable``: ``checkpoint`` to reliable storage (checkpoint dir
+      from ``$SPARK_GRAFT_CHECKPOINT_DIR`` if the session has none set) —
+      survives executor loss, the production-cluster posture.
     """
+    mode = os.environ.get(MATERIALIZE_MODE_ENV, "local")
+    if mode == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            ckdir = os.environ.get(CHECKPOINT_DIR_ENV)
+            if not ckdir:
+                raise ValueError(
+                    f"{MATERIALIZE_MODE_ENV}=reliable needs a checkpoint "
+                    f"dir: set {CHECKPOINT_DIR_ENV} or call "
+                    "sc.setCheckpointDir()"
+                )
+            sc.setCheckpointDir(ckdir)
+        return df.checkpoint(eager=True)
+    if mode != "local":
+        raise ValueError(
+            f"unknown {MATERIALIZE_MODE_ENV}={mode!r}; use 'local' or 'reliable'"
+        )
     return df.localCheckpoint(eager=True)
 
 

@@ -49,29 +49,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # not just ones built by session.get_spark.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        df = _canonicalize_ts(df)
-    return df
+    return _canonicalize_timestamps(df, name)
 
 
-def _canonicalize_ts(df: DataFrame) -> DataFrame:
-    """Canonicalize ``events.ts`` to TIMESTAMP (with local-tz semantics,
-    session pinned UTC) regardless of how the parquet writer encoded it.
-    The physical encoding of this column has drifted across testdata
-    generations — INT64 TIMESTAMP(NANOS), then plain TIMESTAMP micros
-    (which Spark reads as TIMESTAMP_NTZ) — and every downstream consumer
-    does epoch arithmetic that NTZ refuses. One normalization here heals
-    every consumer; queries never see the encoding du jour."""
-    dtype = dict(df.dtypes).get("ts")
-    if dtype == "bigint":
+def _canonicalize_timestamps(df: DataFrame, name: str) -> DataFrame:
+    """Canonicalize every temporal column to TIMESTAMP (local-tz
+    semantics; session pinned UTC above) regardless of how the parquet
+    writer encoded it. The physical encoding has drifted across testdata
+    generations — ``events.ts`` went from INT64 TIMESTAMP(NANOS) to plain
+    TIMESTAMP micros, which Spark's ``inferTimestampNTZ`` reads as
+    TIMESTAMP_NTZ — and NTZ refuses the epoch arithmetic
+    (``cast("double")``/``cast("long")``) downstream operators do. One
+    normalization here heals every consumer; queries never see the
+    encoding du jour, and the DuckDB oracle (which has no NTZ notion)
+    sees matching semantics. The session timezone is pinned UTC, so
+    NTZ -> TZ is a pure type-tag change with no instant shift."""
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # INT64 TIMESTAMP(NANOS) read via nanosAsLong; values are whole
         # microseconds, so `div 1000` is lossless. Integer division on
         # longs — float math would lose precision at 1e18 nanos.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif dtype == "timestamp_ntz":
-        # session timezone is pinned UTC above, so NTZ -> TZ is a pure
-        # type-tag change, no instant shift
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

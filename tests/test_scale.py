@@ -107,3 +107,40 @@ def test_compact_parquet_reduces_file_count_preserving_data(spark, tmp_path):
     a = sorted(tuple(r) for r in df.collect())
     b = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
     assert a == b
+
+
+def test_materialize_reliable_mode_checkpoints_to_dir(spark, tmp_path, monkeypatch):
+    import glob
+
+    from gcp_map_reduce_spark.operators import scale
+
+    df = spark.range(100).withColumnRenamed("id", "v")
+
+    # default mode: localCheckpoint (no files on disk)
+    monkeypatch.delenv(scale.MATERIALIZE_MODE_ENV, raising=False)
+    assert scale.materialize(df).count() == 100
+
+    # reliable mode without a dir: loud failure, not silent local fallback
+    monkeypatch.setenv(scale.MATERIALIZE_MODE_ENV, "reliable")
+    monkeypatch.delenv(scale.CHECKPOINT_DIR_ENV, raising=False)
+    if spark.sparkContext.getCheckpointDir() is None:
+        import pytest
+
+        with pytest.raises(ValueError, match="checkpoint"):
+            scale.materialize(df)
+
+    # reliable mode with a dir: same rows, checkpoint files on disk
+    ckdir = str(tmp_path / "ck")
+    monkeypatch.setenv(scale.CHECKPOINT_DIR_ENV, ckdir)
+    out = scale.materialize(df)
+    assert sorted(r.v for r in out.collect()) == list(range(100))
+    assert glob.glob(f"{ckdir}/**/rdd-*", recursive=True), (
+        "reliable materialize must write checkpoint blocks to the dir"
+    )
+
+    # unknown mode: loud failure
+    monkeypatch.setenv(scale.MATERIALIZE_MODE_ENV, "bogus")
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown"):
+        scale.materialize(df)

@@ -32,8 +32,20 @@ def test_events_ts_is_timestamp(spark):
         dtypes = dict(load_table(spark, sf_dir, "events").dtypes)
         assert dtypes["ts"] == "timestamp", (
             f"events.ts must canonicalize to TIMESTAMP, got {dtypes['ts']!r} "
-            f"for {sf_dir} — fix sources/tables.py:_canonicalize_ts"
+            f"for {sf_dir} — fix sources/tables.py:_canonicalize_timestamps"
         )
+
+
+def test_no_table_exposes_timestamp_ntz(spark):
+    # the drift guard covers EVERY temporal column of EVERY table (orders
+    # and lineitem dates arrive NTZ too under inferTimestampNTZ)
+    for name in TABLE_NAMES:
+        bad = [
+            (c, t)
+            for c, t in load_table(spark, SF_SMALL, name).dtypes
+            if t == "timestamp_ntz"
+        ]
+        assert not bad, f"{name}: NTZ columns leaked through load_table: {bad}"
 
 
 def test_events_ts_epoch_math_works(spark):
@@ -48,12 +60,12 @@ def test_events_ts_epoch_math_works(spark):
 def test_ntz_input_canonicalized(spark, tmp_path):
     # simulate the round-4 drift directly: write an NTZ ts, read it back
     # through the canonicalizer
-    from gcp_map_reduce_spark.sources.tables import _canonicalize_ts
+    from gcp_map_reduce_spark.sources.tables import _canonicalize_timestamps
 
     src = load_table(spark, SF_SMALL, "events").limit(10)
     ntz_path = str(tmp_path / "events_ntz")
     src.withColumn("ts", F.to_timestamp_ntz(F.col("ts"))).write.parquet(ntz_path)
-    back = _canonicalize_ts(spark.read.parquet(ntz_path))
+    back = _canonicalize_timestamps(spark.read.parquet(ntz_path), "events")
     assert dict(back.dtypes)["ts"] == "timestamp"
     assert back.filter(F.col("ts").cast("long").isNull()).count() == 0
 
