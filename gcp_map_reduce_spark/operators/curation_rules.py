@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcp_map_reduce_spark.functions.text import WS_SPLIT
+from gcp_map_reduce_spark.operators.scale import ensure_parallelism
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
@@ -211,7 +212,13 @@ def quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands over an unnested (i, token) list — deliberately a
     DIFFERENT algorithm than the Spark fold, which makes the cross-check
     stronger."""
-    doc = load_table(spark, sf_dir, "documents")
+    # the O(distinct x tokens) frequency folds are the heaviest per-row
+    # CPU in the engine; a small local file scans as one split and would
+    # serialize them — fan out only in that degenerate case
+    doc = ensure_parallelism(
+        load_table(spark, sf_dir, "documents"),
+        spark.sparkContext.defaultParallelism,
+    )
     tokens = F.split(F.lower(F.col("text")), WS_SPLIT)
     d = doc.select("doc_id", tokens.alias("t"))
     distinct = F.array_distinct(F.col("t"))

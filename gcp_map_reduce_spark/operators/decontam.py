@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from gcp_map_reduce_spark.functions.text import WS_SPLIT, sql_normalize
 from gcp_map_reduce_spark.operators.dedup import shingle_arrays_for
+from gcp_map_reduce_spark.operators.scale import ensure_parallelism
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
@@ -87,7 +88,13 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_sh = doc_shingles_for(docs.filter(is_eval), DECONTAM_NGRAM).select(
         F.col("doc_id").alias("eval_doc"), "sh"
     )
-    train_sh = doc_shingles_for(docs.filter(~is_eval), DECONTAM_NGRAM)
+    # the shingle build is the dominant per-row CPU; a small local file
+    # scans as 1 split and would serialize it — fan out only in that
+    # degenerate case (at 100 TB the scan alone yields plenty of splits)
+    train = ensure_parallelism(
+        docs.filter(~is_eval), spark.sparkContext.defaultParallelism
+    )
+    train_sh = doc_shingles_for(train, DECONTAM_NGRAM)
     return (
         train_sh.join(F.broadcast(eval_sh), "sh")
         .groupBy(F.col("doc_id").alias("train_doc"))

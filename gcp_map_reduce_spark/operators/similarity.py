@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from gcp_map_reduce_spark.operators.scale import materialize
+from gcp_map_reduce_spark.operators.scale import ensure_parallelism, materialize
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
@@ -43,6 +43,18 @@ _SQL_DOT = (
     "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
     "(acc, v) -> acc + v)"
 )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings source with degenerate-split correction: the per-row
+    dot-product / sketch folds are the dominant CPU here, and a small
+    local file scans as ONE split, serializing them on one core — fan
+    out only in that case (at real scale the scan yields thousands of
+    splits and this is a no-op)."""
+    return ensure_parallelism(
+        load_table(spark, sf_dir, "embeddings"),
+        spark.sparkContext.defaultParallelism,
+    )
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -62,7 +74,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Squared L2 norm per vector — per-row array fold, no shuffle at all.
     (Library form; the registered norm audit is the ``norm2`` column of
     ``embedding_quantize_error``.)"""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return _with_norm2(emb).select("vec_id", "label", F.col("n2").alias("norm2"))
 
 
@@ -84,7 +96,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid, flat (label, dim_idx, ...) shape — the k-means-
     style reduction. Cross-row sums use the exact integer-scaling scheme
     (module docstring); posexplode + groupBy gets map-side partial agg."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     flat = emb.select(
         "label",
         F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
@@ -112,7 +124,7 @@ def similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over |Q| * N rows of (id, id, double). At 100 TB you precompute
     norms once and run ``similarity_lsh_ann`` instead.
     """
-    emb = _with_norm2(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_norm2(_emb(spark, sf_dir))
     qs = F.broadcast(
         emb.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
@@ -151,7 +163,7 @@ def embedding_near_dup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFram
     """All-pairs exact form of embedding-cosine near-dup — the correctness
     baseline / recall verifier for the banded plan (library-only: its
     non-equi self-join is O(N^2) and must never be the registered path)."""
-    emb = _with_norm2(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_norm2(_emb(spark, sf_dir))
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ae"), F.col("n2").alias("an2")
     )
@@ -191,7 +203,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``embedding_near_dup_pairs_exact`` is the library verifier and
     ``tests/test_similarity.py`` asserts banded == exact."""
     emb = materialize(
-        lsh_sketch(_with_norm2(load_table(spark, sf_dir, "embeddings")))
+        lsh_sketch(_with_norm2(_emb(spark, sf_dir)))
     )
     band_bits = N_PLANES // DEDUP_BANDS
     mask = (1 << band_bits) - 1
@@ -326,7 +338,7 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     known IVF failure mode — at scale, raise K and let AQE split hot
     cells.
     """
-    emb = _with_norm2(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_norm2(_emb(spark, sf_dir))
     seeds = emb.filter(F.col("vec_id") < IVF_CELLS).select(
         F.col("vec_id").alias("cell_id"),
         F.col("e").alias("ce"),
@@ -472,7 +484,7 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band sides + two payload re-joins derive from the sketch pipeline:
     # materialize once
     emb = materialize(
-        lsh_sketch(_with_norm2(load_table(spark, sf_dir, "embeddings")))
+        lsh_sketch(_with_norm2(_emb(spark, sf_dir)))
     )
     band_bits = N_PLANES // _LSH_BANDS
     mask = (1 << band_bits) - 1
@@ -569,7 +581,7 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     what you run before flipping a corpus to quantized storage. All
     per-row ordered folds — deterministic, hence fully oracle-checked.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     e = F.transform("embedding", lambda x: x.cast("double"))
     prep = emb.select(
         "vec_id",
