@@ -60,11 +60,22 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
+def build_overrides() -> dict:
+    """Plan substitutions, two kinds:
 
+    1. Production-mode: dedup_minhash benches with its production hash
+       family (xxhash64) instead of the DuckDB-portable md5 the
+       registered entry keeps for the oracle gate. The alternative edge
+       sources (dedup_clusters edge_source / curated_corpus
+       near_dup_source = 'minhash') are NOT substituted: they are the
+       100 TB plans, but at bench scale the exact shingle join is the
+       better plan and an engine should run the best plan for the data
+       size.
+    2. Historical-comparability: names the registry consolidated into
+       tagged suite unions (driver-window fit) keep benching their
+       ORIGINAL single-operator library plans, so per-query timings
+       stay comparable round over round.
+    """
     from gcp_map_reduce_spark.operators import udf_plugin
     from gcp_map_reduce_spark.operators.dedup import dedup_clusters, dedup_minhash
     from gcp_map_reduce_spark.operators.relational_subq import q21_waiting_suppliers
@@ -73,25 +84,8 @@ def main() -> None:
         similarity_ivf_ann,
         similarity_lsh_ann,
     )
-    from gcp_map_reduce_spark.plans import registry
-    from gcp_map_reduce_spark.session import get_spark
 
-    registry.load_catalog()
-
-    # Plan substitutions, two kinds:
-    # 1. Production-mode: dedup_minhash benches with its production hash
-    #    family (xxhash64) instead of the DuckDB-portable md5 the
-    #    registered entry keeps for the oracle gate. The alternative edge
-    #    sources (dedup_clusters edge_source / curated_corpus
-    #    near_dup_source = 'minhash') are NOT substituted: they are the
-    #    100 TB plans, but at bench scale the exact shingle join is the
-    #    better plan and an engine should run the best plan for the data
-    #    size.
-    # 2. Historical-comparability: names the registry consolidated into
-    #    tagged suite unions (driver-window fit) keep benching their
-    #    ORIGINAL single-operator library plans, so per-query timings
-    #    stay comparable round over round.
-    overrides = {
+    return {
         "dedup_minhash": lambda s, d: dedup_minhash(s, d, fast_hash=True),
         "dedup_clusters": lambda s, d: dedup_clusters(s, d, edge_source="exact"),
         "similarity_ivf_ann": similarity_ivf_ann,
@@ -100,6 +94,18 @@ def main() -> None:
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "udf_wordcount_grouped": udf_plugin.udf_wordcount_grouped,
     }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from gcp_map_reduce_spark.plans import registry
+    from gcp_map_reduce_spark.session import get_spark
+
+    registry.load_catalog()
+    overrides = build_overrides()
 
     def plan(name):
         return overrides[name] if name in overrides else registry.QUERIES[name]

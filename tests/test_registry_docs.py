@@ -49,3 +49,19 @@ def test_queries_md_lists_every_query():
     on_disk = (REPO / "QUERIES.md").read_text()
     missing = [n for n in registry.QUERIES if f"`{n}`" not in on_disk]
     assert not missing, f"queries absent from QUERIES.md: {missing}"
+
+
+def test_bench_headline_names_resolve():
+    """Every bench HEADLINE name must resolve to a plan — either a
+    registered query or a bench override (the registry consolidation
+    renamed entries; an unresolvable name would crash the warm-up and
+    cost the round its perf evidence)."""
+    import bench
+
+    override_names = set(bench.build_overrides())
+    unresolved = [
+        n
+        for n in bench.HEADLINE
+        if n not in registry.QUERIES and n not in override_names
+    ]
+    assert not unresolved, f"bench names with no plan: {unresolved}"
