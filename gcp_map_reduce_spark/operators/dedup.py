@@ -727,7 +727,26 @@ def dedup_clusters(
         )
     else:
         raise ValueError(f"unknown edge_source: {edge_source!r}")
-    pairs = materialize(edge_df)
+    return connected_components(edge_df).select(
+        F.col("node").alias("doc_id"), "cluster_id", "reach_size"
+    )
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Generic distributed connected components over an undirected edge
+    list — (node, cluster_id, reach_size) for every node appearing in any
+    pair. ``pairs`` is any DataFrame whose FIRST TWO columns are the edge
+    endpoints (orderable, same type); cluster_id is the component's
+    minimum node. This is the engine's reusable graph-clustering core
+    (``dedup_clusters`` is it applied to near-dup pairs).
+
+    Algorithm: min-label propagation WITH pointer doubling — see
+    :func:`dedup_clusters` for the full complexity/termination notes.
+    """
+    a, b = pairs.columns[:2]
+    pairs = materialize(
+        pairs.select(F.col(a).alias("doc_a"), F.col(b).alias("doc_b"))
+    )
     fwd = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
     rev = pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
     edges = materialize(fwd.union(rev))
@@ -739,7 +758,7 @@ def dedup_clusters(
     while True:
         if rounds >= MAX_CC_ROUNDS:
             raise RuntimeError(
-                f"dedup_clusters did not converge in {MAX_CC_ROUNDS} rounds"
+                f"connected_components did not converge in {MAX_CC_ROUNDS} rounds"
             )
         rounds += 1
         # pointer doubling folded INTO the neighbor-min join: augmenting
@@ -774,12 +793,12 @@ def dedup_clusters(
         labels = updated.select("s", "label")
         if changed == 0:
             break
-    log.info("dedup_clusters converged in %d rounds", rounds)
+    log.info("connected_components converged in %d rounds", rounds)
     comp = labels.select("s", F.col("label").alias("cluster_id"))
     sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("reach_size"))
     return (
         comp.join(sizes, "cluster_id")
-        .select(F.col("s").alias("doc_id"), "cluster_id", "reach_size")
+        .select(F.col("s").alias("node"), "cluster_id", "reach_size")
     )
 
 

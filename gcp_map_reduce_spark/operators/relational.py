@@ -543,28 +543,52 @@ def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def with_session_id(
+    df: DataFrame,
+    by: str | list[str],
+    ts_col: str,
+    gap_sec: int,
+    order_cols: list[str] | None = None,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Generic gap-based sessionizer: every row gets a ``{out_col}``
+    (1-based, per ``by`` key, in ``order_cols`` order) that increments
+    whenever the gap since the previous row exceeds ``gap_sec`` — the
+    batch analog of streaming session windows, as a reusable operator.
+
+    Two window passes over ONE shuffle on the key: a lag to flag session
+    starts, then a running sum of the flags. Scales like any per-key
+    window (AQE splits hot keys)."""
+    by = [by] if isinstance(by, str) else list(by)
+    order_cols = [ts_col] if order_cols is None else order_cols
+    wo = Window.partitionBy(*by).orderBy(*order_cols)
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # NTZ-safe epoch seconds; bare ts.cast("double") fails analysis when
+    # the source delivers TIMESTAMP_NTZ
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    new_session = F.when(
+        (epoch - F.lag(epoch).over(wo) > gap_sec)
+        | F.lag(ts_col).over(wo).isNull(),
+        1,
+    ).otherwise(0)
+    return df.withColumn(
+        out_col, F.sum(new_session).over(wrun).cast("bigint")
+    )
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session counting with a 30-min inactivity gap — the batch analog of
-    streaming session windows (see streaming/). Pure window functions; the
-    per-user ordering shuffle is the only exchange. (Library form;
+    """Session counting with a 30-min inactivity gap — the generic
+    :func:`with_session_id` aggregated per user. (Library form;
     registered via ``user_event_profile``, which computes the same count
     in its single-pass fold.)"""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # NTZ-safe epoch seconds (matches DuckDB floor(epoch(ts)) for
-    # non-negative epochs); bare ts.cast("double") fails analysis when the
-    # source delivers TIMESTAMP_NTZ
-    epoch = F.col("ts").cast("timestamp").cast("long")
-    new_session = F.when(
-        (epoch - F.lag(epoch).over(w) > 1800) | F.lag("ts").over(w).isNull(), 1
-    ).otherwise(0)
-    return (
-        ev.select("user_id", new_session.alias("new_session"))
-        .groupBy("user_id")
-        .agg(
-            F.sum("new_session").cast("bigint").alias("n_sessions"),
-            F.count("*").alias("n_events"),
-        )
+    tagged = with_session_id(
+        ev, by="user_id", ts_col="ts", gap_sec=1800,
+        order_cols=["ts", "event_id"],
+    )
+    return tagged.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
     )
 
 

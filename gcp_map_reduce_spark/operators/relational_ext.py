@@ -51,41 +51,94 @@ FROM tagged WHERE event_type = 'purchase'
 """
 
 
-def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AS-OF join (Spark has no primitive for it): for every purchase,
-    the most recent prior-or-same-instant click of the same user.
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str | list[str],
+    on: str | list[str],
+    right_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Generic AS-OF join (Spark has no primitive for it): every ``left``
+    row gets ``right_cols`` from the most recent ``right`` row with the
+    same ``by`` key and ``on``-ordering at-or-before it (NULLs when no
+    prior right row exists). Attached columns are named
+    ``{prefix}{col}``.
 
-    Implemented as the union-scan pattern: one window pass with
-    last(..., ignorenulls) over the time-ordered per-user stream — a
-    single shuffle on user_id, no join at all. This is the scalable as-of
-    plan (the naive range self-join is quadratic per user).
+    Implemented as the union-scan pattern: tag the two inputs, union,
+    and take ``last(right payload, ignorenulls)`` over the per-key
+    time-ordered window — ONE shuffle on the key, no join at all. This
+    is the scalable as-of plan: the naive range self-join is quadratic
+    per key, and a windowed union scales exactly like any other window
+    (AQE handles hot keys). Ties on ``on`` order the RIGHT row first, so
+    a same-instant right row counts as "prior-or-same".
     """
-    ev = _t(spark, sf_dir, "events")
+    by = [by] if isinstance(by, str) else list(by)
+    on = [on] if isinstance(on, str) else list(on)
+    payload = F.struct(*[F.col(c).alias(c) for c in right_cols])
+    null_payload = F.lit(None).cast(
+        right.select(payload.alias("p")).schema["p"].dataType
+    )
+    keep = [c for c in left.columns]
+    l_tag = left.select(
+        *keep, F.lit(1).alias("_src"), null_payload.alias("_rp")
+    )
+    left_types = dict(zip(left.schema.names, left.schema.fields))
+    r_tag = right.select(
+        *[
+            F.col(c)
+            if c in right.columns
+            else F.lit(None).cast(left_types[c].dataType).alias(c)
+            for c in keep
+        ],
+        F.lit(0).alias("_src"),
+        payload.alias("_rp"),
+    )
     w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        Window.partitionBy(*by)
+        .orderBy(*on, "_src")  # right (0) before left (1) on ties
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
-    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
-    tagged = ev.select(
-        "user_id",
-        "event_id",
-        "ts",
-        "event_type",
-        F.last(click_id, ignorenulls=True).over(w).alias("last_click_id"),
-        F.last(click_ts, ignorenulls=True).over(w).alias("last_click_ts"),
+    matched = F.last(F.col("_rp"), ignorenulls=True).over(w)
+    out = (
+        l_tag.unionByName(r_tag)
+        .withColumn("_m", matched)
+        .filter(F.col("_src") == 1)
+    )
+    return out.select(
+        *keep,
+        *[F.col("_m")[c].alias(f"{prefix}{c}") for c in right_cols],
+    )
+
+
+def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join demo on the event stream: for every purchase, the most
+    recent prior-or-same-instant click of the same user — the generic
+    :func:`asof_join` applied to the purchases/clicks split of one scan.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+    joined = asof_join(
+        purchases,
+        clicks,
+        by="user_id",
+        on=["ts", "event_id"],
+        right_cols=["event_id", "ts"],
+        prefix="click_",
     )
     # NTZ-safe epoch seconds; bare ts.cast("double") fails analysis when
     # the source delivers TIMESTAMP_NTZ
     gap = (
         F.col("ts").cast("timestamp").cast("long")
-        - F.col("last_click_ts").cast("timestamp").cast("long")
+        - F.col("click_ts").cast("timestamp").cast("long")
     ).cast("bigint")
-    return tagged.filter(F.col("event_type") == "purchase").select(
+    return joined.select(
         "user_id",
         F.col("event_id").alias("purchase_id"),
-        "last_click_id",
+        F.col("click_event_id").alias("last_click_id"),
         gap.alias("gap_sec"),
     )
 

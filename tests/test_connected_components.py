@@ -1,0 +1,78 @@
+"""Property tests for the generic connected-components operator: the
+distributed pointer-doubling fixpoint must agree with a trivially-correct
+single-machine union-find on arbitrary graphs — including the shapes that
+break naive label propagation (long chains, where a capped neighbor-min
+loop would silently split components)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from gcp_map_reduce_spark.operators.dedup import connected_components
+
+
+def union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _spark_components(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    rows = connected_components(df).collect()
+    return {r.node: r.cluster_id for r in rows}
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_lists)
+def test_components_match_union_find(spark, edges):
+    got = _spark_components(spark, edges)
+    want = union_find_components(edges)
+    assert got == want
+
+
+def test_long_chain_converges_logarithmically(spark):
+    # a 200-node chain has diameter 199; pointer doubling must still
+    # converge inside MAX_CC_ROUNDS (= 64 >> log2(199)) and label every
+    # node with the chain minimum
+    edges = [(i, i + 1) for i in range(199)]
+    got = _spark_components(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 200
+
+
+def test_self_loops_and_duplicates(spark):
+    edges = [(5, 5), (1, 2), (2, 1), (1, 2), (7, 3)]
+    got = _spark_components(spark, edges)
+    assert got == {5: 5, 1: 1, 2: 1, 3: 3, 7: 3}
+
+
+def test_reach_size_is_component_size(spark):
+    edges = [(1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    rows = {r.node: r for r in connected_components(df).collect()}
+    assert all(rows[n].reach_size == 3 for n in (1, 2, 3))
+    assert all(rows[n].reach_size == 2 for n in (10, 11))
