@@ -65,3 +65,15 @@ def test_bench_headline_names_resolve():
         if n not in registry.QUERIES and n not in override_names
     ]
     assert not unresolved, f"bench names with no plan: {unresolved}"
+
+
+def test_registry_fits_driver_correctness_window():
+    """The correctness driver records ~50 rows in registration order;
+    queries past the window get NO correctness evidence (rounds 3-4
+    shipped 16 driver-blind queries that way). Keep the registry at or
+    under the window — consolidate into an existing tagged suite instead
+    of appending a 51st name."""
+    assert len(registry.QUERIES) <= 50, (
+        f"{len(registry.QUERIES)} registered queries exceed the driver's "
+        "~50-row correctness window; merge into a suite instead"
+    )
