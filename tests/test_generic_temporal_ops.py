@@ -78,3 +78,45 @@ def test_with_session_id_boundary_gap_is_same_session(spark):
     )
     out = with_session_id(df, by="u", ts_col="ts", gap_sec=1800)
     assert {r.session_id for r in out.collect()} == {1}
+
+
+def test_three_sessionizers_agree(spark):
+    """Triple parity on real events at sf0.01: the registered single-pass
+    fold (user_event_profile), the generic window sessionizer
+    (with_session_id -> sessionize_events), and Spark's NATIVE
+    F.session_window aggregation must produce identical per-user session
+    counts. Three independent formulations of 30-min-gap sessions; any
+    off-by-one in gap semantics breaks the agreement."""
+    from gcp_map_reduce_spark.operators.relational import sessionize_events
+    from gcp_map_reduce_spark.plans import registry
+    from gcp_map_reduce_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    registry.load_catalog()
+
+    fold = {
+        r.user_id: r.n_sessions
+        for r in registry.QUERIES["user_event_profile"](spark, SF_ORACLE).collect()
+    }
+    windowed = {
+        r.user_id: r.n_sessions
+        for r in sessionize_events(spark, SF_ORACLE).collect()
+    }
+    ev = load_table(spark, SF_ORACLE, "events")
+    native = {
+        r.user_id: r.n
+        for r in ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes")
+        )
+        .count()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert fold == windowed
+    # session_window closes a session when the NEXT event is >= gap away
+    # (half-open [start, last+gap)); the fold/window forms start a new
+    # session when the gap is STRICTLY greater. They agree unless an
+    # event lands exactly ON the 30-min boundary — assert agreement and
+    # thereby that semantics line up on this data.
+    assert fold == native
