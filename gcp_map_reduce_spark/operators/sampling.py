@@ -309,3 +309,77 @@ def corpus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split",
     )
     return mix.unionByName(strat)
+
+
+SEQ_LEN_DEFAULT = 2048
+
+
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, seq_len: int = SEQ_LEN_DEFAULT
+) -> DataFrame:
+    """Training-sequence packing manifest: lay the mixture sample's token
+    streams end-to-end (deterministic doc_id order) and cut fixed
+    ``seq_len``-token sequences; one output row per (document, sequence)
+    SEGMENT — documents spanning a boundary emit a row per touched
+    sequence, with the in-sequence offset and in-document slice a sharded
+    tokenizer needs to materialize the sequence without re-scanning
+    neighbors.
+
+    Columns: doc_id, seq_id, seq_offset (where this segment starts inside
+    the sequence), doc_offset (where it starts inside the document),
+    seg_tokens.
+
+    Plan: reuses :func:`corpus_shards`' two-level cumsum (range-grouped
+    per-group windows + broadcast offsets — no global single-task sort),
+    then explodes each doc over the sequence range it covers:
+    ``sequence(floor(cum/L), floor((cum+n-1)/L))`` — at most
+    ``n_tokens/seq_len + 1`` rows per doc, so the explode is linear in
+    output size. Empty docs (0 tokens) are dropped (they occupy no
+    sequence space).
+    """
+    mix = corpus_mixture(spark, sf_dir).select("doc_id", "n_tokens")
+    hi = mix.agg((F.max("doc_id") + 1).alias("hi"))
+    grouped = mix.crossJoin(F.broadcast(hi)).withColumn(
+        "grp",
+        F.least(
+            F.floor(F.col("doc_id") * N_RANGE_GROUPS / F.col("hi")),
+            F.lit(N_RANGE_GROUPS - 1),
+        ),
+    )
+    wg = (
+        Window.partitionBy("grp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = grouped.withColumn(
+        "cum_in_grp", F.coalesce(F.sum("n_tokens").over(wg), F.lit(0))
+    )
+    totals = grouped.groupBy("grp").agg(F.sum("n_tokens").alias("grp_total"))
+    woff = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "grp_offset", F.coalesce(F.sum("grp_total").over(woff), F.lit(0))
+    ).select("grp", "grp_offset")
+    packed = (
+        within.join(F.broadcast(offsets), "grp")
+        .withColumn("cum", F.col("grp_offset") + F.col("cum_in_grp"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    first_seq = F.floor(F.col("cum") / seq_len)
+    last_seq = F.floor((F.col("cum") + F.col("n_tokens") - 1) / seq_len)
+    seg = packed.select(
+        "doc_id",
+        "n_tokens",
+        "cum",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    seg_start = F.greatest(F.col("seq_id") * seq_len, F.col("cum"))
+    seg_end = F.least(
+        (F.col("seq_id") + 1) * seq_len, F.col("cum") + F.col("n_tokens")
+    )
+    return seg.select(
+        "doc_id",
+        "seq_id",
+        (seg_start - F.col("seq_id") * seq_len).cast("bigint").alias("seq_offset"),
+        (seg_start - F.col("cum")).cast("bigint").alias("doc_offset"),
+        (seg_end - seg_start).cast("bigint").alias("seg_tokens"),
+    )

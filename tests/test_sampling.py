@@ -116,3 +116,52 @@ def test_stratified_sample_exact_k_and_split_independence(spark):
     assert {(r["doc_id"], r["split"]) for r in rows} == {
         (r["doc_id"], r["split"]) for r in again
     }
+
+
+def test_pack_sequences_manifest_invariants(spark):
+    """Sequence packing must tile the concatenated token stream exactly:
+    validated against a trivially-correct Python re-implementation over
+    the same mixture sample, plus structural invariants (full sequences,
+    contiguous segments, per-doc slice reassembly)."""
+    from gcp_map_reduce_spark.operators.sampling import (
+        corpus_mixture,
+        pack_sequences,
+    )
+
+    L = 256
+    rows = pack_sequences(spark, SF_ORACLE, seq_len=L).collect()
+    mix = sorted(
+        (r.doc_id, r.n_tokens)
+        for r in corpus_mixture(spark, SF_ORACLE).collect()
+        if r.n_tokens > 0
+    )
+
+    # Python oracle: lay out docs in doc_id order, cut at multiples of L
+    expect = []
+    cum = 0
+    for doc_id, n in mix:
+        start, end = cum, cum + n
+        s = start
+        while s < end:
+            seq_id = s // L
+            e = min((seq_id + 1) * L, end)
+            expect.append((doc_id, seq_id, s - seq_id * L, s - start, e - s))
+            s = e
+        cum = end
+    got = sorted((r.doc_id, r.seq_id, r.seq_offset, r.doc_offset, r.seg_tokens) for r in rows)
+    assert got == sorted(expect)
+
+    # structural: every sequence except the last is exactly full
+    total = sum(n for _, n in mix)
+    per_seq = {}
+    for _, seq_id, _, _, seg in got:
+        per_seq[seq_id] = per_seq.get(seq_id, 0) + seg
+    last = max(per_seq)
+    assert all(v == L for s, v in per_seq.items() if s != last)
+    assert per_seq[last] == total - last * L
+
+    # per-doc slices reassemble the doc exactly once
+    per_doc = {}
+    for doc_id, _, _, _, seg in got:
+        per_doc[doc_id] = per_doc.get(doc_id, 0) + seg
+    assert per_doc == {d: n for d, n in mix}
