@@ -369,3 +369,47 @@ def corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_occurrences"),
         F.count_distinct("doc_id").alias("n_docs"),
     )
+
+
+RARE_FREQ_MAX = 2  # corpus frequency <= this marks a token "rare"
+
+
+def token_rarity_scores(
+    spark: SparkSession, sf_dir: str, rare_freq_max: int = RARE_FREQ_MAX
+) -> DataFrame:
+    """Per-document rarity signals from a self-trained unigram table —
+    the deterministic cousin of LM-perplexity quality scoring (rare-token
+    density is the signal; no transcendental math, so every value is an
+    exact integer ratio and reproducible across engines):
+
+    - ``mean_token_freq``: average corpus frequency of the doc's tokens
+      (high = templated/common text, low = rare/noisy text);
+    - ``rare_ratio``: fraction of the doc's token OCCURRENCES whose
+      corpus frequency is <= ``rare_freq_max`` (hapax-ish density).
+
+    Plan: one tokenize pass builds the unigram table (groupBy word —
+    the vocabulary, orders of magnitude smaller than the corpus), a
+    second joins tokens to it and re-aggregates per doc. At 100 TB the
+    unigram table is still broadcast-size after pruning to the rare set
+    for ``rare_ratio``; the mean needs the full table, so that leg
+    shuffles on word — the standard two-pass frequency-feature shape.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokenize(docs, text_col="text", out_col="word", keep_cols=["doc_id"])
+    uni = toks.groupBy("word").agg(F.count("*").alias("freq"))
+    return (
+        toks.join(uni, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.sum("freq").cast("double") / F.count("*")).alias(
+                "mean_token_freq"
+            ),
+            (
+                F.sum(
+                    F.when(F.col("freq") <= rare_freq_max, 1).otherwise(0)
+                ).cast("double")
+                / F.count("*")
+            ).alias("rare_ratio"),
+        )
+    )

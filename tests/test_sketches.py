@@ -52,3 +52,39 @@ def test_union_of_sketches_equals_single_pass_global_sketch(spark):
     assert merged == direct
     exact = token_stream(spark, SF_ORACLE).select("word").distinct().count()
     assert abs(merged - exact) <= max(TOL * exact, 3)
+
+
+def test_token_rarity_scores_match_python_oracle(spark):
+    """Rarity signals vs a trivially-correct Python recomputation over
+    the same tokenization (exact integer ratios — equality, not
+    tolerance)."""
+    from collections import Counter, defaultdict
+
+    from gcp_map_reduce_spark.operators.text_analysis import (
+        token_rarity_scores,
+    )
+    from gcp_map_reduce_spark.functions.text import tokenize
+    from gcp_map_reduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    toks = [
+        (r.doc_id, r.word)
+        for r in tokenize(
+            docs, text_col="text", out_col="word", keep_cols=["doc_id"]
+        ).collect()
+    ]
+    freq = Counter(w for _, w in toks)
+    per_doc = defaultdict(list)
+    for d, w in toks:
+        per_doc[d].append(freq[w])
+
+    got = {
+        r.doc_id: (r.n_tokens, r.mean_token_freq, r.rare_ratio)
+        for r in token_rarity_scores(spark, SF_ORACLE).collect()
+    }
+    assert set(got) == set(per_doc)
+    for d, fs in per_doc.items():
+        n, mean, rare = got[d]
+        assert n == len(fs)
+        assert mean == sum(fs) / len(fs)
+        assert rare == sum(1 for f in fs if f <= 2) / len(fs)
