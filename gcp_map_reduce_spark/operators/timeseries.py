@@ -88,3 +88,37 @@ def events_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("total_value", ignorenulls=True).over(w).alias("filled_value"),
         )
     )
+
+
+def events_sliding_window(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+) -> DataFrame:
+    """Sliding event-time windows over the event stream: per
+    (window, event_type), event count and decimal-exact value total.
+    Spark's ``F.window`` replicates each row into every window covering
+    it (window/slide copies), then a plain grouped aggregation runs —
+    partial aggregation applies per copy, so the shuffle carries one
+    partial row per (window, type) per task, NOT per event. The same
+    expression works unchanged in Structured Streaming with a watermark
+    (see streaming/). Library form; the tumbling special case is the
+    registered ``events_enriched_hourly``."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

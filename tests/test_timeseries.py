@@ -40,3 +40,39 @@ def test_resample_grid_is_contiguous_and_filled(spark):
 
     # fixture sanity: gaps actually exist, so the fill is exercised
     assert df.filter(F.col("n_events") == 0).count() > 0
+
+
+def test_sliding_window_matches_python_oracle(spark):
+    """2h windows sliding by 1h: every event lands in exactly 2 windows;
+    counts and decimal-exact totals must match a Python recomputation."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from gcp_map_reduce_spark.operators.timeseries import events_sliding_window
+    from gcp_map_reduce_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "ts", "event_type", "value"
+    )
+    rows = ev.collect()
+    expect = defaultdict(lambda: [0, Decimal(0)])
+    H = 3600
+    for r in rows:
+        sec = int(r.ts.timestamp())
+        end_slot = sec // H  # last window starting at or before the event
+        for start_slot in (end_slot - 1, end_slot):
+            key = (start_slot * H, r.event_type)
+            expect[key][0] += 1
+            expect[key][1] += Decimal(str(r.value)).quantize(Decimal("0.01"))
+
+    got = {}
+    for r in events_sliding_window(spark, SF_SMALL).collect():
+        assert (r.w_end - r.w_start).total_seconds() == 2 * H
+        got[(int(r.w_start.timestamp()), r.event_type)] = (
+            r.n,
+            Decimal(str(r.total_value)).quantize(Decimal("0.01")),
+        )
+    assert set(got) == set(expect)
+    for k, (n, tot) in expect.items():
+        assert got[k] == (n, tot.quantize(Decimal("0.01"))), k
