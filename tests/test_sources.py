@@ -71,7 +71,8 @@ def test_ntz_input_canonicalized(spark, tmp_path):
 
 
 _BARE_TS_CAST = re.compile(
-    r"""(?:\bcol\(\s*)?["'](?:ts|last_click_ts|click_ts)["']\s*
+    r"""(?:\bcol\(\s*)?["'](?:ts|last_click_ts|click_ts|hour
+        |o_orderdate|l_shipdate)["']\s*
         (?:\)|\])\s*\.cast\(\s*["'](?:double|long|int|float)["']\s*\)
     """,
     re.VERBOSE,
