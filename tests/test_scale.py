@@ -144,3 +144,50 @@ def test_materialize_reliable_mode_checkpoints_to_dir(spark, tmp_path, monkeypat
 
     with pytest.raises(ValueError, match="unknown"):
         scale.materialize(df)
+
+
+def test_partitioned_layout_gets_dynamic_partition_pruning(spark, tmp_path):
+    """The other half of the layout story next to bucketing: a fact table
+    partitioned on a join/filter key must (a) prune statically on a
+    literal predicate and (b) prune DYNAMICALLY when the selective
+    predicate lives on the joined dimension side — Catalyst's DPP turns
+    the dim filter into a runtime IN-subquery over the fact's partition
+    column, so a 100 TB scan touches only the joined partitions."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from gcp_map_reduce_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    orders = load_table(spark, SF_ORACLE, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    fpath = str(tmp_path / "orders_by_year")
+    orders.write.partitionBy("o_year").parquet(fpath)
+    dpath = str(tmp_path / "year_dim")
+    spark.createDataFrame(
+        [(y, "keep" if y in (1996, 1997) else "drop") for y in range(1992, 2001)],
+        ["yy", "flag"],
+    ).write.parquet(dpath)
+
+    fact = spark.read.parquet(fpath)
+
+    # (a) static pruning: literal partition predicate reaches PartitionFilters
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fact.filter(F.col("o_year") == 1996).explain("formatted")
+    static = buf.getvalue().split("PartitionFilters: ")[1].split("\n")[0]
+    assert "1996" in static
+
+    # (b) dynamic pruning through the join
+    dim = spark.read.parquet(dpath).filter(F.col("flag") == "keep")
+    j = fact.join(dim, fact.o_year == dim.yy).groupBy("o_year").count()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        j.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), plan
+    got = {r.o_year: r for r in j.collect()}
+    assert set(got) == {1996, 1997}
