@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 DEFAULT_SALTS = 16
@@ -219,3 +219,43 @@ def compact_parquet(
         "overwrite"
     ).parquet(dest_path)
     return n_files
+
+
+def grouped_topk(
+    df: DataFrame,
+    by: str,
+    order_col: str,
+    tiebreak_col: str,
+    k: int,
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Per-group top-k by ``order_col`` DESC (ties broken by
+    ``tiebreak_col`` ASC — a unique column makes the result
+    deterministic), skew-safe: a plain ``row_number`` window sorts each
+    ENTIRE group in one task, so a group holding 10% of a 100 TB fact
+    table becomes a straggler. Two phases bound every task instead:
+
+    1. local top-k within (group, random salt) — the hot group's rows
+       spread over ``n_salts`` tasks, each keeping k rows;
+    2. top-k of the <= k * n_salts survivors per group — tiny.
+
+    Identical output to the one-window form (asserted in tests): any row
+    in the true global top-k is in its salt's local top-k, so phase 1
+    never discards a winner. Same decomposition rule as
+    ``salted_groupby_count``: ranking restricted to a subset preserves
+    relative order."""
+    rnk = [F.desc(order_col), F.asc(tiebreak_col)]
+    salt = (F.rand(seed=13) * n_salts).cast("int")
+    w1 = Window.partitionBy(F.col(by), F.col("_salt")).orderBy(*rnk)
+    local = (
+        df.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    w2 = Window.partitionBy(by).orderBy(*rnk)
+    return (
+        local.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )

@@ -191,3 +191,41 @@ def test_partitioned_layout_gets_dynamic_partition_pruning(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     got = {r.o_year: r for r in j.collect()}
     assert set(got) == {1996, 1997}
+
+
+def test_grouped_topk_equals_one_window_form(spark):
+    """The two-phase salted top-k must return EXACTLY the rows of the
+    plain per-group window form (deterministic via the unique tiebreak),
+    on real orders data at sf0.01."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gcp_map_reduce_spark.operators.scale import grouped_topk
+    from gcp_map_reduce_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    orders = load_table(spark, SF_ORACLE, "orders")
+    k = 4
+    got = sorted(
+        (r.o_custkey, r.o_orderkey)
+        for r in grouped_topk(
+            orders, by="o_custkey", order_col="o_totalprice",
+            tiebreak_col="o_orderkey", k=k,
+        ).collect()
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    want = sorted(
+        (r.o_custkey, r.o_orderkey)
+        for r in orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .collect()
+    )
+    assert got == want
+    # groups smaller than k return all their rows
+    sizes = {r.o_custkey: r.n for r in orders.groupBy("o_custkey").agg(F.count("*").alias("n")).collect()}
+    from collections import Counter
+    per_group = Counter(ck for ck, _ in got)
+    for ck, n in per_group.items():
+        assert n == min(k, sizes[ck])
