@@ -34,7 +34,7 @@ Scalar subqueries become 1-row broadcasts, never collect().
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_map_reduce_spark.functions.numeric import dec
@@ -215,11 +215,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT decimal totals (bit-identical in both engines by construction),
     so ties would be returned, as the spec requires.
 
-    Plan: one pruned lineitem scan -> partial/final hash agg; the MAX is a
-    1-row broadcast joined with a non-equi-free cross; supplier is
-    broadcast. The view is computed once and reused (self-contained agg,
-    no recompute of the scan thanks to Spark plan reuse via .cache-free
-    exchange reuse)."""
+    Plan: ONE pruned lineitem scan -> partial/final hash agg; the scalar
+    MAX is an empty-partition window over the AGGREGATED view (one row
+    per supplier — tiny relative to the fact scan), so the view is
+    genuinely computed once in a single plan. (The alternative — a
+    separate ``revenue.agg(max)`` joined back — reads syntactically like
+    reuse but Catalyst plans the aggregate subtree twice: the formatted
+    plan showed 2 lineitem scans and no ReusedExchange.) Supplier is
+    broadcast."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
@@ -227,10 +230,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_revenue()).alias("total_revenue_dec")
     )
-    max_rev = revenue.agg(F.max("total_revenue_dec").alias("max_rev"))
+    w_all = Window.partitionBy()
     supp = _t(spark, sf_dir, "supplier")
     return (
-        revenue.join(F.broadcast(max_rev), F.col("total_revenue_dec") == F.col("max_rev"))
+        revenue.withColumn("max_rev", F.max("total_revenue_dec").over(w_all))
+        .filter(F.col("total_revenue_dec") == F.col("max_rev"))
         .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
         .select(
             "s_suppkey",
