@@ -202,7 +202,12 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     token_count_regex / doc_fingerprint / token_stats_per_doc queries
     (same expressions, same oracles — now one driver row).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # heaviest per-row regex pass in the text family; fan out the
+    # degenerate single-split local scan (no-op at real scale)
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents"),
+        spark.sparkContext.defaultParallelism,
+    )
     low_words = F.split(F.lower(F.col("text")), WS_SPLIT)
     norm = normalize_text(F.col("text"))
     w = F.filter(F.split(norm, WS_SPLIT), lambda t: t != "")
