@@ -195,3 +195,28 @@ def test_portable_hash64_spark_duckdb_agree(spark, samples):
         f"SELECT {sql_portable_hash64('s')} FROM t"
     ).fetchall()]
     assert got == want
+
+
+def test_results_invariant_to_shuffle_partitioning(spark):
+    """Hash-gated sampling, sketch signatures, and suite unions must be
+    byte-identical under a different shuffle-partition count — the
+    determinism-under-replanning property that makes retries/AQE safe at
+    scale (a df.sample()-style per-partition RNG would fail this)."""
+    from gcp_map_reduce_spark.plans import registry
+    from tests.conftest import SF_SMALL
+
+    registry.load_catalog()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n in ("3", prev):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for q in ("corpus_sampling", "dedup_pair_scores", "wordcount"):
+                rows = registry.QUERIES[q](spark, SF_SMALL).collect()
+                results.setdefault(q, []).append(
+                    sorted(tuple(r) for r in rows)
+                )
+        for q, (a, b) in results.items():
+            assert a == b, f"{q} changed under different shuffle partitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
