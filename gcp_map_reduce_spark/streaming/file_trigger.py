@@ -127,6 +127,52 @@ def run_incremental_event_counts(
     )
 
 
+def run_sliding_event_counts(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+    query_name: str = "sliding_counts",
+):
+    """Streaming leg of the sliding-window rollup: the SAME
+    ``F.window(ts, window, slide)`` expression as the batch
+    ``events_sliding_window`` operator, run incrementally with a
+    watermark — each event updates every window covering it; windows
+    seal and emit (append mode) once the watermark passes their end."""
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    ev = spark.readStream.schema(schema).parquet(events_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_streaming_dedup(
     spark: SparkSession,
     docs_dir: str,

@@ -353,3 +353,34 @@ def test_stream_stream_join_matches_batch_interval_join(spark, tmp_path):
     # single-batch availableNow drain: inner interval join emits complete
     # results (no rows were dropped as late)
     assert got == want
+
+
+def test_sliding_event_counts_matches_batch(spark, tmp_path):
+    """The streaming sliding-window rollup (same F.window expression as
+    the batch operator, plus a watermark) must agree with
+    events_sliding_window on every window it seals."""
+    from gcp_map_reduce_spark.operators.timeseries import events_sliding_window
+    from gcp_map_reduce_spark.sources.tables import load_table
+    from gcp_map_reduce_spark.streaming.file_trigger import (
+        run_sliding_event_counts,
+    )
+
+    src = tmp_path / "events"
+    ckpt = tmp_path / "ckpt_sliding"
+    load_table(spark, "/root/testdata/sf0.001", "events").write.parquet(str(src))
+
+    q = run_sliding_event_counts(
+        spark, str(src), str(ckpt), query_name="sliding_test"
+    )
+    q.awaitTermination(120)
+    emitted = {
+        (r.w_start, r.event_type): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM sliding_test").collect()
+    }
+    assert emitted, "stream should seal at least the early windows"
+    want = {
+        (r.w_start, r.event_type): (r.n, r.total_value)
+        for r in events_sliding_window(spark, "/root/testdata/sf0.001").collect()
+    }
+    for key, v in emitted.items():
+        assert want.get(key) == v, key
