@@ -1,6 +1,7 @@
 from gcp_map_reduce_spark.streaming.file_trigger import (
     run_file_trigger_wordcount,
     run_incremental_event_counts,
+    run_sliding_event_counts,
     run_stream_static_enrich,
     run_stream_stream_join,
     run_streaming_dedup,
@@ -11,6 +12,7 @@ from gcp_map_reduce_spark.streaming.stateful import run_stateful_sessionize
 __all__ = [
     "run_file_trigger_wordcount",
     "run_incremental_event_counts",
+    "run_sliding_event_counts",
     "run_stateful_sessionize",
     "run_stream_static_enrich",
     "run_stream_stream_join",
