@@ -16,5 +16,46 @@ Design stance (SURVEY.md §7):
 
 from gcp_map_reduce_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def __getattr__(name):
+    """Lazy re-exports of the generic operator API — keeps
+    ``import gcp_map_reduce_spark`` light (no Spark-plan imports at
+    package import time) while letting users write
+    ``from gcp_map_reduce_spark import asof_join``."""
+    lazy = {
+        "asof_join": "gcp_map_reduce_spark.operators.relational_ext",
+        "with_session_id": "gcp_map_reduce_spark.operators.relational",
+        "connected_components": "gcp_map_reduce_spark.operators.dedup",
+        "grouped_topk": "gcp_map_reduce_spark.operators.scale",
+        "salted_groupby_count": "gcp_map_reduce_spark.operators.scale",
+        "ensure_parallelism": "gcp_map_reduce_spark.operators.scale",
+        "materialize": "gcp_map_reduce_spark.operators.scale",
+        "pack_sequences": "gcp_map_reduce_spark.operators.sampling",
+        "events_sliding_window": "gcp_map_reduce_spark.operators.timeseries",
+        "token_rarity_scores": "gcp_map_reduce_spark.operators.text_analysis",
+        "lang_token_sketches": "gcp_map_reduce_spark.operators.sketches",
+        "union_distinct_estimate": "gcp_map_reduce_spark.operators.sketches",
+    }
+    if name in lazy:
+        import importlib
+
+        return getattr(importlib.import_module(lazy[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = [
+    "get_spark",
+    "asof_join",
+    "with_session_id",
+    "connected_components",
+    "grouped_topk",
+    "salted_groupby_count",
+    "ensure_parallelism",
+    "materialize",
+    "pack_sequences",
+    "events_sliding_window",
+    "token_rarity_scores",
+    "lang_token_sketches",
+    "union_distinct_estimate",
+]
 __version__ = "0.1.0"
