@@ -77,3 +77,14 @@ def test_registry_fits_driver_correctness_window():
         f"{len(registry.QUERIES)} registered queries exceed the driver's "
         "~50-row correctness window; merge into a suite instead"
     )
+
+
+def test_public_api_exports_resolve():
+    import gcp_map_reduce_spark as g
+
+    for name in g.__all__:
+        assert callable(getattr(g, name)), name
+    import pytest
+
+    with pytest.raises(AttributeError):
+        g.not_a_thing
