@@ -19,7 +19,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -61,3 +61,48 @@ def cleanup_store(path: str) -> None:
     """Reference ``("cleanup", "all")`` (O17): drop the whole store dir."""
     if os.path.isdir(path):
         shutil.rmtree(path)
+
+
+def upsert_snapshot(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str,
+    version_col: str,
+) -> DataFrame:
+    """CDC-style keep-latest merge without a table format: union base and
+    updates, keep the highest-``version_col`` row per ``key`` (update
+    rows win version ties — the upsert contract). The write side pairs
+    with ``write_partitioned``; with a lakehouse format (Delta/Iceberg)
+    this becomes MERGE INTO, but the logical plan is the same.
+
+    One shuffle on the key; at 100 TB you partition the snapshot on a
+    stable key prefix so the rewrite touches only affected partitions.
+    """
+    tagged_base = base.withColumn("_upd", F.lit(0))
+    tagged_upd = updates.withColumn("_upd", F.lit(1))
+    w = Window.partitionBy(key).orderBy(
+        F.desc(version_col), F.desc("_upd")
+    )
+    return (
+        tagged_base.unionByName(tagged_upd)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_upd")
+    )
+
+
+def dataset_stats(spark: SparkSession, path: str) -> dict:
+    """Physical stats of a parquet dataset via the Hadoop FileSystem API
+    (works for any scheme Spark reads): file count, total bytes, row
+    count — the numbers a compaction policy (``compact_parquet``) and a
+    capacity dashboard need."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    summary = fs.getContentSummary(p)
+    return {
+        "files": int(summary.getFileCount()),
+        "bytes": int(summary.getLength()),
+        "rows": spark.read.parquet(path).count(),
+    }

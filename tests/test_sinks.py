@@ -51,3 +51,35 @@ def test_partitioned_write_and_point_lookup(spark, tmp_path):
 
     cleanup_store(out)
     assert not os.path.isdir(out)
+
+
+def test_upsert_snapshot_keep_latest_semantics(spark):
+    from gcp_map_reduce_spark.sinks.writers import upsert_snapshot
+
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (3, 10, "c")], ["k", "v", "payload"]
+    )
+    updates = spark.createDataFrame(
+        [
+            (2, 20, "b2"),   # newer version -> replaces
+            (3, 10, "c2"),   # SAME version -> update wins the tie
+            (4, 5, "d"),     # new key -> inserted
+        ],
+        ["k", "v", "payload"],
+    )
+    got = {
+        r.k: (r.v, r.payload)
+        for r in upsert_snapshot(base, updates, key="k", version_col="v").collect()
+    }
+    assert got == {1: (10, "a"), 2: (20, "b2"), 3: (10, "c2"), 4: (5, "d")}
+
+
+def test_dataset_stats_counts_files_bytes_rows(spark, tmp_path):
+    from gcp_map_reduce_spark.sinks.writers import dataset_stats
+
+    path = str(tmp_path / "ds")
+    spark.range(1000).repartition(4).write.parquet(path)
+    stats = dataset_stats(spark, path)
+    assert stats["rows"] == 1000
+    assert stats["files"] >= 4  # 4 part files + _SUCCESS
+    assert stats["bytes"] > 0
