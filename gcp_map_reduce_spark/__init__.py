@@ -35,6 +35,8 @@ def __getattr__(name):
         "token_rarity_scores": "gcp_map_reduce_spark.operators.text_analysis",
         "lang_token_sketches": "gcp_map_reduce_spark.operators.sketches",
         "union_distinct_estimate": "gcp_map_reduce_spark.operators.sketches",
+        "upsert_snapshot": "gcp_map_reduce_spark.sinks.writers",
+        "dataset_stats": "gcp_map_reduce_spark.sinks.writers",
     }
     if name in lazy:
         import importlib
@@ -57,5 +59,7 @@ __all__ = [
     "token_rarity_scores",
     "lang_token_sketches",
     "union_distinct_estimate",
+    "upsert_snapshot",
+    "dataset_stats",
 ]
 __version__ = "0.1.0"
