@@ -1,0 +1,99 @@
+"""Cross-operator consistency at sf0.1 — the bench scale, 10x the
+driver's oracle gate. No DuckDB here (too slow at this SF); instead,
+independent operators must agree on quantities they both compute. An
+operator that silently drops or duplicates rows at larger inputs breaks
+these identities even though it passed the sf0.01 oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_map_reduce_spark.plans import registry
+
+registry.load_catalog()
+
+SF_BENCH = "/root/testdata/sf0.1"
+
+
+@pytest.fixture(scope="module")
+def q():
+    return registry.QUERIES
+
+
+def test_wordcount_totals_equal_profile_token_totals(spark, q):
+    # sum of wordcount counts == total normalized-token occurrences ==
+    # sum of text_profile's per-doc n_tokens (two independent pipelines:
+    # explode+groupBy vs per-row array size)
+    wc_total = q["wordcount"](spark, SF_BENCH).agg(F.sum("cnt")).first()[0]
+    profile_total = (
+        q["text_profile"](spark, SF_BENCH).agg(F.sum("n_tokens")).first()[0]
+    )
+    assert wc_total == profile_total
+
+
+def test_cluster_nodes_are_exactly_pair_nodes(spark, q):
+    # dedup_clusters('exact' tag) must label exactly the nodes appearing
+    # in dedup_pair_scores' ngram_jaccard pairs — no orphans, no drops
+    pairs = (
+        q["dedup_pair_scores"](spark, SF_BENCH)
+        .filter(F.col("method") == "ngram_jaccard")
+        .collect()
+    )
+    pair_nodes = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    clustered = {
+        r.doc_id
+        for r in q["dedup_clusters"](spark, SF_BENCH)
+        .filter(F.col("edge_source") == "exact")
+        .collect()
+    }
+    assert clustered == pair_nodes
+
+
+def test_shards_conserve_mixture_tokens_and_docs(spark, q):
+    mix = (
+        q["corpus_sampling"](spark, SF_BENCH)
+        .filter(F.col("strategy") == "mixture")
+        .agg(F.count("*").alias("docs"), F.sum("n_tokens").alias("toks"))
+        .first()
+    )
+    shards = (
+        q["corpus_shards"](spark, SF_BENCH)
+        .agg(F.sum("n_docs").alias("docs"), F.sum("shard_tokens").alias("toks"))
+        .first()
+    )
+    # shard packing drops zero-token docs (they occupy no budget)
+    zero_tok = (
+        q["corpus_sampling"](spark, SF_BENCH)
+        .filter((F.col("strategy") == "mixture") & (F.col("n_tokens") == 0))
+        .count()
+    )
+    assert shards.toks == mix.toks
+    assert shards.docs == mix.docs - zero_tok
+
+
+def test_curated_corpus_is_subset_of_quality_and_dedup_survivors(spark, q):
+    curated = {r.doc_id for r in q["curated_corpus"](spark, SF_BENCH).collect()}
+    quality_pass = {
+        r.doc_id
+        for r in q["text_profile"](spark, SF_BENCH)
+        .filter(F.col("passes_quality") == 1)
+        .collect()
+    }
+    # curated docs passed the (separately computed) quality gate's
+    # stricter sibling — the curation gate uses text_quality thresholds,
+    # both require >= 20-30 tokens; assert structural subset vs exact
+    # dedup keepers instead, which is an exact contract:
+    from gcp_map_reduce_spark.operators.dedup import dedup_exact_keepers
+
+    keepers = {r.doc_id for r in dedup_exact_keepers(spark, SF_BENCH).collect()}
+    assert curated <= keepers
+    # and near-dup drop rows never appear
+    drops = {
+        r.doc_b
+        for r in q["dedup_pair_scores"](spark, SF_BENCH)
+        .filter(F.col("method") == "ngram_jaccard")
+        .collect()
+    }
+    assert curated.isdisjoint(drops)
+    assert quality_pass  # quality gate still splits the corpus at sf0.1
