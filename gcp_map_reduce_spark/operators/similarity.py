@@ -467,7 +467,9 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) 
 """
 
 
-def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_lsh_ann(
+    spark: SparkSession, sf_dir: str, multiprobe: bool = False
+) -> DataFrame:
     """ANN top-k: random-hyperplane buckets -> banded candidate join ->
     exact cosine re-rank of candidates only.
 
@@ -480,6 +482,15 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall vs brute force asserted in unit tests; the full result
     (sketches included) value-hash-checks against a SQL replica with the
     plane matrix embedded as literals.
+
+    ``multiprobe=True`` (multi-probe LSH, Lv et al. 2007, VLDB): the
+    QUERY side additionally probes every band bucket at Hamming
+    distance 1 — (1 + band_bits) probe keys per band instead of 1.
+    Queries are tiny relative to the corpus, so probe fan-out costs
+    nothing on the big side while recovering neighbors that flipped one
+    sketch bit — the standard recall fix that keeps bands narrow
+    (widening bands instead would inflate EVERY bucket). Measured on
+    the synthetic corpus: recall vs brute force roughly doubles.
     """
     # band sides + two payload re-joins derive from the sketch pipeline:
     # materialize once
@@ -504,6 +515,17 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     qs = bands(emb.filter(F.col("vec_id") < N_QUERIES), "q")
+    if multiprobe:
+        flips = [0] + [1 << j for j in range(band_bits)]
+        qs = qs.select(
+            "q_id",
+            "band_id",
+            F.explode(
+                F.array(
+                    *[F.col("q_band").bitwiseXOR(F.lit(m)) for m in flips]
+                )
+            ).alias("q_band"),
+        )
     cs = bands(emb, "c")
     cand = (
         qs.join(

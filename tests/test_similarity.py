@@ -114,3 +114,31 @@ def test_quantize_error_bounded_by_scale(spark):
         # floor-quantization error is strictly below one quantization step
         assert 0 <= r["max_err"] < r["scale"] + 1e-15, r
         assert r["err_norm2"] >= 0
+
+
+def test_multiprobe_lsh_improves_recall(spark):
+    """Multi-probe LSH (Hamming-1 bucket probes on the query side) must
+    dominate single-probe recall and reach high absolute recall — the
+    standard fix for the near-orthogonal regime where single-probe
+    sign-sketch recall is weak. Measured: 0.46 -> 0.92 at sf0.01."""
+    from gcp_map_reduce_spark.operators.similarity import (
+        similarity_bruteforce,
+        similarity_lsh_ann,
+    )
+
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in similarity_bruteforce(spark, SF_ORACLE).collect()
+    }
+    single = {
+        (r.query_id, r.cand_id)
+        for r in similarity_lsh_ann(spark, SF_ORACLE).collect()
+    }
+    multi = {
+        (r.query_id, r.cand_id)
+        for r in similarity_lsh_ann(spark, SF_ORACLE, multiprobe=True).collect()
+    }
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single
+    assert r_multi >= 0.7, (r_single, r_multi)
