@@ -31,6 +31,7 @@ def __getattr__(name):
         "ensure_parallelism": "gcp_map_reduce_spark.operators.scale",
         "materialize": "gcp_map_reduce_spark.operators.scale",
         "pack_sequences": "gcp_map_reduce_spark.operators.sampling",
+        "weighted_sample": "gcp_map_reduce_spark.operators.sampling",
         "events_sliding_window": "gcp_map_reduce_spark.operators.timeseries",
         "token_rarity_scores": "gcp_map_reduce_spark.operators.text_analysis",
         "lang_token_sketches": "gcp_map_reduce_spark.operators.sketches",
@@ -55,6 +56,7 @@ __all__ = [
     "ensure_parallelism",
     "materialize",
     "pack_sequences",
+    "weighted_sample",
     "events_sliding_window",
     "token_rarity_scores",
     "lang_token_sketches",

@@ -383,3 +383,30 @@ def pack_sequences(
         (seg_start - F.col("cum")).cast("bigint").alias("doc_offset"),
         (seg_end - seg_start).cast("bigint").alias("seg_tokens"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    base_rate: float,
+    salt: str = "wsample:",
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with probability
+    ``min(1, base_rate * weight)`` decided by a content-independent hash
+    of its id (same hash-gate mechanism as the mixture sampler — stable
+    under repartitioning, retries, and engine changes, unlike
+    ``df.sample``'s per-partition RNG). ``weight_col`` is any
+    non-negative per-row score (e.g. a quality signal): weight 1/base_rate
+    or more guarantees the row survives; weight 0 guarantees it drops.
+
+    Pure per-row predicate — zero shuffle, composes with any plan.
+    """
+    bucket = (
+        portable_hash64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+        % 1_000_000
+    )
+    keep_p = F.least(
+        F.lit(1.0), F.lit(float(base_rate)) * F.col(weight_col)
+    )
+    return df.filter(bucket < keep_p * 1_000_000)

@@ -165,3 +165,35 @@ def test_pack_sequences_manifest_invariants(spark):
     for doc_id, _, _, _, seg in got:
         per_doc[doc_id] = per_doc.get(doc_id, 0) + seg
     assert per_doc == {d: n for d, n in mix}
+
+
+def test_weighted_sample_determinism_and_rates(spark):
+    """Quality-weighted hash sampling: deterministic across runs and
+    repartitionings, keep rate tracks the weight, weight >= 1/rate keeps
+    everything, weight 0 drops everything."""
+    from pyspark.sql import functions as F
+
+    from gcp_map_reduce_spark.operators.sampling import weighted_sample
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        # three weight tiers: 0, 1, 5 (with base_rate 0.2 -> 0%, 20%, 100%)
+        F.when(F.col("id") % 3 == 0, 0.0)
+        .when(F.col("id") % 3 == 1, 1.0)
+        .otherwise(5.0)
+        .alias("w"),
+    )
+    kept = weighted_sample(df, "doc_id", "w", base_rate=0.2)
+    rows = kept.collect()
+    by_tier = {0: 0, 1: 0, 2: 0}
+    for r in rows:
+        by_tier[r.doc_id % 3] += 1
+    n_tier = 20_000 // 3
+    assert by_tier[0] == 0  # weight 0 never survives
+    assert by_tier[2] >= n_tier  # weight*rate >= 1 always survives
+    assert 0.15 * n_tier <= by_tier[1] <= 0.25 * n_tier  # ~20%
+
+    again = {r.doc_id for r in weighted_sample(
+        df.repartition(17), "doc_id", "w", base_rate=0.2
+    ).collect()}
+    assert again == {r.doc_id for r in rows}
