@@ -5,6 +5,7 @@ from gcp_map_reduce_spark.streaming.file_trigger import (
     run_stream_static_enrich,
     run_stream_stream_join,
     run_streaming_dedup,
+    run_streaming_upsert,
 )
 from gcp_map_reduce_spark.streaming.near_dup import run_streaming_near_dup_dedup
 from gcp_map_reduce_spark.streaming.stateful import run_stateful_sessionize
@@ -18,4 +19,5 @@ __all__ = [
     "run_stream_stream_join",
     "run_streaming_dedup",
     "run_streaming_near_dup_dedup",
+    "run_streaming_upsert",
 ]

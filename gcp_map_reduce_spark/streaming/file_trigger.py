@@ -20,6 +20,8 @@ incremental. Two modes here:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -305,6 +307,58 @@ def run_stream_stream_join(
         joined.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_streaming_upsert(
+    spark: SparkSession,
+    updates_dir: str,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    version_col: str,
+    schema: str,
+):
+    """Streaming CDC apply: update files land in ``updates_dir``; each
+    micro-batch merges into the parquet snapshot at ``snapshot_dir`` via
+    the keep-latest ``upsert_snapshot`` contract (update rows win version
+    ties). The rewrite goes through a staging directory then swaps, so a
+    failure mid-write never destroys the previous snapshot, and replayed
+    batches (checkpoint recovery) are idempotent — re-applying the same
+    updates yields the same snapshot.
+
+    At 100 TB the snapshot is partitioned on a stable key prefix and the
+    merge rewrites only affected partitions (or becomes MERGE INTO on a
+    lakehouse table format); the micro-batch logic is unchanged.
+    """
+    import shutil
+
+    from gcp_map_reduce_spark.sinks.writers import upsert_snapshot
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        if os.path.isdir(snapshot_dir):
+            base = spark.read.parquet(snapshot_dir)
+            merged = upsert_snapshot(base, batch_df, key, version_col)
+        else:
+            # first batch: dedupe the batch itself by the same contract
+            merged = upsert_snapshot(
+                batch_df.limit(0), batch_df, key, version_col
+            )
+        staging = snapshot_dir + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(snapshot_dir):
+            shutil.rmtree(snapshot_dir)
+        os.rename(staging, snapshot_dir)
+
+    reader = spark.readStream.schema(schema)
+    return (
+        reader.parquet(updates_dir)
+        .writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -384,3 +384,57 @@ def test_sliding_event_counts_matches_batch(spark, tmp_path):
     }
     for key, v in emitted.items():
         assert want.get(key) == v, key
+
+
+def test_streaming_upsert_matches_batch_merge(spark, tmp_path):
+    """CDC apply: two micro-batch waves of update files merged into a
+    parquet snapshot must equal one batch upsert of all updates — and a
+    second wave must supersede the first on version."""
+    from gcp_map_reduce_spark.sinks.writers import upsert_snapshot
+    from gcp_map_reduce_spark.streaming.file_trigger import run_streaming_upsert
+
+    schema = "k bigint, v bigint, payload string"
+    updates = tmp_path / "updates"
+    snapshot = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt_upsert")
+    updates.mkdir()
+
+    import glob as _glob
+    import shutil as _shutil
+
+    def land(df, name):
+        # the file stream source ignores non-partition subdirectories:
+        # stage the write, then move its part files to the watched root
+        stage = str(updates) + f".stage_{name}"
+        df.coalesce(1).write.parquet(stage)
+        for i, f in enumerate(_glob.glob(f"{stage}/part-*.parquet")):
+            _shutil.move(f, str(updates / f"{name}_{i}.parquet"))
+        _shutil.rmtree(stage)
+
+    wave1 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (3, 10, "c")], schema
+    )
+    land(wave1, "w1")
+    q = run_streaming_upsert(
+        spark, str(updates), snapshot, ckpt, key="k", version_col="v",
+        schema=schema,
+    )
+    q.awaitTermination(120)
+    first = {r.k: (r.v, r.payload) for r in spark.read.parquet(snapshot).collect()}
+    assert first == {1: (10, "a"), 2: (10, "b"), 3: (10, "c")}
+
+    wave2 = spark.createDataFrame(
+        [(2, 20, "b2"), (4, 5, "d"), (3, 10, "c2")], schema
+    )
+    land(wave2, "w2")
+    q = run_streaming_upsert(
+        spark, str(updates), snapshot, ckpt, key="k", version_col="v",
+        schema=schema,
+    )
+    q.awaitTermination(120)
+    got = {r.k: (r.v, r.payload) for r in spark.read.parquet(snapshot).collect()}
+
+    batch = upsert_snapshot(wave1, wave2, key="k", version_col="v")
+    want = {r.k: (r.v, r.payload) for r in batch.collect()}
+    assert got == want
+    assert got[2] == (20, "b2") and got[4] == (5, "d") and got[3] == (10, "c2")
