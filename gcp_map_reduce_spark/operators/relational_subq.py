@@ -356,15 +356,28 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     same fact table with different residuals (the original's
     receipt-past-commit predicate maps to shipdate ordering here).
 
-    Plan: all three lineitem legs shuffle on l_orderkey (one exchange
-    each, AQE-coalesced); orders filter pushes to its scan; supplier
-    broadcast; final top-k is TakeOrderedAndProject."""
+    Plan: the semi/anti legs are SHUFFLE-HASH joins on l_orderkey
+    (``hint("shuffle_hash")``), never broadcasts. Left to its own size
+    estimates at bench scale Spark broadcasts the two lineitem build
+    sides, which serializes two fact-sized HashedRelation builds plus
+    the whole probe on one core (the testdata is a single row group →
+    single scan task); measured 1.5-1.8 s vs ~1.0 s for the shuffled
+    plan at sf0.1. At 100 TB the fact table can never broadcast anyway,
+    so forcing the shuffle join is both the fast local plan and the
+    only viable cluster plan; SHJ over SMJ skips sorting three
+    fact-table copies. All three legs project the SAME three columns so
+    the scans stay identical (exchange-reuse eligible; the semi leg
+    ignores the extra column at probe time). Orders and supplier carry
+    NO broadcast hint — both scale with SF (at 100 TB neither fits an
+    executor), so AQE decides: it broadcasts them at bench scale and
+    falls back to shuffle joins on a cluster. Final top-k is
+    TakeOrderedAndProject."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     l1 = li.alias("l1")
-    l2 = li.alias("l2")
-    l3 = li.alias("l3")
+    l2 = li.hint("shuffle_hash").alias("l2")
+    l3 = li.hint("shuffle_hash").alias("l3")
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
@@ -378,10 +391,10 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l3.l_shipdate") >= F.col("l1.l_shipdate"))
     )
     return (
-        l1.join(orders, F.col("l1.l_orderkey") == F.col("o_orderkey"))
-        .join(l2, sib, "left_semi")
+        l1.join(l2, sib, "left_semi")
         .join(l3, later, "left_anti")
-        .join(F.broadcast(supp), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l1.l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l1.l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
