@@ -68,6 +68,7 @@ def upsert_snapshot(
     updates: DataFrame,
     key: str,
     version_col: str,
+    seq_col: str | None = None,
 ) -> DataFrame:
     """CDC-style keep-latest merge without a table format: union base and
     updates, keep the highest-``version_col`` row per ``key`` (update
@@ -75,14 +76,26 @@ def upsert_snapshot(
     with ``write_partitioned``; with a lakehouse format (Delta/Iceberg)
     this becomes MERGE INTO, but the logical plan is the same.
 
+    Tie policy: version desc, then update-over-base, then ``seq_col``
+    desc when the caller has a source sequence/offset column, and as the
+    final resort a deterministic hash of the full row. Without that last
+    term two UPDATE rows carrying the same (key, version) — possible
+    inside one CDC micro-batch — would tie in the window and
+    ``row_number`` would pick an ARBITRARY winner, so a replayed/retried
+    batch could produce a different snapshot; the hash makes the winner
+    stable across retries (which row wins among true duplicates is
+    unspecified but fixed).
+
     One shuffle on the key; at 100 TB you partition the snapshot on a
     stable key prefix so the rewrite touches only affected partitions.
     """
     tagged_base = base.withColumn("_upd", F.lit(0))
     tagged_upd = updates.withColumn("_upd", F.lit(1))
-    w = Window.partitionBy(key).orderBy(
-        F.desc(version_col), F.desc("_upd")
-    )
+    order = [F.desc(version_col), F.desc("_upd")]
+    if seq_col is not None:
+        order.append(F.desc(seq_col))
+    order.append(F.desc(F.xxhash64(*[F.col(c) for c in updates.columns])))
+    w = Window.partitionBy(key).orderBy(*order)
     return (
         tagged_base.unionByName(tagged_upd)
         .withColumn("_rn", F.row_number().over(w))

@@ -325,10 +325,18 @@ def run_streaming_upsert(
     """Streaming CDC apply: update files land in ``updates_dir``; each
     micro-batch merges into the parquet snapshot at ``snapshot_dir`` via
     the keep-latest ``upsert_snapshot`` contract (update rows win version
-    ties). The rewrite goes through a staging directory then swaps, so a
-    failure mid-write never destroys the previous snapshot, and replayed
-    batches (checkpoint recovery) are idempotent — re-applying the same
-    updates yields the same snapshot.
+    ties). The rewrite goes through a staging directory and is promoted
+    BY RENAME — write staging, move the live snapshot aside to ``.old``,
+    rename staging into place, delete ``.old`` — so a crash at ANY point
+    leaves either the previous snapshot or both directories, never
+    neither. (The naive delete-then-rename order has a window where only
+    staging exists; a checkpoint replay entering then would take the
+    first-batch path and silently rebuild the snapshot from that one
+    batch.) Each batch starts by recovering any ``.old``/staging
+    leftovers from a prior crash, and replayed batches (checkpoint
+    recovery, at-least-once foreachBatch) are idempotent — re-applying
+    the same updates yields the same snapshot
+    (``tests/test_streaming.py`` asserts both).
 
     At 100 TB the snapshot is partitioned on a stable key prefix and the
     merge rewrites only affected partitions (or becomes MERGE INTO on a
@@ -338,7 +346,18 @@ def run_streaming_upsert(
 
     from gcp_map_reduce_spark.sinks.writers import upsert_snapshot
 
+    staging = snapshot_dir + ".staging"
+    old = snapshot_dir + ".old"
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # crash recovery: a leftover .old means a previous promote died
+        # between its renames — roll forward (snapshot present: drop
+        # .old) or roll back (snapshot missing: .old IS the snapshot).
+        if os.path.isdir(old):
+            if os.path.isdir(snapshot_dir):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, snapshot_dir)
         if not batch_df.head(1):
             return
         if os.path.isdir(snapshot_dir):
@@ -349,11 +368,13 @@ def run_streaming_upsert(
             merged = upsert_snapshot(
                 batch_df.limit(0), batch_df, key, version_col
             )
-        staging = snapshot_dir + ".staging"
+        # mode("overwrite") clobbers any stale staging from a crash
         merged.write.mode("overwrite").parquet(staging)
         if os.path.isdir(snapshot_dir):
-            shutil.rmtree(snapshot_dir)
+            os.rename(snapshot_dir, old)
         os.rename(staging, snapshot_dir)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
 
     reader = spark.readStream.schema(schema)
     return (

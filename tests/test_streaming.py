@@ -438,3 +438,78 @@ def test_streaming_upsert_matches_batch_merge(spark, tmp_path):
     want = {r.k: (r.v, r.payload) for r in batch.collect()}
     assert got == want
     assert got[2] == (20, "b2") and got[4] == (5, "d") and got[3] == (10, "c2")
+
+
+def test_streaming_upsert_idempotent_and_crash_safe(spark, tmp_path):
+    """foreachBatch is at-least-once: re-applying the SAME updates to the
+    snapshot must be a no-op (keep-latest + deterministic tiebreak), and
+    a crash mid-promote (leftover .old / .staging dirs) must recover to
+    the previous snapshot, never the first-batch path."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from gcp_map_reduce_spark.streaming.file_trigger import run_streaming_upsert
+
+    schema = "k bigint, v bigint, payload string"
+    updates = tmp_path / "updates"
+    snapshot = str(tmp_path / "snapshot")
+    updates.mkdir()
+
+    def land(df, name):
+        stage = str(updates) + f".stage_{name}"
+        df.coalesce(1).write.parquet(stage)
+        for i, f in enumerate(_glob.glob(f"{stage}/part-*.parquet")):
+            _shutil.move(f, str(updates / f"{name}_{i}.parquet"))
+        _shutil.rmtree(stage)
+
+    # duplicate (key, version) rows INSIDE one batch: winner must be
+    # deterministic so retries converge
+    wave = spark.createDataFrame(
+        [(1, 10, "x"), (1, 10, "y"), (2, 7, "b")], schema
+    )
+    land(wave, "w1")
+    q = run_streaming_upsert(
+        spark, str(updates), snapshot, str(tmp_path / "ck1"),
+        key="k", version_col="v", schema=schema,
+    )
+    q.awaitTermination(120)
+    first = sorted(map(tuple, spark.read.parquet(snapshot).collect()))
+    assert len(first) == 2
+
+    # replay: fresh checkpoint => the SAME files are re-applied to the
+    # existing snapshot (exactly what an at-least-once redelivery does)
+    q = run_streaming_upsert(
+        spark, str(updates), snapshot, str(tmp_path / "ck2"),
+        key="k", version_col="v", schema=schema,
+    )
+    q.awaitTermination(120)
+    replayed = sorted(map(tuple, spark.read.parquet(snapshot).collect()))
+    assert replayed == first
+
+    # crash between the two promote renames: only .old exists — the next
+    # batch must roll it back instead of treating it as a first batch
+    _os.rename(snapshot, snapshot + ".old")
+    land(spark.createDataFrame([(3, 1, "c")], schema), "w2")
+    q = run_streaming_upsert(
+        spark, str(updates), snapshot, str(tmp_path / "ck3"),
+        key="k", version_col="v", schema=schema,
+    )
+    q.awaitTermination(120)
+    got = {r.k: (r.v, r.payload) for r in spark.read.parquet(snapshot).collect()}
+    assert set(got) == {1, 2, 3}  # base survived the simulated crash
+    assert not _os.path.isdir(snapshot + ".old")
+    assert not _os.path.isdir(snapshot + ".staging")
+
+    # crash after promote but before .old cleanup: snapshot AND .old —
+    # recovery drops .old and keeps the live snapshot
+    _shutil.copytree(snapshot, snapshot + ".old")
+    land(spark.createDataFrame([(4, 1, "d")], schema), "w3")
+    q = run_streaming_upsert(
+        spark, str(updates), snapshot, str(tmp_path / "ck4"),
+        key="k", version_col="v", schema=schema,
+    )
+    q.awaitTermination(120)
+    got = {r.k for r in spark.read.parquet(snapshot).collect()}
+    assert got == {1, 2, 3, 4}
+    assert not _os.path.isdir(snapshot + ".old")
