@@ -46,9 +46,18 @@ EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 # area code, then xxx[-. ]xxxx. The separator before the final 4 digits is
 # REQUIRED so bare 7-digit integers don't redact. Covers +1-555-0123,
 # 555-867-5309, (555) 867-5309, +1 (555) 867-5309, 555.867.5309.
+# The left edge is guarded by a CONSUMED capture group (start-of-string or
+# a non-digit/dot/dash char) so the tail of a longer digit run never
+# redacts ('98765-4321' must not scrub '765-4321', nor dotted IDs like
+# '1.234.5678'). A lookbehind would be cleaner but RE2 (the DuckDB oracle
+# engine) has none, so replacements must restore the guard char:
+# PHONE_REPL_SPARK / PHONE_REPL_SQL.
 PHONE_RE = (
-    "(\\+1[-. ])?(\\([0-9]{3}\\)[ ]?|[0-9]{3}[-. ])?[0-9]{3}[-. ][0-9]{4}\\b"
+    "(^|[^0-9.-])(\\+1[-. ])?(\\([0-9]{3}\\)[ ]?|[0-9]{3}[-. ])?"
+    "[0-9]{3}[-. ][0-9]{4}\\b"
 )
+PHONE_REPL_SPARK = "$1<PHONE>"  # Java replacement backref syntax
+PHONE_REPL_SQL = "\\1<PHONE>"  # RE2 rewrite backref syntax (DuckDB)
 IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
 # Gopher-style gate thresholds, centered on the synthetic corpus medians
@@ -79,7 +88,7 @@ scrubbed AS (
     regexp_replace(
       regexp_replace(
         regexp_replace(salted, '{EMAIL_RE}', '<EMAIL>', 'g'),
-        '{PHONE_RE}', '<PHONE>', 'g'),
+        '{PHONE_RE}', '{PHONE_REPL_SQL}', 'g'),
       '{IPV4_RE}', '<IP>', 'g') AS clean
   FROM salted)
 SELECT doc_id, n_emails, n_phones, n_ips,
@@ -109,7 +118,9 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(salted, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+            F.regexp_replace(salted, EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            PHONE_REPL_SPARK,
         ),
         IPV4_RE,
         "<IP>",

@@ -72,9 +72,33 @@ def asof_join(
     per key, and a windowed union scales exactly like any other window
     (AQE handles hot keys). Ties on ``on`` order the RIGHT row first, so
     a same-instant right row counts as "prior-or-same".
+
+    Input contract (validated, not assumed): the internal tag columns
+    ``_src``/``_rp``/``_m`` must not collide with caller columns, and
+    any left column the right side also carries must have the SAME type
+    — the union would otherwise silently coerce or corrupt it.
     """
     by = [by] if isinstance(by, str) else list(by)
     on = [on] if isinstance(on, str) else list(on)
+    reserved = {"_src", "_rp", "_m"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join: input columns collide with internal names "
+            f"{sorted(clash)}; rename them first"
+        )
+    left_t = {f.name: f.dataType for f in left.schema.fields}
+    right_t = {f.name: f.dataType for f in right.schema.fields}
+    mismatched = [
+        c
+        for c in left.columns
+        if c in right_t and right_t[c] != left_t[c]
+    ]
+    if mismatched:
+        raise TypeError(
+            "asof_join: shared columns differ in type between left and "
+            f"right: {[(c, str(left_t[c]), str(right_t[c])) for c in mismatched]}"
+        )
     payload = F.struct(*[F.col(c).alias(c) for c in right_cols])
     null_payload = F.lit(None).cast(
         right.select(payload.alias("p")).schema["p"].dataType

@@ -1,8 +1,10 @@
 """PII redaction unit tests: the phone pattern must cover real NANP
 formats (not just the injected fixture format — the r3/r4 verdict carry),
-and Spark and DuckDB must agree on every variant (the regex lives in the
-Java/RE2 common subset; divergence here would silently break the oracle
-hash)."""
+must NOT over-scrub inside longer digit runs (the r5 advice carry: the
+left edge is guarded), and Spark and DuckDB must agree on every variant
+(the regex lives in the Java/RE2 common subset — no lookbehind — so the
+guard is a consumed capture group each engine's replacement restores;
+divergence here would silently break the oracle hash)."""
 
 from __future__ import annotations
 
@@ -10,7 +12,11 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
-from gcp_map_reduce_spark.operators.curation_rules import PHONE_RE
+from gcp_map_reduce_spark.operators.curation_rules import (
+    PHONE_RE,
+    PHONE_REPL_SPARK,
+    PHONE_REPL_SQL,
+)
 
 REDACTED = [
     "+1-555-0123",
@@ -26,46 +32,55 @@ KEPT = [
     "version 1.2.3456",  # needs 3-digit group before the separator
     "10.0.203.7",  # IPv4 is the IP rule's job
     "order 1234567",  # bare 7-digit integer
+    "98765-4321",  # tail of a longer digit run must not scrub (left guard)
+    "1.234.5678",  # dotted numeric ID must not scrub (left guard)
+    "id 9-867-5309",  # digit-dash prefix: not a standalone phone
 ]
 
 
-@pytest.mark.parametrize("s", REDACTED)
-def test_phone_variants_redacted(spark, s):
-    out = (
-        spark.createDataFrame([(f"call {s} now",)], ["t"])
+def _spark_scrub(spark, text):
+    return (
+        spark.createDataFrame([(text,)], ["t"])
         .select(
-            F.regexp_replace("t", PHONE_RE, "<PHONE>").alias("clean"),
+            F.regexp_replace("t", PHONE_RE, PHONE_REPL_SPARK).alias("clean"),
             F.size(F.regexp_extract_all("t", F.lit(PHONE_RE), F.lit(0))).alias("n"),
         )
         .first()
     )
+
+
+@pytest.mark.parametrize("s", REDACTED)
+def test_phone_variants_redacted(spark, s):
+    out = _spark_scrub(spark, f"call {s} now")
     assert out.clean == "call <PHONE> now", (s, out.clean)
     assert out.n == 1
 
 
 @pytest.mark.parametrize("s", KEPT)
 def test_non_phones_kept(spark, s):
-    out = (
-        spark.createDataFrame([(f"x {s} y",)], ["t"])
-        .select(F.regexp_replace("t", PHONE_RE, "<PHONE>").alias("clean"))
-        .first()
-    )
+    out = _spark_scrub(spark, f"x {s} y")
     assert out.clean == f"x {s} y", (s, out.clean)
+
+
+def test_phone_at_string_start_redacted(spark):
+    # the guard's ^ alternative: no preceding char to consume
+    out = _spark_scrub(spark, "555-867-5309 called")
+    assert out.clean == "<PHONE> called"
+    assert out.n == 1
+
+
+def test_adjacent_phones_both_redacted(spark):
+    out = _spark_scrub(spark, "a 555-867-5309 555.867.5309 b")
+    assert out.clean == "a <PHONE> <PHONE> b"
+    assert out.n == 2
 
 
 @pytest.mark.parametrize("s", REDACTED + KEPT)
 def test_spark_duckdb_agree_on_phone_regex(spark, s):
     text = f"call {s} now"
-    spark_row = (
-        spark.createDataFrame([(text,)], ["t"])
-        .select(
-            F.regexp_replace("t", PHONE_RE, "<PHONE>").alias("clean"),
-            F.size(F.regexp_extract_all("t", F.lit(PHONE_RE), F.lit(0))).alias("n"),
-        )
-        .first()
-    )
+    spark_row = _spark_scrub(spark, text)
     duck = duckdb.sql(
-        f"SELECT regexp_replace('{text}', '{PHONE_RE}', '<PHONE>', 'g') AS clean, "
+        f"SELECT regexp_replace('{text}', '{PHONE_RE}', '{PHONE_REPL_SQL}', 'g') AS clean, "
         f"len(regexp_extract_all('{text}', '{PHONE_RE}')) AS n"
     ).fetchone()
     assert (spark_row.clean, spark_row.n) == duck, (s, spark_row, duck)

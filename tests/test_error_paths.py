@@ -68,3 +68,21 @@ def test_codec_registry_unknown_modality():
 
     with pytest.raises(KeyError, match="no codec registered.*text-as-bytes"):
         decode_media(b"x", "jpeg")
+
+
+def test_asof_join_rejects_reserved_column_names(spark):
+    from gcp_map_reduce_spark.operators.relational_ext import asof_join
+
+    left = spark.createDataFrame([(1, 10, "x")], "k bigint, t bigint, _src string")
+    right = spark.createDataFrame([(1, 5, 1.0)], "k bigint, t bigint, v double")
+    with pytest.raises(ValueError, match="collide with internal names"):
+        asof_join(left, right, by="k", on="t", right_cols=["v"])
+
+
+def test_asof_join_rejects_shared_column_type_mismatch(spark):
+    from gcp_map_reduce_spark.operators.relational_ext import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k bigint, t bigint")
+    right = spark.createDataFrame([(1, "5", 1.0)], "k bigint, t string, v double")
+    with pytest.raises(TypeError, match="differ in type"):
+        asof_join(left, right, by="k", on="t", right_cols=["v"])
