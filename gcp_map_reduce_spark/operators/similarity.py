@@ -198,16 +198,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the band self-join carries IDS ONLY (vec_a, vec_b) —
     payloads re-join after candidate dedup, so the big exchange is two
-    longs wide. The all-pairs oracle stays valid because the 8x2 banding
+    longs wide — and the checkpoint is SKINNY: only (vec_id, sketch),
+    two longs per vector, feeds the band join. Payload vectors for the
+    exact re-rank re-read from the source scan instead (the candidate
+    set is tiny, and re-reading beats checkpointing the whole corpus —
+    the previous shape materialized embedding+norm alongside the sketch,
+    which at 100 TB checkpoints the entire corpus to executor storage).
+    The all-pairs oracle stays valid because the 8x2 banding
     (see DEDUP_BANDS) captures every qualifying pair at oracle scale;
     ``embedding_near_dup_pairs_exact`` is the library verifier and
-    ``tests/test_similarity.py`` asserts banded == exact."""
-    emb = materialize(
-        lsh_sketch(_with_norm2(_emb(spark, sf_dir)))
+    ``tests/test_similarity.py`` asserts banded == exact (checkpoint
+    width is plan-asserted in ``tests/test_plans.py``)."""
+    sk = materialize(
+        lsh_sketch(_emb(spark, sf_dir)).select("vec_id", "sketch")
     )
     band_bits = N_PLANES // DEDUP_BANDS
     mask = (1 << band_bits) - 1
-    bands = emb.select(
+    bands = sk.select(
         "vec_id",
         F.posexplode(
             F.array(
@@ -231,10 +238,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    pa = emb.select(
+    src = _with_norm2(_emb(spark, sf_dir))
+    pa = src.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ae"), F.col("n2").alias("an2")
     )
-    pb = emb.select(
+    pb = src.select(
         F.col("vec_id").alias("vec_b"), F.col("e").alias("be"), F.col("n2").alias("bn2")
     )
     cosine = _dot(F.col("ae"), F.col("be")) / F.sqrt(F.col("an2") * F.col("bn2"))

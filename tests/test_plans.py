@@ -168,3 +168,23 @@ def test_q4_exists_becomes_semi_join(spark):
     assert "LeftSemi" in plan
     # date range reaches the orders scan (whichever scan it is)
     assert any("o_orderdate" in p for p in _pushed_filters(plan)), plan
+
+
+def test_embedding_dedup_checkpoint_is_skinny(spark):
+    # the materialized band-join input must be (vec_id, sketch) ONLY —
+    # two longs per vector. A checkpoint that also carries the embedding
+    # payload/norm checkpoints the whole corpus at 100 TB. The payload
+    # re-rank must instead re-read the parquet source (scan visible in
+    # the same plan).
+    from gcp_map_reduce_spark.operators.similarity import dedup_embedding_cosine
+
+    df = dedup_embedding_cosine(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    rdd_scans = re.findall(r"Scan ExistingRDD\[([^\]]*)\]", plan)
+    assert rdd_scans, plan  # the localCheckpoint shows as ExistingRDD
+    for cols in rdd_scans:
+        names = [c.split("#")[0].strip() for c in cols.split(",")]
+        assert names == ["vec_id", "sketch"], names
+    assert "Scan parquet" in plan or "FileScan parquet" in plan, plan
