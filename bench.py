@@ -79,6 +79,7 @@ def build_overrides() -> dict:
     from gcp_map_reduce_spark.operators import udf_plugin
     from gcp_map_reduce_spark.operators.dedup import dedup_clusters, dedup_minhash
     from gcp_map_reduce_spark.operators.relational_subq import q21_waiting_suppliers
+    from gcp_map_reduce_spark.operators.sampling import corpus_shards
     from gcp_map_reduce_spark.operators.similarity import (
         semantic_search_docs,
         similarity_ivf_ann,
@@ -87,6 +88,7 @@ def build_overrides() -> dict:
 
     return {
         "dedup_minhash": lambda s, d: dedup_minhash(s, d, fast_hash=True),
+        "corpus_shards": corpus_shards,
         "dedup_clusters": lambda s, d: dedup_clusters(s, d, edge_source="exact"),
         "similarity_ivf_ann": similarity_ivf_ann,
         "similarity_lsh_ann": similarity_lsh_ann,

@@ -786,13 +786,6 @@ def agg_multidim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"), dsum("o_totalprice", "total", 2))
 
 
-@query(
-    "topk_orders",
-    oracle="""
-SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
-""",
-)
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: compiles to TakeOrderedAndProject (per-partition heap
     + driver merge of k rows), not a full distributed sort."""
@@ -800,6 +793,65 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select("o_orderkey", "o_custkey", "o_totalprice").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     ).limit(15)
+
+
+GROUPED_TOPK_K = 5
+
+
+@query(
+    "topk_orders",
+    oracle=f"""
+SELECT 'global' AS scope, CAST(NULL AS VARCHAR) AS grp,
+       o_orderkey, o_custkey, o_totalprice
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+)
+UNION ALL
+SELECT 'grouped', o_orderpriority, o_orderkey, o_custkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_custkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_orderpriority
+      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= {GROUPED_TOPK_K}
+""",
+)
+def topk_orders_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k family, tagged: the global top-15 (TakeOrderedAndProject —
+    :func:`topk_orders`) plus the skew-safe two-phase salted per-group
+    top-:data:`GROUPED_TOPK_K` by order priority
+    (:func:`gcp_map_reduce_spark.operators.scale.grouped_topk` — local
+    top-k per (group, salt) then top-k of the survivors, so a hot group
+    never sorts in one task). The oracle's grouped branch is the plain
+    one-window form — the salted decomposition must produce identical
+    rows, which is exactly the property worth value-checking."""
+    from gcp_map_reduce_spark.operators.scale import grouped_topk
+
+    glob = topk_orders(spark, sf_dir).select(
+        F.lit("global").alias("scope"),
+        F.lit(None).cast("string").alias("grp"),
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    grouped = grouped_topk(
+        orders,
+        by="o_orderpriority",
+        order_col="o_totalprice",
+        tiebreak_col="o_orderkey",
+        k=GROUPED_TOPK_K,
+    ).select(
+        F.lit("grouped").alias("scope"),
+        F.col("o_orderpriority").alias("grp"),
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+    )
+    return glob.unionByName(grouped)
 
 
 @query(

@@ -146,7 +146,6 @@ def corpus_shards_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_RANGE_GROUPS = 32  # scale-out cumsum: number of range groups
 
 
-@query("corpus_shards", oracle=_SHARDS_ORACLE)
 def corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard manifest: the mixture sample packed into consecutive
     ~SHARD_TOKEN_BUDGET-token shards, one row per shard with its doc range
@@ -272,6 +271,11 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- registered suite ------------------------------------------------------
 
 
+WEIGHTED_BASE_RATE = 0.5  # registered weighted branch: P(keep) =
+# min(1, 0.5 * n_tokens / 56) — the corpus median length (56 tokens)
+# keeps at ~50%, docs >= 2x median always survive
+
+
 @query(
     "corpus_sampling",
     oracle=f"""
@@ -282,14 +286,25 @@ FROM ({_MIXTURE_ORACLE})
 UNION ALL
 SELECT 'stratified', doc_id, lang, rk, NULL, NULL, split
 FROM ({_STRATIFIED_ORACLE})
+UNION ALL
+SELECT 'weighted', doc_id, lang, NULL, NULL, CAST(n_tokens AS BIGINT), NULL
+FROM (
+  SELECT doc_id, lang, {_N_TOKENS_SQL} AS n_tokens FROM documents
+)
+WHERE {sql_portable_hash64("'wsample:' || CAST(doc_id AS VARCHAR)")} % 1000000
+  < LEAST(1.0, {WEIGHTED_BASE_RATE} * (n_tokens / 56.0)) * 1000000
 """,
 )
 def corpus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both corpus-sampling strategies in one tagged union: the
+    """The three corpus-sampling strategies in one tagged union: the
     per-language Bernoulli mixture (k1=hash bucket, k2=rate permille,
-    with each survivor's token count) and the exact-K stratified sample
-    with train/val/test splits (k1=rank). Independent zero/one-shuffle
-    plans; the union is a shuffle-free concatenation."""
+    with each survivor's token count), the exact-K stratified sample
+    with train/val/test splits (k1=rank), and the quality-weighted
+    deterministic sample (:func:`weighted_sample` with token count over
+    corpus-median as the weight — longer docs keep with proportionally
+    higher probability, hash-gated so the oracle reproduces the exact
+    survivor set). Independent zero/one-shuffle plans; the union is a
+    shuffle-free concatenation."""
     mix = corpus_mixture(spark, sf_dir).select(
         F.lit("mixture").alias("strategy"),
         "doc_id",
@@ -308,7 +323,27 @@ def corpus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n_tokens"),
         "split",
     )
-    return mix.unionByName(strat)
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(
+            F.split(normalize_text(F.col("text")), WS_SPLIT), lambda t: t != ""
+        )
+    ).cast("long")
+    wdf = docs.select("doc_id", "lang", n_tokens.alias("n_tokens")).withColumn(
+        "w", F.col("n_tokens") / 56.0
+    )
+    weighted = weighted_sample(
+        wdf, "doc_id", "w", base_rate=WEIGHTED_BASE_RATE
+    ).select(
+        F.lit("weighted").alias("strategy"),
+        "doc_id",
+        "lang",
+        F.lit(None).cast("bigint").alias("k1"),
+        F.lit(None).cast("bigint").alias("k2"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.lit(None).cast("string").alias("split"),
+    )
+    return mix.unionByName(strat).unionByName(weighted)
 
 
 SEQ_LEN_DEFAULT = 2048
@@ -410,3 +445,83 @@ def weighted_sample(
         F.lit(1.0), F.lit(float(base_rate)) * F.col(weight_col)
     )
     return df.filter(bucket < keep_p * 1_000_000)
+
+
+_SEQ_ROLLUP_ORACLE = f"""
+WITH mix2 AS (
+  SELECT doc_id, {_N_TOKENS_SQL} AS n_tokens
+  FROM documents
+  WHERE {sql_portable_hash64("CAST(doc_id AS VARCHAR)")} % 1000 < {_sql_rate('lang')}
+),
+packed2 AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM mix2
+),
+nz AS (SELECT * FROM packed2 WHERE n_tokens > 0),
+seg AS (
+  SELECT doc_id, n_tokens, cum,
+    unnest(generate_series(
+      CAST(floor(cum / {SEQ_LEN_DEFAULT}.0) AS BIGINT),
+      CAST(floor((cum + n_tokens - 1) / {SEQ_LEN_DEFAULT}.0) AS BIGINT)
+    )) AS seq_id
+  FROM nz),
+segs AS (
+  SELECT doc_id, seq_id,
+    LEAST((seq_id + 1) * {SEQ_LEN_DEFAULT}, cum + n_tokens)
+      - GREATEST(seq_id * {SEQ_LEN_DEFAULT}, cum) AS seg_tokens
+  FROM seg)
+SELECT 'sequence' AS kind, seq_id AS shard_id, count(*) AS n_docs,
+  CAST(SUM(seg_tokens) AS BIGINT) AS shard_tokens,
+  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM segs GROUP BY seq_id
+"""
+
+
+@query(
+    "corpus_shards",
+    oracle=f"""
+SELECT 'shard' AS kind, shard_id, n_docs, shard_tokens, first_doc, last_doc
+FROM ({_SHARDS_ORACLE})
+UNION ALL
+SELECT * FROM ({_SEQ_ROLLUP_ORACLE})
+""",
+)
+def corpus_shards_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-manifest family, tagged: the token-budget shard manifest
+    (kind='shard' — :func:`corpus_shards`, the two-level cumsum) plus a
+    per-sequence rollup of the fixed-length training-sequence packing
+    manifest (kind='sequence' — :func:`pack_sequences` grouped by
+    sequence: segment count, realized tokens, doc range). The rollup
+    value-checks the whole packing machinery — cumsum offsets, boundary
+    explode, segment arithmetic — against the oracle's one-window
+    reference form; the per-segment manifest itself stays library API
+    (its invariants are pytest-gated in ``tests/test_sampling.py``)."""
+    shards = corpus_shards(spark, sf_dir).select(
+        F.lit("shard").alias("kind"),
+        "shard_id",
+        "n_docs",
+        "shard_tokens",
+        "first_doc",
+        "last_doc",
+    )
+    seqs = (
+        pack_sequences(spark, sf_dir)
+        .groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("seg_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .select(
+            F.lit("sequence").alias("kind"),
+            F.col("seq_id").alias("shard_id"),
+            "n_docs",
+            "shard_tokens",
+            "first_doc",
+            "last_doc",
+        )
+    )
+    return shards.unionByName(seqs)

@@ -26,9 +26,7 @@ from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
 
-@query(
-    "events_resample_hourly",
-    oracle="""
+_RESAMPLE_ORACLE = """
 WITH hourly AS (
   SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events,
     CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
@@ -46,8 +44,9 @@ SELECT s.user_id, s.hour,
     PARTITION BY s.user_id ORDER BY s.hour
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
 FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
-""",
-)
+"""
+
+
 def events_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user hourly grid from first to last active hour: observed rows
     keep their aggregate, gaps get n_events=0 and the forward-filled last
@@ -122,3 +121,55 @@ def events_sliding_window(
             "total_value",
         )
     )
+
+
+@query(
+    "events_resample_hourly",
+    oracle=f"""
+SELECT 'resample_hourly' AS series, user_id, hour AS t,
+       CAST(NULL AS TIMESTAMP) AS t_end, CAST(NULL AS VARCHAR) AS k,
+       n_events AS n, total_value, filled_value
+FROM ({_RESAMPLE_ORACLE})
+UNION ALL
+SELECT 'sliding_2h_1h', NULL, w_start, w_start + INTERVAL 2 HOUR,
+       event_type, n, total_value, NULL
+FROM (
+  SELECT date_trunc('hour', ts) - to_hours(o) AS w_start, event_type,
+    count(*) AS n,
+    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+  FROM events CROSS JOIN (VALUES (0), (1)) AS offs(o)
+  GROUP BY 1, 2
+)
+""",
+)
+def events_timeseries_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event time-series family, tagged: the per-user hourly grid with
+    gap-fill (series='resample_hourly' — :func:`events_resample_hourly`)
+    plus the sliding event-time windows (series='sliding_2h_1h' —
+    :func:`events_sliding_window`, 2-hour windows sliding hourly). The
+    oracle reproduces Spark's ``F.window`` replication arithmetic
+    directly: with slide=1h each event belongs to exactly the windows
+    starting at trunc_hour(ts) and trunc_hour(ts)-1h, so a 2-offset
+    cross join + group-by is the engine-independent twin."""
+    nullts = F.lit(None).cast("timestamp")
+    res = events_resample_hourly(spark, sf_dir).select(
+        F.lit("resample_hourly").alias("series"),
+        "user_id",
+        F.col("hour").alias("t"),
+        nullts.alias("t_end"),
+        F.lit(None).cast("string").alias("k"),
+        F.col("n_events").alias("n"),
+        "total_value",
+        "filled_value",
+    )
+    sliding = events_sliding_window(spark, sf_dir).select(
+        F.lit("sliding_2h_1h").alias("series"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.col("w_start").alias("t"),
+        F.col("w_end").alias("t_end"),
+        F.col("event_type").alias("k"),
+        "n",
+        "total_value",
+        F.lit(None).cast("double").alias("filled_value"),
+    )
+    return res.unionByName(sliding)

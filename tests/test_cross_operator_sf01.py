@@ -57,8 +57,9 @@ def test_shards_conserve_mixture_tokens_and_docs(spark, q):
         .agg(F.count("*").alias("docs"), F.sum("n_tokens").alias("toks"))
         .first()
     )
+    suite = q["corpus_shards"](spark, SF_BENCH)
     shards = (
-        q["corpus_shards"](spark, SF_BENCH)
+        suite.filter(F.col("kind") == "shard")
         .agg(F.sum("n_docs").alias("docs"), F.sum("shard_tokens").alias("toks"))
         .first()
     )
@@ -70,6 +71,13 @@ def test_shards_conserve_mixture_tokens_and_docs(spark, q):
     )
     assert shards.toks == mix.toks
     assert shards.docs == mix.docs - zero_tok
+    # the sequence rollup covers the same token stream exactly
+    seqs = (
+        suite.filter(F.col("kind") == "sequence")
+        .agg(F.sum("shard_tokens").alias("toks"))
+        .first()
+    )
+    assert seqs.toks == mix.toks
 
 
 def test_curated_corpus_is_subset_of_quality_and_dedup_survivors(spark, q):
