@@ -139,9 +139,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
     errors: dict[str, str] = {}
+    import gc
+
     for name in HEADLINE:
         q = plan(name)
         samples: list[float] = []
+        # Drop driver-side references from the previous query before
+        # timing this one: localCheckpoint blocks and broadcasts are
+        # freed by the ContextCleaner only after the Python-side refs
+        # are GC'd, and leftover executor blocks from a checkpoint-heavy
+        # neighbor (the dedup family) showed up as 2-4x GC-pause noise
+        # in THIS query's timings (r5->r6 q21 adjudication).
+        gc.collect()
         try:
             for _ in range(runs):
                 t0 = time.perf_counter()

@@ -54,6 +54,20 @@ def get_spark(
         # parquet reader rejects; read as raw long and convert in the source
         # layer (sources/tables.py) — values are whole microseconds.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Scan parallelism: Spark sizes file splits as
+        #   min(maxPartitionBytes, max(openCostInBytes, bytes/defaultParallelism))
+        # With the 4 MB default openCost, a 15 MB single-file table scans
+        # in 4 tasks on local[32] — measured 12.7 s single-task straggler
+        # on the sf1 stress set's 1M-row events scan (per-row JSON parse
+        # concentrated in one task). 512 KB floors the split size low
+        # enough that scan tasks ~ cores for MB-scale files while leaving
+        # the 128 MB maxPartitionBytes cap (the right cluster-scale bound)
+        # untouched — at 100 TB the bytes/parallelism term dominates and
+        # this setting is inert.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(512 * 1024)),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

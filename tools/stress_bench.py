@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Measure the engine at the skewed ~sf1 stress scale (tools/gen_stress.py).
+
+Two kinds of evidence, both printed as one JSON line:
+
+1. **Volume scaling**: a headline-query subset timed at 10x sf0.1 volume
+   (6M lineitem / 1M events / 50k documents). Compare per-query seconds
+   against BENCH_r*.json at sf0.1 — sub-linear growth means the plan
+   scales with data, super-linear means a hidden quadratic/straggler.
+2. **Skew safety**: the generated set carries a deliberate hot key
+   (user_id=1 at ~10% of 1M events; l_suppkey=1 at ~10% of 6M lines).
+   For every run we pull per-stage task-time distributions from the
+   Spark UI REST API and report the MAX single task time: a skew-safe
+   plan bounds it near the median; a straggler shows up as one task
+   holding the whole query's wall clock. The head-to-head is
+   ``grouped_topk`` (two-phase salted) vs the naive one-window
+   ``row_number`` on the same hot-keyed events — identical output
+   (asserted), different worst-task bound.
+
+Usage: python tools/stress_bench.py [--dir /root/repo/stress/sf1] [--runs 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _stages(spark, after_stage: int) -> list[dict]:
+    ui = spark.sparkContext.uiWebUrl
+    appid = spark.sparkContext.applicationId
+    url = (
+        f"{ui}/api/v1/applications/{appid}/stages"
+        "?status=complete&withSummaries=true&quantiles=0.5,1.0"
+    )
+    try:
+        data = json.load(urllib.request.urlopen(url, timeout=10))
+    except Exception:
+        return []
+    return [s for s in data if s.get("stageId", -1) > after_stage]
+
+
+def _task_stats(stages: list[dict]) -> dict:
+    """Max and median-of-maxstage single-task executorRunTime (ms)."""
+    max_ms, med_ms, ntasks = 0.0, 0.0, 0
+    for s in stages:
+        tmd = s.get("taskMetricsDistributions") or {}
+        q = tmd.get("executorRunTime") or []
+        if q:
+            if q[-1] > max_ms:
+                max_ms, med_ms = q[-1], q[0]
+        ntasks += s.get("numTasks", 0)
+    return {"max_task_ms": max_ms, "stage_median_ms": med_ms, "tasks": ntasks}
+
+
+def _last_stage(spark) -> int:
+    ui = spark.sparkContext.uiWebUrl
+    appid = spark.sparkContext.applicationId
+    try:
+        data = json.load(
+            urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{appid}/stages", timeout=10
+            )
+        )
+        return max((s.get("stageId", -1) for s in data), default=-1)
+    except Exception:
+        return -1
+
+
+def run_timed(spark, name, fn, sf_dir, runs, results) -> None:
+    import gc
+
+    gc.collect()  # free prior query's checkpoint/broadcast refs first
+    samples, stats = [], {}
+    for _ in range(runs):
+        before = _last_stage(spark)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        sec = round(time.perf_counter() - t0, 3)
+        if not samples or sec < min(samples):
+            stats = _task_stats(_stages(spark, before))
+        samples.append(sec)
+    results[name] = {"sec": min(samples), "runs": samples, **stats}
+    print(f"  {name}: {min(samples)}s  max_task={stats.get('max_task_ms')}ms",
+          flush=True)
+
+
+def topk_naive(spark, sf_dir):
+    """One-window per-user top-5: the hot user's 100k rows sort in ONE
+    task — the straggler the salted form exists to avoid."""
+    from gcp_map_reduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .drop("_rn")
+    )
+
+
+def topk_salted(spark, sf_dir):
+    from gcp_map_reduce_spark.operators.scale import grouped_topk
+    from gcp_map_reduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_topk(ev, "user_id", "value", "event_id", 5)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="/root/repo/stress/sf1")
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    from gcp_map_reduce_spark.session import get_spark
+    from bench import build_overrides
+    from gcp_map_reduce_spark.plans import registry
+
+    registry.load_catalog()
+    overrides = build_overrides()
+
+    def plan(name):
+        return overrides.get(name) or registry.QUERIES[name]
+
+    spark = get_spark(
+        app_name="stress_bench", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = [
+        # relational at 6M lineitem (hot l_suppkey=1 at 10%)
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q21_waiting_suppliers",
+        # events at 1M rows (hot user_id=1 at 10%): sessionize window +
+        # hourly resample + enrich
+        "user_event_profile",
+        "events_enriched_hourly",
+        # text/dedup ladder at 50k documents (10% exact dups by design)
+        "wordcount",
+        "text_profile",
+        "salted_token_counts",
+        "dedup_exact",
+        "dedup_minhash",
+        "dedup_clusters",
+        "curated_corpus",
+    ]
+
+    results: dict[str, dict] = {}
+    # warm-up: JVM + codegen at the target volume
+    spark.read.parquet(f"{args.dir}/lineitem.parquet").count()
+    for name in headline:
+        plan(name)(spark, args.dir).write.format("noop").mode("overwrite").save()
+    print("warm-up done", flush=True)
+
+    for name in headline:
+        run_timed(spark, name, plan(name), args.dir, args.runs, results)
+
+    # skew head-to-head: identical output, different worst-task bound
+    for name, fn in [("topk_naive_window", topk_naive),
+                     ("topk_salted", topk_salted)]:
+        fn(spark, args.dir).write.format("noop").mode("overwrite").save()
+        run_timed(spark, name, fn, args.dir, args.runs, results)
+
+    # correctness of the salted decomposition on the ACTUAL skewed data
+    a = topk_naive(spark, args.dir)
+    b = topk_salted(spark, args.dir)
+    mismatch = a.exceptAll(b).count() + b.exceptAll(a).count()
+    results["topk_salted_equals_naive"] = {"mismatch_rows": mismatch}
+
+    print(json.dumps({
+        "metric": "stress_sf1_skew",
+        "dir": args.dir,
+        "queries": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
