@@ -33,9 +33,9 @@ from pyspark.sql.utils import AnalysisException
 
 from gcp_map_reduce_spark.operators.dedup import (
     NUM_HASHES,
-    gram_hash_arrays_for,
+    _token_hash_expr,
     minhash_band_rows,
-    minhash_signatures_for,
+    minhash_signatures_arrow,
 )
 
 NEAR_DUP_EST_JACCARD = 0.7  # same acceptance threshold as dedup_minhash
@@ -73,9 +73,9 @@ def run_streaming_near_dup_dedup(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         ss = batch_df.sparkSession
-        sigs = minhash_signatures_for(
-            gram_hash_arrays_for(
-                batch_df.select("doc_id", "text"), fast_hash=fast_hash
+        sigs = minhash_signatures_arrow(
+            batch_df.select(
+                "doc_id", _token_hash_expr(fast_hash).alias("th_arr")
             )
         ).localCheckpoint(eager=True)
 

@@ -50,6 +50,29 @@ def test_minhash_signatures_shape(spark):
     assert all(isinstance(h, int) for h in row["sig"])
 
 
+def test_minhash_arrow_kernel_bit_identical_to_hof(spark):
+    """The vectorized Arrow signature kernel must reproduce the
+    higher-order-function reference EXACTLY (same rolling-gram + affine
+    min arithmetic in numpy int64) — the oracle's value-hash gate rides
+    on this equivalence."""
+    from gcp_map_reduce_spark.operators.dedup import (
+        gram_hash_arrays_for,
+        minhash_signatures,
+        minhash_signatures_for,
+    )
+    from gcp_map_reduce_spark.sources.tables import load_table
+
+    d = "/root/testdata/sf0.01"
+    docs = load_table(spark, d, "documents").select("doc_id", "text")
+    for fast in (False, True):
+        ref = minhash_signatures_for(
+            gram_hash_arrays_for(docs, n=3, fast_hash=fast)
+        )
+        got = minhash_signatures(spark, d, fast_hash=fast)
+        assert ref.exceptAll(got).count() == 0
+        assert got.exceptAll(ref).count() == 0
+
+
 def test_minhash_fast_hash_mode_agrees_on_pairs(spark):
     from gcp_map_reduce_spark.operators.dedup import dedup_minhash
 
