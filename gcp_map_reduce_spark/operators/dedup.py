@@ -194,29 +194,34 @@ shingles AS (
 """
 
 
-def _gram_hashes_sql() -> str:
-    """CTE chain ``toks``/``th``/``grams`` — DISTINCT (doc_id, gh)
-    rolling gram hashes, the DuckDB twin of
+def _gram_hashes_subquery(n: int = 3, pred: str = "TRUE") -> str:
+    """Self-contained DuckDB subquery: DISTINCT (doc_id, gh) rolling
+    n-gram hashes of the documents matching ``pred`` — the twin of
     :func:`gram_hash_arrays_arrow` (portable md5 family; identical
     integer arithmetic, so collisions — ~1e-3 likely per 10^5 docs in
     the 2^31 space — land identically in both engines)."""
     p, c = MERSENNE31, ROLL_C
-    return f"""toks AS (
-  SELECT doc_id,
-    list_filter(regexp_split_to_array({sql_normalize('text')}, '{WS_SPLIT}'),
-                t -> t <> '') AS w
-  FROM documents
-),
-th AS (
-  SELECT doc_id, list_transform(w, t -> {sql_portable_hash64('t')} % {p}) AS h
-  FROM toks
-),
-grams AS (
-  SELECT DISTINCT doc_id,
-    ((((h[i] * {c} + h[i+1]) % {p}) * {c} + h[i+2]) % {p}) AS gh
-  FROM th, UNNEST(range(1, len(h) - 1)) AS t(i)
-  WHERE len(h) >= 3
+    roll = "h[i]"
+    for j in range(1, n):
+        roll = f"(({roll} * {c} + h[i+{j}]) % {p})"
+    return f"""(
+  SELECT DISTINCT doc_id, {roll} AS gh
+  FROM (
+    SELECT doc_id,
+      list_transform(
+        list_filter(regexp_split_to_array({sql_normalize('text')}, '{WS_SPLIT}'),
+                    t -> t <> ''),
+        t -> {sql_portable_hash64('t')} % {p}) AS h
+    FROM documents WHERE {pred}
+  ), UNNEST(range(1, len(h) - {n - 2})) AS t(i)
+  WHERE len(h) >= {n}
 )"""
+
+
+def _gram_hashes_sql() -> str:
+    """``grams`` CTE (n=3, all documents) — the shared oracle front end
+    of the jaccard / clusters / curated-corpus / minhash twins."""
+    return f"grams AS {_gram_hashes_subquery(3)}"
 
 
 _NGRAM_JACCARD_ORACLE = f"""
