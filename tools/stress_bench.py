@@ -168,6 +168,24 @@ def main() -> None:
     for name in headline:
         run_timed(spark, name, plan(name), args.dir, args.runs, results)
 
+    # scale-plan head-to-head: the exact shingle-fingerprint edge source
+    # vs the minhash-banded one (the documented 100 TB plan). At sf0.1
+    # exact wins; the stress set's 10x dup density is where the
+    # crossover shows.
+    from gcp_map_reduce_spark.operators.dedup import dedup_clusters
+    from gcp_map_reduce_spark.operators.pipeline import curated_corpus
+
+    for name, fn in [
+        ("dedup_clusters_minhash",
+         lambda s, dd: dedup_clusters(s, dd, edge_source="minhash",
+                                      fast_hash=True)),
+        ("curated_corpus_minhash",
+         lambda s, dd: curated_corpus(s, dd, near_dup_source="minhash",
+                                      fast_hash=True)),
+    ]:
+        fn(spark, args.dir).write.format("noop").mode("overwrite").save()
+        run_timed(spark, name, fn, args.dir, args.runs, results)
+
     # skew head-to-head: identical output, different worst-task bound
     for name, fn in [("topk_naive_window", topk_naive),
                      ("topk_salted", topk_salted)]:
