@@ -48,8 +48,27 @@ PASSTHROUGH = [
     "customer",
     "supplier",
     "part",
-    "embeddings",
 ]
+
+
+def gen_embeddings(con, src: str, out: str, copies: int) -> None:
+    """10x embeddings; copy 0 is the base set, copies 1+ are slightly
+    perturbed variants (deterministic per-copy scale factor) so ANN at
+    20k vectors sees near-neighbors rather than exact duplicates."""
+    con.execute(
+        f"""
+        COPY (
+          SELECT
+            e.vec_id + copy_i * (SELECT max(vec_id) + 1 FROM src) AS vec_id,
+            CASE WHEN copy_i = 0 THEN e.embedding
+                 ELSE list_transform(e.embedding,
+                      x -> CAST(x * (1.0 + 0.001 * copy_i) AS FLOAT)) END
+              AS embedding,
+            e.label
+          FROM src e CROSS JOIN copies
+        ) TO '{out}' (FORMAT PARQUET)
+        """
+    )
 
 
 def _copies_rel(con: duckdb.DuckDBPyConnection, n: int) -> None:
@@ -147,6 +166,7 @@ def main() -> None:
         ("events", gen_events),
         ("documents", gen_documents),
         ("lineitem", gen_lineitem),
+        ("embeddings", gen_embeddings),
     ]:
         src = os.path.join(args.src, f"{table}.parquet")
         out = os.path.join(args.out, f"{table}.parquet")

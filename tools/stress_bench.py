@@ -148,6 +148,10 @@ def main() -> None:
         # hourly resample + enrich
         "user_event_profile",
         "events_enriched_hourly",
+        # ANN at 20k vectors (copies are deterministic near-neighbors)
+        "similarity_ivf_ann",
+        "similarity_lsh_ann",
+        "semantic_search_docs",
         # text/dedup ladder at 50k documents (10% exact dups by design)
         "wordcount",
         "text_profile",
