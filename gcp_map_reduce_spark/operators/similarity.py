@@ -75,7 +75,9 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Library form; the registered norm audit is the ``norm2`` column of
     ``embedding_quantize_error``.)"""
     emb = _emb(spark, sf_dir)
-    return _with_norm2(emb).select("vec_id", "label", F.col("n2").alias("norm2"))
+    return embed_features_arrow(emb, sketch=False).select(
+        "vec_id", "label", F.col("n2").alias("norm2")
+    )
 
 
 @query(
@@ -124,15 +126,18 @@ def similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over |Q| * N rows of (id, id, double). At 100 TB you precompute
     norms once and run ``similarity_lsh_ann`` instead.
     """
-    emb = _with_norm2(_emb(spark, sf_dir))
+    # query leg pre-filters the scan so only N_QUERIES rows pay the
+    # feature fold; the corpus leg keeps the expression form — here the
+    # pair-dot fold dominates regardless, and bruteforce is explicitly
+    # not the scale path (precompute norms + run LSH instead).
     qs = F.broadcast(
-        emb.filter(F.col("vec_id") < N_QUERIES).select(
+        _with_norm2(_emb(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES)).select(
             F.col("vec_id").alias("query_id"),
             F.col("e").alias("qe"),
             F.col("n2").alias("qn2"),
         )
     )
-    cands = emb.select(
+    cands = _with_norm2(_emb(spark, sf_dir)).select(
         F.col("vec_id").alias("cand_id"),
         F.col("e").alias("ce"),
         F.col("n2").alias("cn2"),
@@ -163,7 +168,7 @@ def embedding_near_dup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFram
     """All-pairs exact form of embedding-cosine near-dup — the correctness
     baseline / recall verifier for the banded plan (library-only: its
     non-equi self-join is O(N^2) and must never be the registered path)."""
-    emb = _with_norm2(_emb(spark, sf_dir))
+    emb = embed_features_arrow(_emb(spark, sf_dir), sketch=False)
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ae"), F.col("n2").alias("an2")
     )
@@ -210,7 +215,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_similarity.py`` asserts banded == exact (checkpoint
     width is plan-asserted in ``tests/test_plans.py``)."""
     sk = materialize(
-        lsh_sketch(_emb(spark, sf_dir)).select("vec_id", "sketch")
+        embed_features_arrow(_emb(spark, sf_dir)).select("vec_id", "sketch")
     )
     band_bits = N_PLANES // DEDUP_BANDS
     mask = (1 << band_bits) - 1
@@ -238,7 +243,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    src = _with_norm2(_emb(spark, sf_dir))
+    src = embed_features_arrow(_emb(spark, sf_dir), sketch=False)
     pa = src.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ae"), F.col("n2").alias("an2")
     )
@@ -346,8 +351,18 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     known IVF failure mode — at scale, raise K and let AQE split hot
     cells.
     """
+    # tiny legs (seeds, probes) pre-filter the scan so pushdown keeps
+    # them O(K) rows; the corpus leg stays expression-form — IVF's
+    # dominant per-row cost is the codebook-distance fold inside
+    # ``cells``, which an Arrow feature kernel cannot remove (measured:
+    # adding the Python stage regressed 0.85 -> 1.5 s), and moving the
+    # assignment itself into Python would need a driver-side codebook
+    # collect this engine deliberately avoids on registered paths.
     emb = _with_norm2(_emb(spark, sf_dir))
-    seeds = emb.filter(F.col("vec_id") < IVF_CELLS).select(
+    small = _with_norm2(
+        _emb(spark, sf_dir).filter(F.col("vec_id") < max(IVF_CELLS, N_QUERIES))
+    )
+    seeds = small.filter(F.col("vec_id") < IVF_CELLS).select(
         F.col("vec_id").alias("cell_id"),
         F.col("e").alias("ce"),
         F.col("n2").alias("cn2"),
@@ -366,6 +381,9 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     with_cb = emb.crossJoin(F.broadcast(cb))
+    probes_src = small.filter(F.col("vec_id") < N_QUERIES).crossJoin(
+        F.broadcast(cb)
+    )
     assigned = with_cb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("e").alias("ce2"),
@@ -373,7 +391,7 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(cells(F.col("e"), F.col("n2")))["cell_id"].alias("cell_id"),
     )
     probes = (
-        with_cb.filter(F.col("vec_id") < N_QUERIES)
+        probes_src
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("e").alias("qe"),
@@ -430,6 +448,72 @@ def lsh_sketch(df: DataFrame, dim: int = 64) -> DataFrame:
             )
         )
     return df.withColumn("sketch", sum(bits))
+
+
+def embed_features_arrow(df: DataFrame, dim: int = 64, sketch: bool = True) -> DataFrame:
+    """Arrow fast path for the per-row embedding features: one
+    ``mapInPandas`` kernel computing ``e`` (double-cast embedding),
+    ``n2`` (squared norm) and optionally ``sketch`` (the 16-plane LSH
+    sign sketch) — bit-identical to composing :func:`_with_norm2` +
+    :func:`lsh_sketch`, which remain the executable spec.
+
+    Why: Spark's array higher-order functions (``transform`` /
+    ``zip_with`` / ``aggregate``) are CodegenFallback — ~0.5 us per
+    element op (measured; see SCALING.md). The norm+sketch build is
+    (N_PLANES + 1) * dim ≈ 1.1k fold ops per row, which at 100 TB is the
+    dominant corpus-side CPU. This kernel does the same arithmetic
+    vectorized over Arrow batches (~30x less CPU), streaming per
+    partition — no shuffle, bounded memory.
+
+    Bit-exactness: the expression form folds strictly left over the
+    element index with a 0.0 init. The kernel accumulates with one
+    vectorized op per element index d (``acc += E[:, d] * P[:, d]``), so
+    every (row, plane) accumulator sees the IDENTICAL operand sequence,
+    and IEEE doubles are deterministic given identical order. The sketch
+    bit sum is exact integer arithmetic. Equality (0 ulp) is asserted
+    against the expression form in ``tests/test_similarity.py``.
+    """
+    import pandas as pd
+
+    planes = np.asarray(_hyperplanes(dim), dtype=np.float64) if sketch else None
+    out_schema = (
+        "vec_id long, embedding array<float>, label int, "
+        "e array<double>, n2 double" + (", sketch long" if sketch else "")
+    )
+
+    def kernel(batches):
+        bit_vals = (
+            np.left_shift(np.int64(1), np.arange(N_PLANES, dtype=np.int64))
+            if sketch
+            else None
+        )
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            e64 = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n2 = np.zeros(len(pdf), dtype=np.float64)
+            acc = (
+                np.zeros((len(pdf), N_PLANES), dtype=np.float64) if sketch else None
+            )
+            for d in range(e64.shape[1]):
+                col = e64[:, d]
+                n2 = n2 + col * col
+                if sketch:
+                    acc = acc + col[:, None] * planes[None, :, d]
+            out = pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "embedding": pdf["embedding"],
+                    "label": pdf["label"].to_numpy(),
+                    "e": list(e64),
+                    "n2": n2,
+                }
+            )
+            if sketch:
+                out["sketch"] = ((acc > 0) * bit_vals[None, :]).sum(axis=1)
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
 
 
 def _lsh_oracle(dim: int = 64, multiprobe: bool = False) -> str:
@@ -513,7 +597,7 @@ def similarity_lsh_ann(
     # band sides + two payload re-joins derive from the sketch pipeline:
     # materialize once
     emb = materialize(
-        lsh_sketch(_with_norm2(_emb(spark, sf_dir)))
+        embed_features_arrow(_emb(spark, sf_dir))
     )
     band_bits = N_PLANES // _LSH_BANDS
     mask = (1 << band_bits) - 1

@@ -142,3 +142,28 @@ def test_multiprobe_lsh_improves_recall(spark):
     r_multi = len(exact & multi) / len(exact)
     assert r_multi >= r_single
     assert r_multi >= 0.7, (r_single, r_multi)
+
+
+def test_embed_features_arrow_bit_identical_to_expression_form(spark):
+    """The Arrow kernel (embed_features_arrow) must reproduce the
+    expression-form spec (lsh_sketch(_with_norm2(...))) EXACTLY — 0 ulp on
+    e/n2, equal sketch longs — or the oracle value-hashes and the
+    NEAR_DUP_COSINE threshold filter could silently drift. The kernel
+    accumulates in the same left-fold element order, so IEEE determinism
+    guarantees this; the test pins it against future edits."""
+    from gcp_map_reduce_spark.operators.similarity import (
+        _emb,
+        _with_norm2,
+        embed_features_arrow,
+        lsh_sketch,
+    )
+
+    emb = _emb(spark, SF_ORACLE)
+    cols = ["vec_id", "e", "n2", "sketch"]
+    ref = {r.vec_id: r for r in lsh_sketch(_with_norm2(emb)).select(*cols).collect()}
+    fast = {r.vec_id: r for r in embed_features_arrow(emb).select(*cols).collect()}
+    assert set(ref) == set(fast)
+    for k, a in ref.items():
+        b = fast[k]
+        # tuple equality on floats is exact (no tolerance) — intentional
+        assert (a.n2, a.sketch, a.e) == (b.n2, b.sketch, b.e), k
