@@ -28,6 +28,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 from pyspark.sql.window import Window
 
 from gcp_map_reduce_spark.operators.scale import ensure_parallelism, materialize
@@ -68,6 +69,27 @@ def _with_norm2(df: DataFrame) -> DataFrame:
     """Add e (array<double>) and n2 (double squared L2 norm)."""
     e = F.transform("embedding", lambda x: x.cast("double"))
     return df.withColumn("e", e).withColumn("n2", _dot(F.col("e"), F.col("e")))
+
+
+@F.pandas_udf(DoubleType())
+def _cosine_arrow(ae, be, an2, bn2):
+    """Vectorized pair cosine: dot(ae, be) / sqrt(an2 * bn2), 0-ulp
+    identical to the ``_dot(...) / F.sqrt(...)`` expression form (same
+    left-fold element order per pair; division and sqrt are single
+    correctly-rounded IEEE ops in both engines). This is the candidate
+    re-rank hot path — pairs x dim interpreted fold ops otherwise (the
+    CodegenFallback tax, see SCALING.md); equality is pytest-gated in
+    ``tests/test_similarity.py``."""
+    import pandas as pd
+
+    if len(ae) == 0:
+        return pd.Series([], dtype="float64")
+    e1 = np.stack(ae.to_numpy())
+    e2 = np.stack(be.to_numpy())
+    acc = np.zeros(len(ae), dtype=np.float64)
+    for d in range(e1.shape[1]):
+        acc = acc + e1[:, d] * e2[:, d]
+    return pd.Series(acc / np.sqrt(an2.to_numpy() * bn2.to_numpy()))
 
 
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,7 +165,7 @@ def similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("cn2"),
     )
     pairs = cands.crossJoin(qs).filter(F.col("cand_id") != F.col("query_id"))
-    cosine = _dot(F.col("qe"), F.col("ce")) / F.sqrt(F.col("qn2") * F.col("cn2"))
+    cosine = _cosine_arrow(F.col("qe"), F.col("ce"), F.col("qn2"), F.col("cn2"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         pairs.select("query_id", "cand_id", cosine.alias("cosine"))
@@ -175,7 +197,7 @@ def embedding_near_dup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFram
     b = emb.select(
         F.col("vec_id").alias("vec_b"), F.col("e").alias("be"), F.col("n2").alias("bn2")
     )
-    cosine = _dot(F.col("ae"), F.col("be")) / F.sqrt(F.col("an2") * F.col("bn2"))
+    cosine = _cosine_arrow(F.col("ae"), F.col("be"), F.col("an2"), F.col("bn2"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cosine.alias("cosine"))
@@ -250,7 +272,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pb = src.select(
         F.col("vec_id").alias("vec_b"), F.col("e").alias("be"), F.col("n2").alias("bn2")
     )
-    cosine = _dot(F.col("ae"), F.col("be")) / F.sqrt(F.col("an2") * F.col("bn2"))
+    cosine = _cosine_arrow(F.col("ae"), F.col("be"), F.col("an2"), F.col("bn2"))
     return (
         cand.join(pa, "vec_a")
         .join(pb, "vec_b")
@@ -407,7 +429,7 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = probes.join(assigned, "cell_id").filter(
         F.col("cand_id") != F.col("query_id")
     )
-    cosine = _dot(F.col("qe"), F.col("ce2")) / F.sqrt(F.col("qn2") * F.col("cn22"))
+    cosine = _cosine_arrow(F.col("qe"), F.col("ce2"), F.col("qn2"), F.col("cn22"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         cand.select("query_id", "cand_id", cosine.alias("cosine"))
@@ -660,7 +682,7 @@ def similarity_lsh_ann(
             "cand_id",
         )
     )
-    cosine = _dot(F.col("qe"), F.col("ce")) / F.sqrt(F.col("qn2") * F.col("cn2"))
+    cosine = _cosine_arrow(F.col("qe"), F.col("ce"), F.col("qn2"), F.col("cn2"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         cand.select("query_id", "cand_id", cosine.alias("cosine"))

@@ -167,3 +167,30 @@ def test_embed_features_arrow_bit_identical_to_expression_form(spark):
         b = fast[k]
         # tuple equality on floats is exact (no tolerance) — intentional
         assert (a.n2, a.sketch, a.e) == (b.n2, b.sketch, b.e), k
+
+
+def test_cosine_arrow_bit_identical_to_expression_form(spark):
+    """The pandas-UDF pair cosine must equal the _dot/sqrt expression
+    form EXACTLY (0 ulp) — re-rank ordering and the NEAR_DUP_COSINE
+    threshold filter depend on it."""
+    from pyspark.sql import functions as F
+
+    from gcp_map_reduce_spark.operators.similarity import (
+        _cosine_arrow,
+        _dot,
+        _emb,
+        _with_norm2,
+    )
+
+    emb = _with_norm2(_emb(spark, SF_ORACLE))
+    a = emb.select(
+        F.col("vec_id").alias("va"), F.col("e").alias("ae"), F.col("n2").alias("an2")
+    ).filter("va < 40")
+    b = emb.select(
+        F.col("vec_id").alias("vb"), F.col("e").alias("be"), F.col("n2").alias("bn2")
+    ).filter("vb < 40")
+    pairs = a.join(b, F.col("va") < F.col("vb"))
+    expr = _dot(F.col("ae"), F.col("be")) / F.sqrt(F.col("an2") * F.col("bn2"))
+    udf = _cosine_arrow(F.col("ae"), F.col("be"), F.col("an2"), F.col("bn2"))
+    rows = pairs.select(expr.alias("c1"), udf.alias("c2")).collect()
+    assert rows and all(r.c1 == r.c2 for r in rows)
