@@ -84,6 +84,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hash-groupBy => map-side partial agg, single shuffle on the 128-bit
     digest (no skew: hashes are uniform). One scan feeds both branches.
+    NO degenerate-split fan-out here, deliberately: measured at sf0.1 a
+    pre-agg Exchange costs 2.5x (0.30 -> 0.77 s, text bytes shuffled
+    twice for the two branches) against a ~0.2 s stress-straggler gain —
+    md5+normalize is too cheap per row to buy an exchange. Contrast
+    ``doc_tokens``/``salted_token_counts``, where tokenize+explode is
+    heavy enough that the conditional fan-out wins at stress and is free
+    at sf0.1.
     """
     docs = load_table(spark, sf_dir, "documents")
     raw = (

@@ -185,7 +185,10 @@ def salted_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY.md §4, is exactly this distribution), so the hot-key guard is
     demonstrated on the data that needs it. The oracle is the PLAIN
     group-count: salting must be invisible in the result."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark.sparkContext.defaultParallelism,
+    )
     toks = tokenize(docs, text_col="text", out_col="word", keep_cols=[])
     return salted_groupby_count(toks, "word")
 

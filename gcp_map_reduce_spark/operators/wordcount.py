@@ -32,13 +32,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcp_map_reduce_spark.functions.text import sql_tokens_cte, tokenize
+from gcp_map_reduce_spark.operators.scale import ensure_parallelism
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
 
 def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, word) token stream for the synthetic documents table."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    """(doc_id, word) token stream for the synthetic documents table.
+
+    Degenerate-split correction on the scan: tokenize's regex split +
+    explode is per-row CPU, and the stress run showed a single-row-group
+    file serializing it on one core (wordcount max task 1.5 s vs 37 ms
+    median) — ``ensure_parallelism`` adds the Exchange only in that case.
+    """
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark.sparkContext.defaultParallelism,
+    )
     return tokenize(docs, text_col="text", out_col="word", keep_cols=["doc_id"])
 
 
