@@ -229,3 +229,15 @@ def test_grouped_topk_equals_one_window_form(spark):
     per_group = Counter(ck for ck, _ in got)
     for ck, n in per_group.items():
         assert n == min(k, sizes[ck])
+
+
+def test_tokenize_paths_fan_out_degenerate_splits(spark):
+    """The tokenize+explode sources must never serialize on one core when
+    the input is a single tiny file / row group (the stress-set straggler:
+    wordcount max task 1.5 s vs 37 ms median before the guard). Pins the
+    conditional ensure_parallelism on doc_tokens; dedup_exact deliberately
+    has no guard (see its docstring) so it is not asserted here."""
+    from gcp_map_reduce_spark.operators.wordcount import doc_tokens
+
+    want = spark.sparkContext.defaultParallelism
+    assert doc_tokens(spark, SF_ORACLE).rdd.getNumPartitions() >= want
