@@ -185,12 +185,18 @@ def salted_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY.md §4, is exactly this distribution), so the hot-key guard is
     demonstrated on the data that needs it. The oracle is the PLAIN
     group-count: salting must be invisible in the result."""
+    return salted_groupby_count(_tokenized_docs(spark, sf_dir), "word")
+
+
+def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize stage of ``salted_token_counts``, degenerate-split
+    guarded (exposed so the fan-out guard is testable on the production
+    path itself, not a replica)."""
     docs = ensure_parallelism(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         spark.sparkContext.defaultParallelism,
     )
-    toks = tokenize(docs, text_col="text", out_col="word", keep_cols=[])
-    return salted_groupby_count(toks, "word")
+    return tokenize(docs, text_col="text", out_col="word", keep_cols=[])
 
 
 def compact_parquet(

@@ -217,7 +217,9 @@ SELECT * FROM (
 ) WHERE cosine >= {NEAR_DUP_COSINE}
 """,
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, payload: str = "corpus"
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (semantic dedup), banded:
     LSH-sketch band buckets generate candidates (equi-join on
     (band_id, band_val) — a hash join, never BroadcastNestedLoop), then
@@ -226,16 +228,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the band self-join carries IDS ONLY (vec_a, vec_b) —
     payloads re-join after candidate dedup, so the big exchange is two
     longs wide — and the checkpoint is SKINNY: only (vec_id, sketch),
-    two longs per vector, feeds the band join. Payload vectors for the
-    exact re-rank re-read from the source scan instead (the candidate
-    set is tiny, and re-reading beats checkpointing the whole corpus —
-    the previous shape materialized embedding+norm alongside the sketch,
-    which at 100 TB checkpoints the entire corpus to executor storage).
+    two longs per vector, feeds the band join (a fat checkpoint of
+    embedding+norm would pin the entire corpus to executor storage at
+    100 TB). Payload vectors for the exact re-rank re-read the source
+    scan instead.
+
+    ``payload`` picks how the re-rank legs read those vectors — measured
+    at sf0.1 best-of-5, both shapes value-identical (pytest-gated):
+
+    - ``"corpus"`` (default): each join leg runs the Arrow feature
+      kernel over the full corpus scan — 3.17 s. At bench scale the
+      kernel pass is cheap and extra job/broadcast machinery costs more
+      than it saves (the SCALING.md boundary rule again).
+    - ``"candidates"``: the corpus is first inner-joined to the
+      broadcast candidate-id set, so the kernel touches candidate rows
+      only — 3.49 s here (the broadcast + extra band-join execution
+      outweigh the saved pass), but the 100 TB shape: candidates are
+      orders of magnitude fewer than corpus rows, and two full-corpus
+      Python passes would dominate the job.
+
     The all-pairs oracle stays valid because the 8x2 banding
     (see DEDUP_BANDS) captures every qualifying pair at oracle scale;
     ``embedding_near_dup_pairs_exact`` is the library verifier and
     ``tests/test_similarity.py`` asserts banded == exact (checkpoint
     width is plan-asserted in ``tests/test_plans.py``)."""
+    if payload not in ("corpus", "candidates"):
+        raise ValueError(
+            f"payload must be 'corpus' or 'candidates', got {payload!r}"
+        )
     sk = materialize(
         embed_features_arrow(_emb(spark, sf_dir)).select("vec_id", "sketch")
     )
@@ -265,7 +285,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    src = embed_features_arrow(_emb(spark, sf_dir), sketch=False)
+    payload_src = _emb(spark, sf_dir)
+    if payload == "candidates":
+        ids = F.broadcast(
+            cand.select(
+                F.explode(F.array("vec_a", "vec_b")).alias("vec_id")
+            ).distinct()
+        )
+        payload_src = payload_src.join(ids, "vec_id")
+    src = embed_features_arrow(payload_src, sketch=False)
     pa = src.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ae"), F.col("n2").alias("an2")
     )
@@ -358,20 +386,33 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) 
 """
 
 
-def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_ivf_ann(
+    spark: SparkSession, sf_dir: str, rerank: str = "expr"
+) -> DataFrame:
     """IVF-Flat ANN: assign every vector to its nearest codebook cell,
     probe the IVF_NPROBE nearest cells per query, exact-cosine re-rank
     only within probed cells.
 
     The codebook here is data-sampled (the first K vectors) — at real
-    scale you would refine it with a few Lloyd iterations (the
-    ``embedding_centroids`` reduction is exactly that update step). Plan
+    scale you refine it with Lloyd rounds (``ivf_codebook`` wires
+    ``kmeans_fit`` in as the ``codebook="kmeans"`` library option; the
+    registered plan keeps the sampled codebook for the SQL oracle). Plan
     shape for 100 TB: the K-row codebook is aggregated into ONE row of
     struct arrays and broadcast, so cell assignment is a per-row
     ``array_min`` — ZERO shuffle over the corpus; the probe join then
     keys on cell_id, touching only probed cells' rows. Cell skew is the
     known IVF failure mode — at scale, raise K and let AQE split hot
     cells.
+
+    ``rerank`` selects the candidate-cosine implementation: ``"expr"``
+    (default) is the JVM expression fold; ``"arrow"`` is the
+    ``_cosine_arrow`` kernel. Both are bit-identical (module docstring);
+    the default is measured, not assumed — the IVF candidate set is
+    probe-bounded (|Q| x nprobe cells), so the Arrow exchange costs more
+    than the fold saves here: expr 0.82 s vs arrow 1.05 s best-of-5 at
+    sf0.1, identical rows (the SCALING.md kernel-boundary rule applied
+    to this path; round-6 had switched it to the kernel without
+    measuring, a +20% drift this adjudication reversed).
     """
     # tiny legs (seeds, probes) pre-filter the scan so pushdown keeps
     # them O(K) rows; the corpus leg stays expression-form — IVF's
@@ -380,6 +421,8 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # adding the Python stage regressed 0.85 -> 1.5 s), and moving the
     # assignment itself into Python would need a driver-side codebook
     # collect this engine deliberately avoids on registered paths.
+    if rerank not in ("expr", "arrow"):
+        raise ValueError(f"rerank must be 'expr' or 'arrow', got {rerank!r}")
     emb = _with_norm2(_emb(spark, sf_dir))
     small = _with_norm2(
         _emb(spark, sf_dir).filter(F.col("vec_id") < max(IVF_CELLS, N_QUERIES))
@@ -429,7 +472,14 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = probes.join(assigned, "cell_id").filter(
         F.col("cand_id") != F.col("query_id")
     )
-    cosine = _cosine_arrow(F.col("qe"), F.col("ce2"), F.col("qn2"), F.col("cn22"))
+    if rerank == "arrow":
+        cosine = _cosine_arrow(
+            F.col("qe"), F.col("ce2"), F.col("qn2"), F.col("cn22")
+        )
+    else:
+        cosine = _dot(F.col("qe"), F.col("ce2")) / F.sqrt(
+            F.col("qn2") * F.col("cn22")
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         cand.select("query_id", "cand_id", cosine.alias("cosine"))
@@ -495,13 +545,30 @@ def embed_features_arrow(df: DataFrame, dim: int = 64, sketch: bool = True) -> D
     bit sum is exact integer arithmetic. Equality (0 ulp) is asserted
     against the expression form in ``tests/test_similarity.py``.
     """
-    import pandas as pd
-
-    planes = np.asarray(_hyperplanes(dim), dtype=np.float64) if sketch else None
-    out_schema = (
-        "vec_id long, embedding array<float>, label int, "
-        "e array<double>, n2 double" + (", sketch long" if sketch else "")
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
     )
+
+    # Passthrough columns come from the SOURCE schema, not a hard-coded
+    # list — upstream drift (added column, int->long label) flows through
+    # instead of breaking or silently dropping columns for every consumer.
+    added = ["e", "n2", "sketch"] if sketch else ["e", "n2"]
+    clash = [f.name for f in df.schema.fields if f.name in added]
+    if clash:
+        raise ValueError(f"embed_features_arrow: input already has {clash}")
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("e", ArrayType(DoubleType())),
+            StructField("n2", DoubleType()),
+        ]
+        + ([StructField("sketch", LongType())] if sketch else [])
+    )
+    passthrough = [f.name for f in df.schema.fields]
+    planes = np.asarray(_hyperplanes(dim), dtype=np.float64) if sketch else None
 
     def kernel(batches):
         bit_vals = (
@@ -512,7 +579,24 @@ def embed_features_arrow(df: DataFrame, dim: int = 64, sketch: bool = True) -> D
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            e64 = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            embs = pdf["embedding"]
+            # Fail LOUDLY where the expression form (_with_norm2 /
+            # lsh_sketch) would yield NULL or zip_with-null-pad: a null
+            # or wrong-dim embedding reaching this kernel would
+            # otherwise either crash with an opaque np.stack error or
+            # silently drift from the executable spec.
+            if embs.isnull().any():
+                raise ValueError(
+                    "embed_features_arrow: null embedding rows — filter "
+                    "them out (the expression form yields NULL; this "
+                    "kernel refuses to guess)"
+                )
+            e64 = np.stack(embs.to_numpy()).astype(np.float64)
+            if e64.ndim != 2 or e64.shape[1] != dim:
+                raise ValueError(
+                    f"embed_features_arrow: expected dim={dim} embeddings,"
+                    f" got batch shape {e64.shape}"
+                )
             n2 = np.zeros(len(pdf), dtype=np.float64)
             acc = (
                 np.zeros((len(pdf), N_PLANES), dtype=np.float64) if sketch else None
@@ -522,15 +606,9 @@ def embed_features_arrow(df: DataFrame, dim: int = 64, sketch: bool = True) -> D
                 n2 = n2 + col * col
                 if sketch:
                     acc = acc + col[:, None] * planes[None, :, d]
-            out = pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "embedding": pdf["embedding"],
-                    "label": pdf["label"].to_numpy(),
-                    "e": list(e64),
-                    "n2": n2,
-                }
-            )
+            out = pdf[passthrough].copy()
+            out["e"] = list(e64)
+            out["n2"] = n2
             if sketch:
                 out["sketch"] = ((acc > 0) * bit_vals[None, :]).sum(axis=1)
             yield out

@@ -171,11 +171,12 @@ def test_q4_exists_becomes_semi_join(spark):
 
 
 def test_embedding_dedup_checkpoint_is_skinny(spark):
-    # the materialized band-join input must be (vec_id, sketch) ONLY —
-    # two longs per vector. A checkpoint that also carries the embedding
-    # payload/norm checkpoints the whole corpus at 100 TB. The payload
-    # re-rank must instead re-read the parquet source (scan visible in
-    # the same plan).
+    # every materialized input must be id-width ONLY: (vec_id, sketch)
+    # feeding the band join and (vec_a, vec_b) candidate pairs — two
+    # longs per row either way. A checkpoint that also carries the
+    # embedding payload/norm checkpoints the whole corpus at 100 TB.
+    # The payload re-rank must instead re-read the parquet source (scan
+    # visible in the same plan), semi-joined down to candidate ids.
     from gcp_map_reduce_spark.operators.similarity import dedup_embedding_cosine
 
     df = dedup_embedding_cosine(spark, "/root/testdata/sf0.001")
@@ -186,5 +187,5 @@ def test_embedding_dedup_checkpoint_is_skinny(spark):
     assert rdd_scans, plan  # the localCheckpoint shows as ExistingRDD
     for cols in rdd_scans:
         names = [c.split("#")[0].strip() for c in cols.split(",")]
-        assert names == ["vec_id", "sketch"], names
+        assert names in (["vec_id", "sketch"], ["vec_a", "vec_b"]), names
     assert "Scan parquet" in plan or "FileScan parquet" in plan, plan

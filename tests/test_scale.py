@@ -241,3 +241,10 @@ def test_tokenize_paths_fan_out_degenerate_splits(spark):
 
     want = spark.sparkContext.defaultParallelism
     assert doc_tokens(spark, SF_ORACLE).rdd.getNumPartitions() >= want
+
+    # salted_token_counts carries the same guard on its tokenize source —
+    # assert the production path's pre-aggregation stage fans out too, so
+    # the guard cannot be dropped without a test failing (r6 advice item).
+    from gcp_map_reduce_spark.operators.scale import _tokenized_docs
+
+    assert _tokenized_docs(spark, SF_ORACLE).rdd.getNumPartitions() >= want

@@ -169,6 +169,87 @@ def test_embed_features_arrow_bit_identical_to_expression_form(spark):
         assert (a.n2, a.sketch, a.e) == (b.n2, b.sketch, b.e), k
 
 
+def test_embedding_dedup_payload_shapes_agree(spark):
+    """payload='candidates' (the 100 TB semi-join shape: feature kernel
+    over candidate rows only) must return exactly the default
+    full-corpus-leg result."""
+    from gcp_map_reduce_spark.operators.similarity import dedup_embedding_cosine
+
+    base = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup_embedding_cosine(spark, SF_ORACLE).collect()
+    }
+    cand = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup_embedding_cosine(
+            spark, SF_ORACLE, payload="candidates"
+        ).collect()
+    }
+    assert base and cand == base
+
+
+def test_ivf_rerank_forms_identical(spark):
+    """Both re-rank implementations (JVM expression fold vs Arrow kernel)
+    must return identical rows — which one runs is purely a measured
+    performance choice (expr won on the probe-bounded candidate set)."""
+    from gcp_map_reduce_spark.operators.similarity import similarity_ivf_ann
+
+    key = lambda r: (r.query_id, r.cand_id)  # noqa: E731
+    expr = sorted(similarity_ivf_ann(spark, SF_ORACLE).collect(), key=key)
+    arrow = sorted(
+        similarity_ivf_ann(spark, SF_ORACLE, rerank="arrow").collect(), key=key
+    )
+    assert expr and expr == arrow
+
+
+def test_embed_features_arrow_passthrough_tracks_source_schema(spark):
+    """Extra upstream columns must flow through the kernel untouched —
+    the out schema derives from the source schema, not a hard-coded
+    column list."""
+    from pyspark.sql import functions as F
+
+    from gcp_map_reduce_spark.operators.similarity import (
+        _emb,
+        embed_features_arrow,
+    )
+
+    src = _emb(spark, SF_ORACLE).withColumn(
+        "extra", F.col("vec_id") * 2
+    )
+    out = embed_features_arrow(src)
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id", "embedding", "label", "extra", "e", "n2", "sketch",
+    ]
+    rows = out.select("vec_id", "extra").limit(20).collect()
+    assert rows and all(r.extra == r.vec_id * 2 for r in rows)
+
+
+def test_embed_features_arrow_rejects_bad_inputs(spark):
+    """Null or wrong-dim embeddings must fail LOUDLY inside the kernel
+    instead of silently diverging from the expression-form spec (which
+    yields NULL / zero-pads via zip_with)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gcp_map_reduce_spark.operators.similarity import (
+        _emb,
+        embed_features_arrow,
+    )
+
+    emb = _emb(spark, SF_ORACLE).limit(10)
+    with_null = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 2 == 0, F.col("embedding")),
+    )
+    with pytest.raises(Exception, match="null embedding"):
+        embed_features_arrow(with_null).collect()
+    truncated = emb.withColumn("embedding", F.slice("embedding", 1, 8))
+    with pytest.raises(Exception, match="expected dim"):
+        embed_features_arrow(truncated).collect()
+    with pytest.raises(ValueError, match="already has"):
+        embed_features_arrow(emb.withColumn("n2", F.lit(0.0)))
+
+
 def test_cosine_arrow_bit_identical_to_expression_form(spark):
     """The pandas-UDF pair cosine must equal the _dot/sqrt expression
     form EXACTLY (0 ulp) — re-rank ordering and the NEAR_DUP_COSINE
