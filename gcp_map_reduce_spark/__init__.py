@@ -37,6 +37,8 @@ def __getattr__(name):
         "lang_token_sketches": "gcp_map_reduce_spark.operators.sketches",
         "union_distinct_estimate": "gcp_map_reduce_spark.operators.sketches",
         "upsert_snapshot": "gcp_map_reduce_spark.sinks.writers",
+        "upsert_snapshot_bucketed": "gcp_map_reduce_spark.sinks.writers",
+        "read_snapshot_bucketed": "gcp_map_reduce_spark.sinks.writers",
         "dataset_stats": "gcp_map_reduce_spark.sinks.writers",
     }
     if name in lazy:
@@ -62,6 +64,8 @@ __all__ = [
     "lang_token_sketches",
     "union_distinct_estimate",
     "upsert_snapshot",
+    "upsert_snapshot_bucketed",
+    "read_snapshot_bucketed",
     "dataset_stats",
 ]
 __version__ = "0.1.0"

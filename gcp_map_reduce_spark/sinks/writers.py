@@ -104,6 +104,147 @@ def upsert_snapshot(
     )
 
 
+# NOTE: the layout column must NOT start with '_' — Spark's file index
+# hides underscore-/dot-prefixed paths, so '_bucket=N' partition dirs
+# would be invisible to every read. The transient crash-recovery dirs
+# exploit the same rule in reverse: '.bucket_id=N.old' is hidden from
+# Spark, so a reader racing a promote never sees stale rows twice.
+BUCKET_COL = "bucket_id"
+_N_BUCKETS_FILE = "_N_BUCKETS"  # snapshot-root marker pinning the layout
+
+
+def _bucket_expr(key: str, n_buckets: int):
+    """Stable hash bucket of the merge key in [0, n_buckets)."""
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+
+
+def _old_dir(snapshot_dir: str, bucket_dirname: str) -> str:
+    return os.path.join(snapshot_dir, "." + bucket_dirname + ".old")
+
+
+def _recover_bucket_dirs(snapshot_dir: str) -> None:
+    """Roll forward/back any per-bucket promote a prior crash left half
+    done: a leftover ``.bucket_id=N.old`` means the promote died between
+    its renames — if the live bucket exists the promote completed (drop
+    .old), otherwise .old IS the bucket (restore it)."""
+    if not os.path.isdir(snapshot_dir):
+        return
+    for entry in os.listdir(snapshot_dir):
+        if not (entry.startswith("." + BUCKET_COL + "=") and entry.endswith(".old")):
+            continue
+        old = os.path.join(snapshot_dir, entry)
+        live = os.path.join(snapshot_dir, entry[1 : -len(".old")])
+        if os.path.isdir(live):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, live)
+
+
+def upsert_snapshot_bucketed(
+    spark: SparkSession,
+    updates: DataFrame,
+    snapshot_dir: str,
+    key: str,
+    version_col: str,
+    seq_col: str | None = None,
+    n_buckets: int = 32,
+) -> list[int]:
+    """Partition-pruned CDC merge: the snapshot is laid out as hash
+    buckets of the key (hive dirs ``bucket_id=N``); a batch rewrites
+    ONLY the buckets its keys hash into, by rename-promote per bucket.
+    Returns the list of rewritten bucket ids.
+
+    This is the 100 TB shape ``upsert_snapshot`` 's docstring promises:
+    a monolithic merge rewrites the ENTIRE snapshot every batch, so at
+    scale each micro-batch pays the full snapshot scan + write no matter
+    how small the delta. Bucketing bounds the rewrite at
+    |affected buckets| / n_buckets of the snapshot — for a trickle of
+    updates that is a handful of buckets — and the read side prunes to
+    the same buckets at plan time (partition filters on ``_bucket``;
+    untouched bucket files are BYTE-IDENTICAL afterwards, pytest-gated).
+
+    Crash safety is per bucket: write all rewritten buckets to a staging
+    dir, then for each one rename live aside to ``.old``, move staged in,
+    drop ``.old``. A crash mid-promote leaves some buckets new and some
+    old — safe, because the keep-latest contract is idempotent: replaying
+    the same batch re-merges to the identical snapshot (asserted in
+    ``tests/test_streaming.py``); leftover ``.old`` dirs are rolled
+    forward/back on the next merge. The layout's bucket count is pinned
+    in a ``_N_BUCKETS`` marker — merging with a different ``n_buckets``
+    would silently mis-route keys, so it raises instead.
+
+    Value-level result is identical to the monolithic
+    ``upsert_snapshot`` (same contract, same tie policy; parity asserted
+    in tests). With a lakehouse format this whole function is MERGE INTO
+    on a bucket-partitioned table.
+    """
+    if BUCKET_COL in updates.columns:
+        raise ValueError(
+            f"updates already has a {BUCKET_COL!r} column — it is the "
+            "snapshot layout column; rename the data column"
+        )
+    _recover_bucket_dirs(snapshot_dir)
+    marker = os.path.join(snapshot_dir, _N_BUCKETS_FILE)
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            existing = int(fh.read().strip())
+        if existing != n_buckets:
+            raise ValueError(
+                f"snapshot at {snapshot_dir} is bucketed n_buckets="
+                f"{existing}; merging with n_buckets={n_buckets} would "
+                "mis-route keys"
+            )
+    upd = updates.withColumn(BUCKET_COL, _bucket_expr(key, n_buckets))
+    affected = sorted(
+        r[BUCKET_COL] for r in upd.select(BUCKET_COL).distinct().collect()
+    )
+    if not affected:
+        return []
+    have_base = any(
+        e.startswith(f"{BUCKET_COL}=")
+        for e in (os.listdir(snapshot_dir) if os.path.isdir(snapshot_dir) else [])
+    )
+    if have_base:
+        base = (
+            spark.read.parquet(snapshot_dir)
+            .filter(F.col(BUCKET_COL).isin([int(b) for b in affected]))
+            .drop(BUCKET_COL)
+        )
+    else:
+        base = updates.limit(0)
+    merged = upsert_snapshot(base, updates, key, version_col, seq_col=seq_col)
+    staging = snapshot_dir + ".staging"
+    merged.withColumn(BUCKET_COL, _bucket_expr(key, n_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy(BUCKET_COL).parquet(staging)
+    os.makedirs(snapshot_dir, exist_ok=True)
+    if not os.path.isfile(marker):
+        with open(marker, "w") as fh:
+            fh.write(str(n_buckets))
+    for b in affected:
+        name = f"{BUCKET_COL}={b}"
+        staged = os.path.join(staging, name)
+        live = os.path.join(snapshot_dir, name)
+        old = _old_dir(snapshot_dir, name)
+        if not os.path.isdir(staged):
+            # every affected bucket has >= 1 update row, and keep-latest
+            # never drops the last row of a key — an absent staged dir
+            # means the layout assumption broke; fail loudly
+            raise RuntimeError(f"staging missing rewritten bucket {name}")
+        if os.path.isdir(live):
+            os.rename(live, old)
+        os.rename(staged, live)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+    shutil.rmtree(staging)
+    return [int(b) for b in affected]
+
+
+def read_snapshot_bucketed(spark: SparkSession, snapshot_dir: str) -> DataFrame:
+    """Read a bucketed snapshot without the layout column."""
+    return spark.read.parquet(snapshot_dir).drop(BUCKET_COL)
+
+
 def dataset_stats(spark: SparkSession, path: str) -> dict:
     """Physical stats of a parquet dataset via the Hadoop FileSystem API
     (works for any scheme Spark reads): file count, total bytes, row

@@ -321,6 +321,7 @@ def run_streaming_upsert(
     key: str,
     version_col: str,
     schema: str,
+    n_buckets: int | None = None,
 ):
     """Streaming CDC apply: update files land in ``updates_dir``; each
     micro-batch merges into the parquet snapshot at ``snapshot_dir`` via
@@ -338,16 +339,34 @@ def run_streaming_upsert(
     the same updates yields the same snapshot
     (``tests/test_streaming.py`` asserts both).
 
-    At 100 TB the snapshot is partitioned on a stable key prefix and the
-    merge rewrites only affected partitions (or becomes MERGE INTO on a
-    lakehouse table format); the micro-batch logic is unchanged.
+    ``n_buckets`` selects the snapshot layout. ``None`` (default)
+    keeps the monolithic whole-snapshot rewrite — fine while the
+    snapshot is small. An int switches to the partition-pruned layout
+    (``sinks.writers.upsert_snapshot_bucketed``): the snapshot lives as
+    hash-bucket hive partitions of the key and each micro-batch rewrites
+    ONLY the buckets its update keys hash into — the 100 TB shape, where
+    a trickle of CDC updates must not pay a full-snapshot scan + write
+    per batch (untouched bucket files stay byte-identical; pytest-gated).
+    Crash safety moves from one global rename-promote to per-bucket
+    promotes + keep-latest replay idempotency; with a lakehouse format
+    either mode becomes MERGE INTO.
     """
     import shutil
 
-    from gcp_map_reduce_spark.sinks.writers import upsert_snapshot
+    from gcp_map_reduce_spark.sinks.writers import (
+        upsert_snapshot,
+        upsert_snapshot_bucketed,
+    )
 
     staging = snapshot_dir + ".staging"
     old = snapshot_dir + ".old"
+
+    def apply_bucketed(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        upsert_snapshot_bucketed(
+            spark, batch_df, snapshot_dir, key, version_col, n_buckets=n_buckets
+        )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         # crash recovery: a leftover .old means a previous promote died
@@ -379,7 +398,9 @@ def run_streaming_upsert(
     reader = spark.readStream.schema(schema)
     return (
         reader.parquet(updates_dir)
-        .writeStream.foreachBatch(apply_batch)
+        .writeStream.foreachBatch(
+            apply_batch if n_buckets is None else apply_bucketed
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -74,6 +74,101 @@ def test_upsert_snapshot_keep_latest_semantics(spark):
     assert got == {1: (10, "a"), 2: (20, "b2"), 3: (10, "c2"), 4: (5, "d")}
 
 
+def _snapshot_digests(snap: str) -> dict:
+    """sha256 per file under the snapshot, keyed by relative path."""
+    import hashlib
+
+    out = {}
+    for root, _dirs, files in os.walk(snap):
+        for f in files:
+            p = os.path.join(root, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, snap)] = hashlib.sha256(
+                    fh.read()
+                ).hexdigest()
+    return out
+
+
+def test_upsert_snapshot_bucketed_prunes_and_matches_monolithic(spark, tmp_path):
+    """The bucketed CDC merge must (a) rewrite ONLY the buckets the
+    update keys hash into — every file in an untouched bucket stays
+    byte-identical — (b) produce the exact monolithic upsert_snapshot
+    result, and (c) refuse a mismatched bucket count."""
+    import pytest
+
+    from gcp_map_reduce_spark.sinks.writers import (
+        BUCKET_COL,
+        read_snapshot_bucketed,
+        upsert_snapshot,
+        upsert_snapshot_bucketed,
+    )
+
+    schema = "k bigint, v bigint, payload string"
+    snap = str(tmp_path / "snap")
+    n_buckets = 8
+    w1 = spark.createDataFrame([(i, 1, f"p{i}") for i in range(50)], schema)
+    seeded = upsert_snapshot_bucketed(
+        spark, w1, snap, "k", "v", n_buckets=n_buckets
+    )
+    assert seeded  # every present key bucket written
+
+    w2 = spark.createDataFrame(
+        [(3, 2, "x3"), (3, 2, "x3dup"), (60, 1, "new")], schema
+    )
+    before = _snapshot_digests(snap)
+    touched = upsert_snapshot_bucketed(
+        spark, w2, snap, "k", "v", n_buckets=n_buckets
+    )
+    after = _snapshot_digests(snap)
+    # 2 distinct keys -> at most 2 buckets rewritten
+    assert 1 <= len(touched) <= 2
+    untouched = {
+        f"{BUCKET_COL}={b}" for b in range(n_buckets)
+    } - {f"{BUCKET_COL}={b}" for b in touched}
+    assert untouched
+    checked = 0
+    for rel, h in before.items():
+        if rel.split(os.sep)[0] in untouched:
+            assert after.get(rel) == h, rel
+            checked += 1
+    assert checked  # the byte-identity loop actually saw files
+
+    mono = upsert_snapshot(
+        upsert_snapshot(w1.limit(0), w1, key="k", version_col="v"),
+        w2,
+        key="k",
+        version_col="v",
+    )
+    got = sorted(
+        map(tuple, read_snapshot_bucketed(spark, snap).select("k", "v", "payload").collect())
+    )
+    assert got == sorted(map(tuple, mono.collect()))
+
+    # read-side pruning: a bucket filter reaches the partition index
+    plan = (
+        spark.read.parquet(snap)
+        .filter(f"{BUCKET_COL} = {touched[0]}")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and BUCKET_COL in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+
+    with pytest.raises(ValueError, match="mis-route"):
+        upsert_snapshot_bucketed(spark, w2, snap, "k", "v", n_buckets=16)
+    with pytest.raises(ValueError, match="layout column"):
+        upsert_snapshot_bucketed(
+            spark,
+            w2.withColumnRenamed("payload", BUCKET_COL),
+            snap,
+            "k",
+            "v",
+            n_buckets=n_buckets,
+        )
+
+
 def test_dataset_stats_counts_files_bytes_rows(spark, tmp_path):
     from gcp_map_reduce_spark.sinks.writers import dataset_stats
 

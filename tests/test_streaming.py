@@ -513,3 +513,110 @@ def test_streaming_upsert_idempotent_and_crash_safe(spark, tmp_path):
     got = {r.k for r in spark.read.parquet(snapshot).collect()}
     assert got == {1, 2, 3, 4}
     assert not _os.path.isdir(snapshot + ".old")
+
+
+def test_streaming_upsert_bucketed_rewrites_only_affected_buckets(
+    spark, tmp_path
+):
+    """The n_buckets mode of the streaming CDC apply: micro-batches merge
+    into the hash-bucketed snapshot; untouched bucket files stay
+    byte-identical; replaying the same files is a no-op; a crash between
+    a bucket's promote renames recovers."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from gcp_map_reduce_spark.sinks.writers import (
+        BUCKET_COL,
+        read_snapshot_bucketed,
+        upsert_snapshot,
+    )
+    from gcp_map_reduce_spark.streaming.file_trigger import run_streaming_upsert
+    from tests.test_sinks import _snapshot_digests
+
+    schema = "k bigint, v bigint, payload string"
+    updates = tmp_path / "updates"
+    snapshot = str(tmp_path / "snapshot")
+    updates.mkdir()
+    n_buckets = 8
+
+    def land(df, name):
+        stage = str(updates) + f".stage_{name}"
+        df.coalesce(1).write.parquet(stage)
+        for i, f in enumerate(_glob.glob(f"{stage}/part-*.parquet")):
+            _shutil.move(f, str(updates / f"{name}_{i}.parquet"))
+        _shutil.rmtree(stage)
+
+    def run(ck):
+        q = run_streaming_upsert(
+            spark, str(updates), snapshot, str(tmp_path / ck),
+            key="k", version_col="v", schema=schema, n_buckets=n_buckets,
+        )
+        q.awaitTermination(120)
+
+    wave1 = spark.createDataFrame([(i, 1, f"p{i}") for i in range(40)], schema)
+    land(wave1, "w1")
+    run("ckA")
+    buckets = {
+        e for e in _os.listdir(snapshot) if e.startswith(f"{BUCKET_COL}=")
+    }
+    assert buckets
+
+    # SAME checkpoint: the next trigger sees only the new files — that
+    # is the steady-state trickle whose rewrite must stay bucket-bounded
+    wave2 = spark.createDataFrame([(7, 2, "seven"), (41, 1, "new")], schema)
+    before = _snapshot_digests(snapshot)
+    land(wave2, "w2")
+    run("ckA")
+    after = _snapshot_digests(snapshot)
+    changed_dirs = {
+        rel.split(_os.sep)[0]
+        for rel in set(before) | set(after)
+        if before.get(rel) != after.get(rel)
+        and rel.split(_os.sep)[0].startswith(f"{BUCKET_COL}=")
+    }
+    assert 1 <= len(changed_dirs) <= 2  # two keys -> at most two buckets
+    # value parity with the monolithic batch merge
+    want = sorted(
+        map(
+            tuple,
+            upsert_snapshot(wave1, wave2, key="k", version_col="v").collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            read_snapshot_bucketed(spark, snapshot)
+            .select("k", "v", "payload")
+            .collect(),
+        )
+    )
+    assert got == want
+
+    # at-least-once replay: a fresh checkpoint re-applies ALL landed
+    # files in one batch — the snapshot's VALUES must not change (file
+    # identities do change: every affected bucket is rewritten)
+    run("ckB")
+    got2 = sorted(
+        map(
+            tuple,
+            read_snapshot_bucketed(spark, snapshot)
+            .select("k", "v", "payload")
+            .collect(),
+        )
+    )
+    assert got2 == want
+
+    # crash between a bucket's two promote renames: only .old exists —
+    # the next merge must restore it before proceeding
+    victim = sorted(buckets)[0]
+    _os.rename(
+        _os.path.join(snapshot, victim),
+        _os.path.join(snapshot, "." + victim + ".old"),
+    )
+    land(spark.createDataFrame([(42, 1, "postcrash")], schema), "w3")
+    run("ckA")
+    assert _os.path.isdir(_os.path.join(snapshot, victim))
+    assert not any(e.endswith(".old") for e in _os.listdir(snapshot))
+    keys = {r.k for r in read_snapshot_bucketed(spark, snapshot).collect()}
+    assert keys == set(range(40)) | {41, 42}
