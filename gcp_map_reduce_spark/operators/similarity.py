@@ -387,22 +387,41 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) 
 
 
 def similarity_ivf_ann(
-    spark: SparkSession, sf_dir: str, rerank: str = "expr"
+    spark: SparkSession,
+    sf_dir: str,
+    rerank: str = "expr",
+    codebook: str = "sampled",
+    kmeans_iters: int = 2,
 ) -> DataFrame:
     """IVF-Flat ANN: assign every vector to its nearest codebook cell,
     probe the IVF_NPROBE nearest cells per query, exact-cosine re-rank
     only within probed cells.
 
-    The codebook here is data-sampled (the first K vectors) — at real
-    scale you refine it with Lloyd rounds (``ivf_codebook`` wires
-    ``kmeans_fit`` in as the ``codebook="kmeans"`` library option; the
-    registered plan keeps the sampled codebook for the SQL oracle). Plan
-    shape for 100 TB: the K-row codebook is aggregated into ONE row of
-    struct arrays and broadcast, so cell assignment is a per-row
+    ``codebook`` selects the coarse quantizer. ``"sampled"`` (default,
+    the registered plan the SQL oracle mirrors) seeds cells with the
+    first K vectors. ``"kmeans"`` refines those seeds with
+    ``kmeans_iters`` Lloyd rounds (``clustering.kmeans_fit`` — the
+    assign step is the same broadcast-argmin as IVF assignment, the
+    update step the same exact integer-scaled mean as
+    ``embedding_centroids``), which evens out cell populations — the
+    lever for skewed real-world embedding distributions, where a
+    sampled codebook leaves hot cells (IVF's known failure mode).
+    Measured honestly on THIS corpus (near-uniform synthetic vectors):
+    Lloyd rounds trim cell skew (max/mean 1.34 -> 1.22 at sf0.01,
+    1.18 -> 1.14 at the 10x stress set) but do NOT lift recall at
+    nprobe=2 (0.92 sampled vs 0.84 kmeans at sf0.01; both 1.0 at
+    stress, where near-dup copies make top-k easy) — so the sampled
+    codebook stays the default and ``"kmeans"`` is the documented
+    option for clustered data. The pytest invariant pins the kmeans
+    path's recall floor and the per-query top-k contract. Plan cost:
+    each Lloyd round is one corpus scan + one K x dim integer-sum
+    shuffle; the search-time plan below is unchanged.
+
+    Plan shape for 100 TB: the K-row codebook is aggregated into ONE
+    row of struct arrays and broadcast, so cell assignment is a per-row
     ``array_min`` — ZERO shuffle over the corpus; the probe join then
-    keys on cell_id, touching only probed cells' rows. Cell skew is the
-    known IVF failure mode — at scale, raise K and let AQE split hot
-    cells.
+    keys on cell_id, touching only probed cells' rows. At scale, raise
+    K and let AQE split any residual hot cells.
 
     ``rerank`` selects the candidate-cosine implementation: ``"expr"``
     (default) is the JVM expression fold; ``"arrow"`` is the
@@ -423,15 +442,31 @@ def similarity_ivf_ann(
     # collect this engine deliberately avoids on registered paths.
     if rerank not in ("expr", "arrow"):
         raise ValueError(f"rerank must be 'expr' or 'arrow', got {rerank!r}")
+    if codebook not in ("sampled", "kmeans"):
+        raise ValueError(
+            f"codebook must be 'sampled' or 'kmeans', got {codebook!r}"
+        )
     emb = _with_norm2(_emb(spark, sf_dir))
     small = _with_norm2(
         _emb(spark, sf_dir).filter(F.col("vec_id") < max(IVF_CELLS, N_QUERIES))
     )
-    seeds = small.filter(F.col("vec_id") < IVF_CELLS).select(
-        F.col("vec_id").alias("cell_id"),
-        F.col("e").alias("ce"),
-        F.col("n2").alias("cn2"),
-    )
+    if codebook == "kmeans":
+        from gcp_map_reduce_spark.operators.clustering import kmeans_fit
+
+        _, centroids = kmeans_fit(
+            spark, sf_dir, k=IVF_CELLS, n_iters=kmeans_iters
+        )
+        seeds = centroids.select(
+            F.col("cell_id").cast("long").alias("cell_id"),
+            F.col("c").alias("ce"),
+            _dot(F.col("c"), F.col("c")).alias("cn2"),
+        )
+    else:
+        seeds = small.filter(F.col("vec_id") < IVF_CELLS).select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("e").alias("ce"),
+            F.col("n2").alias("cn2"),
+        )
     cb = seeds.agg(F.collect_list(F.struct("cell_id", "ce", "cn2")).alias("cb"))
 
     # (squared-L2 distance, cell_id) per codebook entry; struct ordering

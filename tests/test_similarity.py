@@ -202,6 +202,41 @@ def test_ivf_rerank_forms_identical(spark):
     assert expr and expr == arrow
 
 
+def test_ivf_kmeans_codebook_recall_and_contract(spark):
+    """The Lloyd-refined codebook option must honor the IVF contract
+    (every query answered, <= TOP_K rows each) and keep recall above a
+    floor vs brute force. Measured: 0.84 at sf0.01 (sampled: 0.92 —
+    near-uniform synthetic data doesn't reward refinement; cell skew
+    drops 1.34 -> 1.22), so the floor is 0.7."""
+    from pyspark.sql import functions as F
+
+    from gcp_map_reduce_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        similarity_bruteforce,
+        similarity_ivf_ann,
+    )
+
+    rows = similarity_ivf_ann(spark, SF_ORACLE, codebook="kmeans").collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.cand_id)
+    assert len(per_q) == N_QUERIES
+    assert all(len(v) <= TOP_K for v in per_q.values())
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in similarity_bruteforce(spark, SF_ORACLE).collect()
+    }
+    got = {(q, c) for q, cs in per_q.items() for c in cs}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.7, recall
+
+    import pytest
+
+    with pytest.raises(ValueError, match="codebook"):
+        similarity_ivf_ann(spark, SF_ORACLE, codebook="pq")
+
+
 def test_embed_features_arrow_passthrough_tracks_source_schema(spark):
     """Extra upstream columns must flow through the kernel untouched —
     the out schema derives from the source schema, not a hard-coded
