@@ -85,6 +85,7 @@ def build_overrides() -> dict:
         similarity_ivf_ann,
         similarity_lsh_ann,
     )
+    from gcp_map_reduce_spark.operators.text_analysis import text_tfidf
 
     return {
         "dedup_minhash": lambda s, d: dedup_minhash(s, d, fast_hash=True),
@@ -95,6 +96,7 @@ def build_overrides() -> dict:
         "semantic_search_docs": semantic_search_docs,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "udf_wordcount_grouped": udf_plugin.udf_wordcount_grouped,
+        "text_tfidf": text_tfidf,
     }
 
 

@@ -471,9 +471,7 @@ from gcp_map_reduce_spark.functions.text import sql_tokens_cte, tokenize  # noqa
 from gcp_map_reduce_spark.operators.scale import ensure_parallelism  # noqa: E402
 
 
-@query(
-    "text_tfidf",
-    oracle=f"""
+_TFIDF_ORACLE = f"""
 WITH toks AS ({sql_tokens_cte()}),
 tf AS (
   SELECT doc_id, word, count(*) AS tf FROM toks WHERE word <> ''
@@ -483,8 +481,9 @@ df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
 n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf)
 SELECT tf.doc_id, tf.word, tf.tf, df.df, n.n_docs
 FROM tf JOIN df USING (word) CROSS JOIN n
-""",
-)
+"""
+
+
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF components per (doc, word): term frequency, document
     frequency, corpus size — all exact integers, so the oracle hash-checks
@@ -605,3 +604,66 @@ def token_rarity_scores(
             ).alias("rare_ratio"),
         )
     )
+
+
+_RARITY_ORACLE = f"""
+WITH toks AS ({{toks_cte}}),
+tk AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+uni AS (SELECT word, count(*) AS freq FROM tk GROUP BY word)
+SELECT doc_id, count(*) AS n_tokens,
+  CAST(SUM(freq) AS DOUBLE) / count(*) AS mean_token_freq,
+  CAST(SUM(CASE WHEN freq <= {RARE_FREQ_MAX} THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*) AS rare_ratio
+FROM tk JOIN uni USING (word) GROUP BY doc_id
+"""
+
+
+@query(
+    "text_tfidf",
+    oracle=f"""
+SELECT 'tfidf' AS branch, doc_id, word, tf, df, n_docs,
+  CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS DOUBLE) AS mean_token_freq,
+  CAST(NULL AS DOUBLE) AS rare_ratio
+FROM ({_TFIDF_ORACLE})
+UNION ALL
+SELECT 'rarity', doc_id, NULL, NULL, NULL, NULL,
+  n_tokens, mean_token_freq, rare_ratio
+FROM ({_RARITY_ORACLE.format(toks_cte=sql_tokens_cte())})
+""",
+)
+def text_tfidf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency-feature family in one tagged union: the TF-IDF
+    component table (:func:`text_tfidf` — exact integers, the full
+    statistical substrate) plus the per-document rarity signals
+    (:func:`token_rarity_scores` — mean corpus frequency and rare-token
+    density, exact integer ratios). Same tokenize pass domain, same
+    unigram-table plan family; folded per the bounded driver-window
+    discipline (suite unions, never new rows). ``bench.build_overrides``
+    keeps timing the original single-operator ``text_tfidf`` plan under
+    the historical name."""
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("bigint")
+    null_d = F.lit(None).cast("double")
+    tf = text_tfidf(spark, sf_dir).select(
+        F.lit("tfidf").alias("branch"),
+        "doc_id",
+        "word",
+        "tf",
+        "df",
+        "n_docs",
+        null_l.alias("n_tokens"),
+        null_d.alias("mean_token_freq"),
+        null_d.alias("rare_ratio"),
+    )
+    rare = token_rarity_scores(spark, sf_dir).select(
+        F.lit("rarity").alias("branch"),
+        "doc_id",
+        null_s.alias("word"),
+        null_l.alias("tf"),
+        null_l.alias("df"),
+        null_l.alias("n_docs"),
+        "n_tokens",
+        "mean_token_freq",
+        "rare_ratio",
+    )
+    return tf.unionByName(rare)

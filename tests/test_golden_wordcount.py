@@ -61,3 +61,19 @@ def test_wordcount_total_equals_token_count(spark):
     with open(GOLDEN) as f:
         want = json.load(f)
     assert n_tokens == sum(want.values())
+
+
+def test_wordcount_topk_matches_python_topk(spark):
+    """The library top-k helper must equal the plain Python top-20 of the
+    registered (oracle-checked) wordcount result — covers the one
+    wordcount-family operator without its own driver row (its registered
+    top-k siblings are the `topk_orders` suite and the TPC-H LIMIT
+    queries; docstring records the rationale)."""
+    from tests.conftest import SF_ORACLE
+
+    from gcp_map_reduce_spark.operators.wordcount import wordcount, wordcount_topk
+
+    full = [(r.word, r.cnt) for r in wordcount(spark, SF_ORACLE).collect()]
+    want = sorted(full, key=lambda t: (-t[1], t[0]))[:20]
+    got = [(r.word, r.cnt) for r in wordcount_topk(spark, SF_ORACLE).collect()]
+    assert got == want
