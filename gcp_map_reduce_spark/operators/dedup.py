@@ -476,6 +476,84 @@ def gram_hash_arrays_arrow(th_df: DataFrame, n: int = 3) -> DataFrame:
     return th_df.mapInPandas(kernel, "doc_id long, gh_arr array<long>")
 
 
+def minhash_features_arrow(th_df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sig, gh_arr) in ONE kernel pass — the fusion of
+    :func:`minhash_signatures_arrow` and :func:`gram_hash_arrays_arrow`
+    (identical arithmetic on the shared rolling-gram array; per-column
+    equality to the two single-purpose kernels is pytest-gated).
+
+    Why: the banded-plus-verified edge plan needs BOTH the signatures
+    (band candidates) and the distinct gram arrays (exact Jaccard
+    verification). Materializing them separately runs the JVM
+    tokenize + per-token hash expression AND the gram build twice over
+    the full corpus — measured ~2.9 s of the 6.5 s
+    ``dedup_clusters(edge_source="minhash")`` wall at the sf1 stress
+    set. One pass halves the dominant corpus-side stage.
+    """
+    import numpy as np
+    import pandas as pd
+
+    a_arr, b_arr = np.array(MINHASH_A, np.int64), np.array(MINHASH_B, np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vals = pdf["th_arr"].to_numpy()
+            lens = np.fromiter((len(v) for v in vals), np.int64, len(vals))
+            gcounts = np.maximum(lens - (n - 1), 0)
+            keep = gcounts > 0
+            if not keep.any():
+                continue
+            flat = np.concatenate([np.asarray(v, np.int64) for v in vals])
+            offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            gk = gcounts[keep]
+            gstarts = np.concatenate(([0], np.cumsum(gk)))[:-1]
+            idx = np.repeat(offs[keep], gk) + (
+                np.arange(int(gk.sum()), dtype=np.int64) - np.repeat(gstarts, gk)
+            )
+            g = flat[idx]
+            for j in range(1, n):
+                g = (g * ROLL_C + flat[idx + j]) % MERSENNE31
+            # signatures: k per-segment minima over the raw gram stream
+            sig = np.empty((len(gk), NUM_HASHES), np.int64)
+            for i in range(NUM_HASHES):
+                sig[:, i] = np.minimum.reduceat(
+                    (a_arr[i] * g + b_arr[i]) % MERSENNE31, gstarts
+                )
+            # distinct gram arrays: stable (segment, value) sort + run mask
+            seg = np.repeat(np.arange(len(gk), dtype=np.int64), gk)
+            order = np.lexsort((g, seg))
+            gs, ss = g[order], seg[order]
+            first = np.ones(len(gs), bool)
+            first[1:] = (gs[1:] != gs[:-1]) | (ss[1:] != ss[:-1])
+            gu, su = gs[first], ss[first]
+            counts = np.bincount(su, minlength=len(gk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[keep],
+                    "sig": list(sig),
+                    "gh_arr": np.split(gu, np.cumsum(counts)[:-1]),
+                }
+            )
+
+    return th_df.mapInPandas(
+        kernel, "doc_id long, sig array<long>, gh_arr array<long>"
+    )
+
+
+def doc_minhash_features(
+    spark: SparkSession, sf_dir: str, n: int = 3, fast_hash: bool = False
+) -> DataFrame:
+    """(doc_id, sig, gh_arr) per document — one corpus scan, one Arrow
+    pass (see :func:`minhash_features_arrow`)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = ensure_parallelism(docs, spark.sparkContext.defaultParallelism)
+    return minhash_features_arrow(
+        docs.select("doc_id", _token_hash_expr(fast_hash).alias("th_arr")), n
+    )
+
+
 def doc_gram_hash_arrays(
     spark: SparkSession, sf_dir: str, n: int = 3, fast_hash: bool = False
 ) -> DataFrame:
@@ -808,14 +886,25 @@ def near_dup_edges_minhash_verified(
     blowup of the exact edge source can't happen. Recall equals the band
     recall at the threshold (8 bands x 4 rows: >98.5% at j=0.8, ~1.0 for
     the near-identical copies dedup actually targets); precision is
-    exact."""
-    sig = materialize(minhash_signatures(spark, sf_dir, fast_hash=fast_hash))
-    arrs = materialize(
-        doc_gram_hash_arrays(spark, sf_dir, n=3, fast_hash=fast_hash)
+    exact.
+
+    Round-7 measured fixes (this edge leg 4.7 -> 3.0 s best-of-3 at the
+    sf1 stress set; the full minhash clustering 7.4 -> ~6.5 s):
+    signatures + gram arrays come from ONE fused corpus pass
+    (:func:`minhash_features_arrow` — separate materializes ran the
+    tokenize/hash expression twice, ~0.9 s), and the candidate set is
+    repartitioned before the verification join (~1.6 s): when the
+    payload side broadcasts, no exchange re-spreads the AQE-coalesced
+    band-join output, so the per-pair ``array_intersect`` was running
+    on 2 tasks; the id-only repartition costs 16 bytes/pair."""
+    feats = materialize(
+        doc_minhash_features(spark, sf_dir, n=3, fast_hash=fast_hash)
     )
-    cand = minhash_band_candidates(sig)
-    a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("gh_arr").alias("sh_a"))
-    b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("gh_arr").alias("sh_b"))
+    cand = minhash_band_candidates(feats.select("doc_id", "sig")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    a = feats.select(F.col("doc_id").alias("doc_a"), F.col("gh_arr").alias("sh_a"))
+    b = feats.select(F.col("doc_id").alias("doc_b"), F.col("gh_arr").alias("sh_b"))
     isect = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = isect.cast("double") / (F.size("sh_a") + F.size("sh_b") - isect)
     return (

@@ -73,6 +73,36 @@ def test_minhash_arrow_kernel_bit_identical_to_hof(spark):
         assert got.exceptAll(ref).count() == 0
 
 
+def test_minhash_fused_features_kernel_matches_single_kernels(spark):
+    """The fused (sig, gh_arr) kernel powering the verified-edge plan
+    must reproduce the two single-purpose kernels column-for-column —
+    one corpus pass replaces two, and this gate is what makes the fusion
+    safe to keep."""
+    from gcp_map_reduce_spark.operators.dedup import (
+        doc_gram_hash_arrays,
+        doc_minhash_features,
+        minhash_signatures,
+    )
+
+    d = "/root/testdata/sf0.01"
+    for fast in (False, True):
+        feats = {
+            r.doc_id: (tuple(r.sig), tuple(r.gh_arr))
+            for r in doc_minhash_features(spark, d, fast_hash=fast).collect()
+        }
+        sig = {
+            r.doc_id: tuple(r.sig)
+            for r in minhash_signatures(spark, d, fast_hash=fast).collect()
+        }
+        arrs = {
+            r.doc_id: tuple(r.gh_arr)
+            for r in doc_gram_hash_arrays(spark, d, fast_hash=fast).collect()
+        }
+        assert feats and set(feats) == set(sig) == set(arrs)
+        for k, (s, g) in feats.items():
+            assert s == sig[k] and g == arrs[k], k
+
+
 def test_minhash_fast_hash_mode_agrees_on_pairs(spark):
     from gcp_map_reduce_spark.operators.dedup import dedup_minhash
 
