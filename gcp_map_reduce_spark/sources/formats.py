@@ -1,4 +1,5 @@
-"""Format-pluggable IO: parquet / JSON-lines / CSV / text, schema-explicit.
+"""Format-pluggable IO: parquet / ORC / JSON-lines / CSV / text,
+schema-explicit.
 
 The reference has exactly one source (a directory of plain-text files,
 ``master.py:63-71``) and one sink (pretty JSON, O15). An analytics engine
@@ -17,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-FORMATS = ("parquet", "json", "csv", "text")
+# ORC ships with Spark (columnar, self-describing, pushdown-capable —
+# the other lakehouse-native format next to parquet); Avro does NOT (the
+# spark-avro package is external), so it is deliberately absent rather
+# than import-gated half-support.
+FORMATS = ("parquet", "orc", "json", "csv", "text")
 
 
 def read_any(
@@ -35,6 +40,8 @@ def read_any(
         raise ValueError(f"unknown format {fmt!r}; supported: {FORMATS}")
     if fmt == "parquet":
         return spark.read.parquet(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
     if fmt == "text":
         return spark.read.text(path)
     if schema is None:
@@ -62,6 +69,8 @@ def write_any(
         w = w.partitionBy(*partition_cols)
     if fmt == "parquet":
         w.parquet(path)
+    elif fmt == "orc":
+        w.orc(path)
     elif fmt == "json":
         w.json(path)
     elif fmt == "csv":

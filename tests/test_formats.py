@@ -19,7 +19,7 @@ def _orders_slice(spark):
     )
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
 def test_roundtrip(spark, tmp_path, fmt):
     df = _orders_slice(spark)
     path = str(tmp_path / f"rt_{fmt}")
@@ -61,3 +61,22 @@ def test_schema_required_for_csv_json(spark, tmp_path):
     write_any(df, path, "csv")
     with pytest.raises(ValueError, match="explicit schema"):
         read_any(spark, path, "csv")
+
+
+def test_orc_predicate_pushdown(spark, tmp_path):
+    """ORC is a pushdown-capable columnar format like parquet — a filter
+    must reach the ORC scan, not evaluate post-read."""
+    df = _orders_slice(spark)
+    path = str(tmp_path / "orc_pd")
+    write_any(df, path, "orc")
+    got = read_any(spark, path, "orc").filter(F.col("o_orderkey") == 1)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "o_orderkey" in plan.split(
+        "PushedFilters"
+    )[1].split("\n")[0]
