@@ -117,8 +117,15 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document-quality metrics (Gopher-rules style): length,
     stopword density, punctuation/digit ratios, plus a pass/fail gate.
     Integer counts + one double division each -> engine-exact.
-    (Library form; registered via ``text_profile``.)"""
-    docs = load_table(spark, sf_dir, "documents")
+    (Library form; registered via ``text_profile`` and the quality leg
+    of ``curated_corpus``.)"""
+    # per-row regex CPU on a possibly single-row-group scan: without the
+    # fan-out this leg was a ONE-task 4.2 s straggler inside
+    # curated_corpus at the sf1 stress set (11-task stage, median 9 ms)
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents"),
+        spark.sparkContext.defaultParallelism,
+    )
     norm_words = F.split(normalize_text(F.col("text")), WS_SPLIT)
     low_words = F.split(F.lower(F.col("text")), WS_SPLIT)
     m = docs.select(
