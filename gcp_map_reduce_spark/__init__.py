@@ -39,6 +39,7 @@ def __getattr__(name):
         "upsert_snapshot": "gcp_map_reduce_spark.sinks.writers",
         "upsert_snapshot_bucketed": "gcp_map_reduce_spark.sinks.writers",
         "read_snapshot_bucketed": "gcp_map_reduce_spark.sinks.writers",
+        "write_sorted_layout": "gcp_map_reduce_spark.sinks.writers",
         "dataset_stats": "gcp_map_reduce_spark.sinks.writers",
     }
     if name in lazy:
@@ -66,6 +67,7 @@ __all__ = [
     "upsert_snapshot",
     "upsert_snapshot_bucketed",
     "read_snapshot_bucketed",
+    "write_sorted_layout",
     "dataset_stats",
 ]
 __version__ = "0.1.0"

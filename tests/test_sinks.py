@@ -178,3 +178,65 @@ def test_dataset_stats_counts_files_bytes_rows(spark, tmp_path):
     assert stats["rows"] == 1000
     assert stats["files"] >= 4  # 4 part files + _SUCCESS
     assert stats["bytes"] > 0
+
+
+def test_write_sorted_layout_produces_prunable_row_groups(spark, tmp_path):
+    """The sorted layout must make parquet row-group min/max statistics
+    selective: within every file the sort key's row-group ranges are
+    non-overlapping and in order, and the total span covered per group
+    is a small fraction of the full key range — the property any
+    parquet reader's row-group pruning keys on. Also: same rows back."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from gcp_map_reduce_spark.sinks.writers import write_sorted_layout
+    from gcp_map_reduce_spark.sources.tables import load_table
+    SF_BENCH = "/root/testdata/sf0.1"
+
+    import pytest
+
+    raw = load_table(spark, SF_BENCH, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    # INT96 timestamps carry no row-group stats — the helper must refuse
+    with pytest.raises(ValueError, match="INT96"):
+        write_sorted_layout(raw, str(tmp_path / "x"), ["o_orderdate"])
+    orders = raw.withColumn("o_orderdate", F.to_date("o_orderdate"))
+    path = str(tmp_path / "sorted_orders")
+    write_sorted_layout(
+        orders, path, ["o_orderdate"], n_files=4, row_group_bytes=256 * 1024
+    )
+
+    files = sorted(glob.glob(path + "/*.parquet"))
+    assert len(files) >= 2
+    spans, total_groups = [], 0
+    lo, hi = None, None
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        names = [md.schema.column(i).name for i in range(len(md.schema))]
+        idx = names.index("o_orderdate")
+        prev_max = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            assert st is not None and st.has_min_max
+            # in-order, non-overlapping within the file
+            if prev_max is not None:
+                assert st.min >= prev_max
+            prev_max = st.max
+            spans.append((st.min, st.max))
+            total_groups += 1
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    assert total_groups >= 8, total_groups
+    full = (hi - lo).days or 1
+    avg_span = sum((b - a).days for a, b in spans) / len(spans)
+    # each group covers a narrow slice, not the full range — this is what
+    # lets a range predicate skip most groups
+    assert avg_span <= full / 4, (avg_span, full, total_groups)
+
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    a = {tuple(r) for r in orders.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
