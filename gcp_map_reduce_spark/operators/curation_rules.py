@@ -104,8 +104,13 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the identical injection, counts, and scrubbed-text hash.
 
     Plan: one documents scan, one codegen stage, zero shuffles; regex
-    evaluation is JVM-side and linear in text length."""
-    doc = load_table(spark, sf_dir, "documents")
+    evaluation is JVM-side and linear in text length (degenerate-split
+    fan-out: multi-regex per-row CPU on a possibly single-split scan —
+    the same measured rule as the other regex-heavy legs)."""
+    doc = ensure_parallelism(
+        load_table(spark, sf_dir, "documents"),
+        spark.sparkContext.defaultParallelism,
+    )
     salted = F.concat(
         F.col("text"),
         F.lit(" contact user"),

@@ -502,6 +502,10 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable reaggregation of tf (NOT a second corpus scan); n_docs and
     df broadcast back onto tf.
     """
+    # measured: NO degenerate-split fan-out here — tf-idf is
+    # shuffle-bound after tokenize (explode + two groupBys dominate), so
+    # the guard's full-text exchange cost +42% at sf0.1 for a -5% stress
+    # delta (round 7; token_rarity shares the shape and the verdict)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = tokenize(docs, text_col="text", out_col="word", keep_cols=["doc_id"])
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
