@@ -155,6 +155,8 @@ def main() -> None:
         # text/dedup ladder at 50k documents (10% exact dups by design)
         "wordcount",
         "text_profile",
+        "text_tfidf",
+        "pii_scrub",
         "salted_token_counts",
         "dedup_exact",
         "dedup_minhash",
