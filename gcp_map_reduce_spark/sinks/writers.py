@@ -177,6 +177,13 @@ def upsert_snapshot_bucketed(
     ``upsert_snapshot`` (same contract, same tie policy; parity asserted
     in tests). With a lakehouse format this whole function is MERGE INTO
     on a bucket-partitioned table.
+
+    The updates DataFrame is materialized ONCE (to a staging parquet)
+    before anything else reads it: the affected-bucket set and the
+    merged rewrite are then computed from the same frozen rows, so a
+    non-deterministic source (a fresh-sampled stream batch, a re-run
+    subquery) cannot stage rows into buckets outside ``affected`` that
+    the promote loop would silently discard with the staging dir.
     """
     if BUCKET_COL in updates.columns:
         raise ValueError(
@@ -185,6 +192,8 @@ def upsert_snapshot_bucketed(
         )
     _recover_bucket_dirs(snapshot_dir)
     marker = os.path.join(snapshot_dir, _N_BUCKETS_FILE)
+    existing_entries = os.listdir(snapshot_dir) if os.path.isdir(snapshot_dir) else []
+    have_base = any(e.startswith(f"{BUCKET_COL}=") for e in existing_entries)
     if os.path.isfile(marker):
         with open(marker) as fh:
             existing = int(fh.read().strip())
@@ -194,16 +203,31 @@ def upsert_snapshot_bucketed(
                 f"{existing}; merging with n_buckets={n_buckets} would "
                 "mis-route keys"
             )
-    upd = updates.withColumn(BUCKET_COL, _bucket_expr(key, n_buckets))
+    elif not have_base and any(
+        e.endswith(".parquet") or e.startswith("part-") for e in existing_entries
+    ):
+        # Monolithic snapshot (root part-* files, no bucket dirs, no
+        # marker): treating it as an empty base would silently DROP every
+        # prior row and leave a mixed root-files+partition-dirs layout.
+        raise ValueError(
+            f"snapshot at {snapshot_dir} is a monolithic (unbucketed) "
+            "layout; migrate it first — e.g. "
+            "migrate_snapshot_to_bucketed(spark, snapshot_dir, key, "
+            f"n_buckets={n_buckets}) — instead of merging over it"
+        )
+    # Freeze the updates: one evaluation, then both the affected-bucket
+    # probe and the merge read the same materialized rows.
+    upd_staging = snapshot_dir + ".staging-updates"
+    updates.withColumn(BUCKET_COL, _bucket_expr(key, n_buckets)).write.mode(
+        "overwrite"
+    ).parquet(upd_staging)
+    upd = spark.read.parquet(upd_staging)
     affected = sorted(
         r[BUCKET_COL] for r in upd.select(BUCKET_COL).distinct().collect()
     )
     if not affected:
+        shutil.rmtree(upd_staging, ignore_errors=True)
         return []
-    have_base = any(
-        e.startswith(f"{BUCKET_COL}=")
-        for e in (os.listdir(snapshot_dir) if os.path.isdir(snapshot_dir) else [])
-    )
     if have_base:
         base = (
             spark.read.parquet(snapshot_dir)
@@ -211,8 +235,10 @@ def upsert_snapshot_bucketed(
             .drop(BUCKET_COL)
         )
     else:
-        base = updates.limit(0)
-    merged = upsert_snapshot(base, updates, key, version_col, seq_col=seq_col)
+        base = upd.drop(BUCKET_COL).limit(0)
+    merged = upsert_snapshot(
+        base, upd.drop(BUCKET_COL), key, version_col, seq_col=seq_col
+    )
     staging = snapshot_dir + ".staging"
     merged.withColumn(BUCKET_COL, _bucket_expr(key, n_buckets)).write.mode(
         "overwrite"
@@ -237,11 +263,45 @@ def upsert_snapshot_bucketed(
         if os.path.isdir(old):
             shutil.rmtree(old)
     shutil.rmtree(staging)
+    shutil.rmtree(upd_staging, ignore_errors=True)
     return [int(b) for b in affected]
 
 
+def migrate_snapshot_to_bucketed(
+    spark: SparkSession,
+    snapshot_dir: str,
+    key: str,
+    n_buckets: int = 32,
+) -> None:
+    """One-time rewrite of a monolithic snapshot (root ``part-*`` parquet
+    files) into the bucketed layout ``upsert_snapshot_bucketed`` merges
+    into. Write-then-swap: the bucketed copy lands in a sibling dir and
+    replaces the monolithic one only after the write succeeds, so a
+    crash mid-migration leaves the original untouched."""
+    df = spark.read.parquet(snapshot_dir)
+    if BUCKET_COL in df.columns:
+        raise ValueError(f"snapshot at {snapshot_dir} is already bucketed")
+    migrated = snapshot_dir + ".migrating"
+    df.withColumn(BUCKET_COL, _bucket_expr(key, n_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy(BUCKET_COL).parquet(migrated)
+    with open(os.path.join(migrated, _N_BUCKETS_FILE), "w") as fh:
+        fh.write(str(n_buckets))
+    old = snapshot_dir + ".premigration"
+    os.rename(snapshot_dir, old)
+    os.rename(migrated, snapshot_dir)
+    shutil.rmtree(old)
+
+
 def read_snapshot_bucketed(spark: SparkSession, snapshot_dir: str) -> DataFrame:
-    """Read a bucketed snapshot without the layout column."""
+    """Read a bucketed snapshot without the layout column.
+
+    Runs the same crash-recovery sweep as the write side first: a crash
+    between a bucket's two promote renames leaves only the hidden
+    ``.bucket_id=N.old`` dir, and without the roll-forward/back a read
+    would silently return a snapshot missing that bucket's rows until
+    the next merge happened to run."""
+    _recover_bucket_dirs(snapshot_dir)
     return spark.read.parquet(snapshot_dir).drop(BUCKET_COL)
 
 

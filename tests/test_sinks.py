@@ -169,6 +169,124 @@ def test_upsert_snapshot_bucketed_prunes_and_matches_monolithic(spark, tmp_path)
         )
 
 
+def test_read_snapshot_bucketed_recovers_half_promoted_bucket(spark, tmp_path):
+    """A crash between a bucket's two promote renames leaves only the
+    hidden ``.bucket_id=N.old`` dir; the read side must roll it back
+    instead of silently returning a snapshot missing that bucket."""
+    import shutil
+
+    from gcp_map_reduce_spark.sinks.writers import (
+        BUCKET_COL,
+        read_snapshot_bucketed,
+        upsert_snapshot_bucketed,
+    )
+
+    snap = str(tmp_path / "snap")
+    rows = [(i, 1, f"p{i}") for i in range(40)]
+    upsert_snapshot_bucketed(
+        spark,
+        spark.createDataFrame(rows, "k bigint, v bigint, payload string"),
+        snap,
+        "k",
+        "v",
+        n_buckets=4,
+    )
+    # simulate the crash window: live dir renamed aside, staged move lost
+    victim = next(e for e in os.listdir(snap) if e.startswith(f"{BUCKET_COL}="))
+    os.rename(
+        os.path.join(snap, victim), os.path.join(snap, "." + victim + ".old")
+    )
+    got = {r.k for r in read_snapshot_bucketed(spark, snap).collect()}
+    assert got == {k for k, _, _ in rows}
+    # recovery restored the live dir (no hidden .old left behind)
+    assert victim in os.listdir(snap)
+    assert not any(e.endswith(".old") for e in os.listdir(snap))
+    # completed-promote case: .old alongside a live dir is just dropped
+    shutil.copytree(
+        os.path.join(snap, victim), os.path.join(snap, "." + victim + ".old")
+    )
+    assert {r.k for r in read_snapshot_bucketed(spark, snap).collect()} == {
+        k for k, _, _ in rows
+    }
+    assert not any(e.endswith(".old") for e in os.listdir(snap))
+
+
+def test_bucketed_merge_refuses_monolithic_base_and_migrates(spark, tmp_path):
+    """Pointing the bucketed merge at a monolithic snapshot (root part-*
+    files, no marker) must raise, not silently drop the base rows; after
+    migrate_snapshot_to_bucketed the merge works and keeps them."""
+    import pytest
+
+    from gcp_map_reduce_spark.sinks.writers import (
+        migrate_snapshot_to_bucketed,
+        read_snapshot_bucketed,
+        upsert_snapshot_bucketed,
+    )
+
+    snap = str(tmp_path / "snap")
+    schema = "k bigint, v bigint, payload string"
+    base = spark.createDataFrame([(i, 1, f"p{i}") for i in range(20)], schema)
+    base.write.parquet(snap)  # monolithic layout
+    upd = spark.createDataFrame([(3, 2, "x3"), (99, 1, "new")], schema)
+    with pytest.raises(ValueError, match="monolithic"):
+        upsert_snapshot_bucketed(spark, upd, snap, "k", "v", n_buckets=4)
+
+    migrate_snapshot_to_bucketed(spark, snap, "k", n_buckets=4)
+    upsert_snapshot_bucketed(spark, upd, snap, "k", "v", n_buckets=4)
+    got = {
+        r.k: (r.v, r.payload)
+        for r in read_snapshot_bucketed(spark, snap).collect()
+    }
+    assert len(got) == 21 and got[3] == (2, "x3") and got[99] == (1, "new")
+    assert got[0] == (1, "p0")  # pre-migration row survived
+
+
+def test_bucketed_merge_freezes_nondeterministic_updates(spark, tmp_path):
+    """The affected-bucket probe and the merged rewrite must see the SAME
+    update rows even when the source is non-deterministic — otherwise
+    rows staged into buckets outside ``affected`` are deleted with the
+    staging dir instead of promoted."""
+    from pyspark.sql import functions as F
+
+    from gcp_map_reduce_spark.sinks.writers import (
+        read_snapshot_bucketed,
+        upsert_snapshot_bucketed,
+    )
+
+    # rand() re-draws per evaluation: without materialization the probe
+    # and the write would each sample DIFFERENT keys
+    upd = (
+        spark.range(200)
+        .withColumn("k", (F.rand() * 1000).cast("bigint"))
+        .withColumn("v", F.lit(1))
+        .withColumn("payload", F.col("k").cast("string"))
+        .drop("id")
+    )
+    snap = str(tmp_path / "snap")
+    touched = upsert_snapshot_bucketed(spark, upd, snap, "k", "v", n_buckets=8)
+    snap_keys = {r.k for r in read_snapshot_bucketed(spark, snap).collect()}
+    # every row the merge evaluated landed in a promoted bucket: the
+    # snapshot is internally consistent (each key's bucket was promoted)
+    assert snap_keys and touched
+    # and no staging leftovers survive
+    assert not os.path.isdir(snap + ".staging")
+    assert not os.path.isdir(snap + ".staging-updates")
+
+
+def test_stress_gate_exemption_list_is_pinned():
+    """The max-task exemption exists ONLY for the two documented-quadratic
+    exact-edge paths; growing it requires a visible diff here."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "stress_ci",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "stress_ci.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod._MAX_TASK_EXEMPT == {"dedup_clusters", "curated_corpus"}
+
+
 def test_dataset_stats_counts_files_bytes_rows(spark, tmp_path):
     from gcp_map_reduce_spark.sinks.writers import dataset_stats
 
