@@ -915,6 +915,88 @@ def near_dup_edges_minhash_verified(
     )
 
 
+# -- adaptive edge-source selection (cost-based exact vs minhash) ---------
+
+# Crossover threshold for choose_edge_source, in estimated candidate
+# pairs per document. Set from measurement (r8): cpd ~28 at sf0.01 and
+# ~267 at sf0.1 — densities where the exact shingle self-join is the
+# faster plan — vs ~2,743 at the 10x-dup-clique stress set, where the
+# exact join goes quadratic (19.6 s vs minhash 4.7 s, SCALING.md
+# crossover table). 1,000 sits at the geometric middle of the measured
+# gap; both real workloads clear it by >3x on their own side.
+EDGE_SOURCE_CPD_THRESHOLD = 1000.0
+
+
+def estimate_candidate_pairs_per_doc(
+    spark: SparkSession,
+    sf_dir: str,
+    sample_target: int = 2000,
+    seed: int = 42,
+) -> float:
+    """Sampled estimate of the exact shingle self-join's output size,
+    per document: E[candidate pairs] / |docs|, where candidate pairs =
+    sum over gram fingerprints of df*(df-1)/2 — the exact quantity the
+    inverted-index join materializes and the reason that plan is
+    quadratic in dup-clique size.
+
+    Estimator: sample each doc independently with probability ``p``
+    (sized so ~``sample_target`` docs survive), build the sampled grams
+    with the cheap xxhash64 family (probe-internal — no oracle needs to
+    mirror it), and scale the sampled collision mass by 1/p^2: a pair
+    survives doc-sampling with probability exactly p^2, so
+    sum(df_s*(df_s-1)) / p^2 is unbiased for sum(df*(df-1)). One small
+    job over ~sample_target docs — measured ~1.3 s against the 50k-doc
+    stress corpus, vs the ~15 s the right plan choice saves there.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    if n == 0:
+        return 0.0
+    p = min(1.0, sample_target / n)
+    sample = docs.sample(fraction=p, seed=seed) if p < 1.0 else docs
+    grams = gram_hash_arrays_for(sample, n=3, fast_hash=True).select(
+        F.explode("gh_arr").alias("gh")
+    )
+    row = (
+        grams.groupBy("gh")
+        .agg(F.count("*").alias("df"))
+        .agg(F.sum(F.expr("df * (df - 1)")).alias("m"))
+        .collect()[0]
+    )
+    est_pairs = (row["m"] or 0) / (2.0 * p * p)
+    return est_pairs / n
+
+
+def choose_edge_source(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = EDGE_SOURCE_CPD_THRESHOLD,
+    sample_target: int = 2000,
+    seed: int = 42,
+) -> str:
+    """Cost-based exact-vs-minhash decision for the near-dup pair graph
+    (the one plan choice the engine previously left to the caller):
+    probe the corpus's candidate-pair density and return ``"exact"``
+    below ``threshold`` (full-recall inverted-index join, the faster
+    plan at low dup density) or ``"minhash"`` above it (banded
+    candidates + exact verify, the bounded-shuffle plan that holds when
+    dup cliques or sheer corpus size make the exact join quadratic).
+    Pass ``edge_source="auto"`` / ``near_dup_source="auto"`` to
+    :func:`dedup_clusters` / ``curated_corpus`` to apply it in place.
+    """
+    cpd = estimate_candidate_pairs_per_doc(
+        spark, sf_dir, sample_target=sample_target, seed=seed
+    )
+    choice = "exact" if cpd < threshold else "minhash"
+    log.info(
+        "choose_edge_source: est candidate pairs/doc %.1f (threshold %.0f) -> %s",
+        cpd,
+        threshold,
+        choice,
+    )
+    return choice
+
+
 _CLUSTERS_ORACLE = f"""
 WITH RECURSIVE {_gram_hashes_sql()},
 sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
@@ -963,7 +1045,10 @@ def dedup_clusters(
       exactly verified per pair (``near_dup_edges_minhash_verified``) —
       bounded shuffle, recall = band recall (~1.0 for true copies).
       ``tests/test_dedup.py`` asserts both sources produce IDENTICAL
-      clusterings at oracle scale.
+      clusterings at oracle scale;
+    - ``"auto"``: :func:`choose_edge_source` probes the corpus's
+      candidate-pair density (sampled, ~1 small job) and picks between
+      the two — the cost-based form of the SCALING.md crossover table.
 
     Spark side is min-label propagation WITH pointer doubling: each round
     a node's label drops to the minimum of (its label, its neighbors'
@@ -978,6 +1063,8 @@ def dedup_clusters(
     closure — engine-independent agreement on an iterative algorithm's
     fixpoint. reach_size doubles as the component size.
     """
+    if edge_source == "auto":
+        edge_source = choose_edge_source(spark, sf_dir)
     if edge_source == "exact":
         edge_df = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     elif edge_source == "minhash":

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from gcp_map_reduce_spark.operators.dedup import (
     _gram_hashes_sql,
+    choose_edge_source,
     dedup_exact_keepers,
     dedup_ngram_jaccard,
     near_dup_edges_minhash_verified,
@@ -90,7 +91,11 @@ def curated_corpus(
     (default; what the oracle replicates) uses the shingle self-join,
     "minhash" (the 100 TB plan, optionally with ``fast_hash``) drops docs
     via verified band-collision candidates — identical survivor sets at
-    oracle scale (tests/test_dedup.py asserts edge-set equality)."""
+    oracle scale (tests/test_dedup.py asserts edge-set equality);
+    "auto" lets ``choose_edge_source`` pick by the sampled
+    candidate-pair-density probe."""
+    if near_dup_source == "auto":
+        near_dup_source = choose_edge_source(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     quality = (
         text_quality(spark, sf_dir)
