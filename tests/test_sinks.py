@@ -287,6 +287,17 @@ def test_stress_gate_exemption_list_is_pinned():
     assert mod._MAX_TASK_EXEMPT == {"dedup_clusters", "curated_corpus"}
 
 
+def test_stress_bench_covers_full_headline_set():
+    """Every bench.py headline query must have a stress-gate row —
+    a query outside the stress set can regress at skew invisibly."""
+    import re
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "tools", "stress_bench.py")) as fh:
+        src = fh.read()
+    assert re.search(r"from bench import HEADLINE", src)
+    assert re.search(r"headline = list\(HEADLINE\)", src)
+
+
 def test_dataset_stats_counts_files_bytes_rows(spark, tmp_path):
     from gcp_map_reduce_spark.sinks.writers import dataset_stats
 

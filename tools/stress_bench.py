@@ -76,10 +76,23 @@ def _last_stage(spark) -> int:
         return -1
 
 
-def run_timed(spark, name, fn, sf_dir, runs, results) -> None:
+def _release_cluster_state(spark) -> None:
+    """Python GC alone only drops the py4j wrappers; the driver-JVM GC is
+    what lets Spark's ContextCleaner actually release prior queries'
+    localCheckpoint/broadcast blocks from executor storage memory. In a
+    28-query session the accumulated blocks measurably starve the
+    checkpoint-heavy dedup family (observed 4x wall inflation)."""
     import gc
 
-    gc.collect()  # free prior query's checkpoint/broadcast refs first
+    gc.collect()
+    try:
+        spark._jvm.System.gc()
+    except Exception:
+        pass
+
+
+def run_timed(spark, name, fn, sf_dir, runs, results) -> None:
+    _release_cluster_state(spark)
     samples, stats = [], {}
     for _ in range(runs):
         before = _last_stage(spark)
@@ -139,36 +152,22 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    headline = [
-        # relational at 6M lineitem (hot l_suppkey=1 at 10%)
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q21_waiting_suppliers",
-        # events at 1M rows (hot user_id=1 at 10%): sessionize window +
-        # hourly resample + enrich
-        "user_event_profile",
-        "events_enriched_hourly",
-        # ANN at 20k vectors (copies are deterministic near-neighbors)
-        "similarity_ivf_ann",
-        "similarity_lsh_ann",
-        "semantic_search_docs",
-        # text/dedup ladder at 50k documents (10% exact dups by design)
-        "wordcount",
-        "text_profile",
-        "text_tfidf",
-        "pii_scrub",
-        "salted_token_counts",
-        "dedup_exact",
-        "dedup_minhash",
-        "dedup_clusters",
-        "curated_corpus",
-    ]
+    # The FULL bench.py headline set — every query the sf0.1 bench tracks
+    # gets a stress row (wall sec + max single-task ms), so a skew/scale
+    # regression can't hide in a query the gate doesn't time
+    # (tests/test_sinks.py pins the superset relation). Stress-specific
+    # extras: the salted-agg and PII paths whose stragglers only show at
+    # this volume.
+    from bench import HEADLINE
+
+    headline = list(HEADLINE) + ["pii_scrub", "salted_token_counts"]
 
     results: dict[str, dict] = {}
     # warm-up: JVM + codegen at the target volume
     spark.read.parquet(f"{args.dir}/lineitem.parquet").count()
     for name in headline:
         plan(name)(spark, args.dir).write.format("noop").mode("overwrite").save()
+    _release_cluster_state(spark)
     print("warm-up done", flush=True)
 
     for name in headline:
