@@ -178,6 +178,17 @@ def similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEAR_DUP_COSINE = 0.45  # corpus max pairwise cosine is ~0.51; a realistic
 # production threshold (0.9+) would be vacuous on this synthetic data
 
+N_PLANES = 16
+_LSH_BANDS = 4  # 4 bands x 4 bits; candidates share >= 1 band value
+_PLANE_SEED = 42
+
+
+def _hyperplanes(dim: int = 64) -> list[list[float]]:
+    """Deterministic random hyperplanes (fixed seed -> reproducible plans)."""
+    rng = np.random.RandomState(_PLANE_SEED)
+    return rng.standard_normal((N_PLANES, dim)).tolist()
+
+
 DEDUP_BANDS = 8  # 8 bands x 2 bits over the 16-plane sketch. Wide angles
 # (cosine 0.45 ~ 63 deg) need narrow bands for recall: measured 14/14
 # qualifying pairs captured at sf0.01 (the oracle gate), 7/7 at sf0.001,
@@ -205,18 +216,55 @@ def embedding_near_dup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle=f"""
-SELECT * FROM (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-    {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
-      / sqrt({_SQL_DOT.format(a='a.embedding', b='a.embedding')}
-             * {_SQL_DOT.format(a='b.embedding', b='b.embedding')}) AS cosine
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-) WHERE cosine >= {NEAR_DUP_COSINE}
-""",
+def _embedding_dedup_oracle(dim: int = 64) -> str:
+    """Full SQL replica of the BANDED near-dup plan (same pattern as
+    ``_lsh_oracle``): plane literals -> integer sign sketches -> band
+    agreement on the 8x2-bit split -> exact cosine threshold. The
+    previous all-pairs oracle relied on the banding capturing every
+    qualifying pair, which holds at sf0.01 (14/14) but NOT at sf0.1
+    (140/144, found by the r8 full-registry sweep) — banding recall is a
+    measured property (``tests/test_similarity.py``), not an oracle
+    assumption."""
+    band_bits = N_PLANES // DEDUP_BANDS
+    mask = (1 << band_bits) - 1
+    rows = ",\n    ".join(
+        f"({j}, [{', '.join(repr(v) for v in p)}]::DOUBLE[])"
+        for j, p in enumerate(_hyperplanes(dim))
+    )
+    proj = _SQL_DOT.format(
+        a="list_transform(e.embedding, x -> CAST(x AS DOUBLE))", b="pl.p"
+    )
+    band_eq = " OR ".join(
+        f"((a.sketch >> {b * band_bits}) & {mask}) = "
+        f"((b.sketch >> {b * band_bits}) & {mask})"
+        for b in range(DEDUP_BANDS)
+    )
+    return f"""
+WITH planes(j, p) AS (VALUES
+    {rows}
+),
+sk AS (
+  SELECT e.vec_id,
+    SUM(CASE WHEN {proj} > 0 THEN (CAST(1 AS BIGINT) << pl.j) ELSE 0 END) AS sketch
+  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sk a JOIN sk b ON a.vec_id < b.vec_id
+  WHERE {band_eq}
 )
+SELECT * FROM (
+  SELECT vec_a, vec_b,
+    {_SQL_DOT.format(a='ae.embedding', b='be.embedding')}
+      / sqrt({_SQL_DOT.format(a='ae.embedding', b='ae.embedding')}
+             * {_SQL_DOT.format(a='be.embedding', b='be.embedding')}) AS cosine
+  FROM cand JOIN embeddings ae ON vec_a = ae.vec_id
+            JOIN embeddings be ON vec_b = be.vec_id
+) WHERE cosine >= {NEAR_DUP_COSINE}
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_embedding_dedup_oracle())
 def dedup_embedding_cosine(
     spark: SparkSession, sf_dir: str, payload: str = "corpus"
 ) -> DataFrame:
@@ -247,11 +295,13 @@ def dedup_embedding_cosine(
       orders of magnitude fewer than corpus rows, and two full-corpus
       Python passes would dominate the job.
 
-    The all-pairs oracle stays valid because the 8x2 banding
-    (see DEDUP_BANDS) captures every qualifying pair at oracle scale;
-    ``embedding_near_dup_pairs_exact`` is the library verifier and
-    ``tests/test_similarity.py`` asserts banded == exact (checkpoint
-    width is plan-asserted in ``tests/test_plans.py``)."""
+    The oracle mirrors the BANDING itself (``_embedding_dedup_oracle``:
+    same plane literals, same sign sketches, same 8x2-bit band
+    agreement), so parity holds at every scale — banding recall is the
+    separately-measured property (14/14 qualifying pairs at sf0.01,
+    140/144 at sf0.1; ``embedding_near_dup_pairs_exact`` is the library
+    verifier, recall floor asserted in ``tests/test_similarity.py``;
+    checkpoint width plan-asserted in ``tests/test_plans.py``)."""
     if payload not in ("corpus", "candidates"):
         raise ValueError(
             f"payload must be 'corpus' or 'candidates', got {payload!r}"
@@ -525,16 +575,8 @@ def similarity_ivf_ann(
 
 
 # -- random-hyperplane LSH (scale path) -----------------------------------
-
-N_PLANES = 16
-_LSH_BANDS = 4  # 4 bands x 4 bits; candidates share >= 1 band value
-_PLANE_SEED = 42
-
-
-def _hyperplanes(dim: int = 64) -> list[list[float]]:
-    """Deterministic random hyperplanes (fixed seed -> reproducible plans)."""
-    rng = np.random.RandomState(_PLANE_SEED)
-    return rng.standard_normal((N_PLANES, dim)).tolist()
+# (N_PLANES / _hyperplanes live above the dedup section: the banded
+# dedup oracle embeds the same plane literals)
 
 
 def lsh_sketch(df: DataFrame, dim: int = 64) -> DataFrame:

@@ -97,12 +97,38 @@ def test_banded_embedding_dedup_matches_exact_allpairs(spark):
     }
     assert exact, "fixture should contain qualifying near-dup pairs"
     # the 8x2 banding captures EVERY qualifying pair at oracle scale, and
-    # the exact cosine filter on candidates reproduces identical values —
-    # this is what keeps the all-pairs SQL oracle valid for the banded plan
+    # the exact cosine filter on candidates reproduces identical values
+    # (the SQL oracle mirrors the banding itself, so parity is by
+    # construction; THIS test is where recall is measured)
     assert banded == exact, (
         set(exact) - set(banded),
         set(banded) - set(exact),
     )
+
+
+def test_banded_embedding_dedup_recall_floor_at_sf01(spark):
+    """At sf0.1 the banding is NOT complete (140/144 measured, r8 sweep) —
+    pin the recall floor and the no-false-positive/equal-values side, so
+    a band-layout change that silently craters recall fails here (the
+    oracle can no longer catch it: it mirrors the banding)."""
+    from gcp_map_reduce_spark.operators.similarity import (
+        dedup_embedding_cosine,
+        embedding_near_dup_pairs_exact,
+    )
+
+    d = "/root/testdata/sf0.1"
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs_exact(spark, d).collect()
+    }
+    banded = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in dedup_embedding_cosine(spark, d).collect()
+    }
+    assert set(banded) <= set(exact)  # candidates are exactly verified
+    assert all(banded[k] == exact[k] for k in banded)  # identical cosines
+    recall = len(banded) / len(exact)
+    assert recall >= 0.95, (len(banded), len(exact))
 
 
 def test_quantize_error_bounded_by_scale(spark):
