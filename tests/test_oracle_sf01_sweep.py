@@ -7,9 +7,7 @@ in production. This sweep replicates the exact driver gate (row count +
 schema + order-insensitive values vs DuckDB) for every registered query
 at the bench scale.
 
-Runtime: ~11 min wall on local[8] (measured r8: 640 s — DuckDB's
-recursive-CTE transitive closures and gram self-joins at 5k docs / 600k
-lineitem dominate, not Spark). Run:
+Runtime: ~2 min wall (measured r8: 115 s for all 50 on local[32]). Run:
 
     SPARK_GRAFT_SF01_SWEEP=1 python -m pytest tests/test_oracle_sf01_sweep.py -q
 """
