@@ -88,3 +88,35 @@ def test_public_api_exports_resolve():
 
     with pytest.raises(AttributeError):
         g.not_a_thing
+
+
+def test_bench_compact_stdout_line_survives_driver_tail():
+    """The driver keeps only the last 2,000 chars of bench.py stdout; the
+    compact summary line (total + per-query min + errors, NO
+    queries_detail) must fit with headroom even at worst-case value
+    widths (BENCH_r06/r07 were parsed:null because the detail blob
+    overflowed the tail)."""
+    import json
+
+    from bench import HEADLINE
+
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total_wall_sec",
+            "value": 9999.999,
+            "unit": "sec",
+            "queries": {name: 9999.999 for name in HEADLINE},
+            "errors": {},
+            "sf": 0.1,
+        }
+    )
+    assert len(payload) < 1900, len(payload)
+    # and bench.py actually prints the compact form last / keeps detail
+    # file-only
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.main)
+    assert 'del compact["queries_detail"]' in src
+    assert src.rstrip().endswith("spark.stop()")
