@@ -369,3 +369,71 @@ def test_write_sorted_layout_produces_prunable_row_groups(spark, tmp_path):
     a = {tuple(r) for r in orders.collect()}
     b = {tuple(r) for r in back.collect()}
     assert a == b
+
+
+def test_bucketed_merge_survives_crash_at_every_rename(spark, tmp_path, monkeypatch):
+    """Exhaustive crash-point sweep: fail the merge at the 1st, 2nd, ...
+    Nth filesystem rename and assert that (recovery +) replaying the
+    SAME batch always converges to the correct snapshot with no
+    leftover .old/staging state — the keep-latest idempotency contract
+    under every possible promote-interruption point, not just the
+    hand-picked windows the targeted tests cover."""
+    import os as _os
+
+    from gcp_map_reduce_spark.sinks.writers import (
+        read_snapshot_bucketed,
+        upsert_snapshot_bucketed,
+    )
+
+    schema = "k bigint, v bigint, payload string"
+    base_rows = [(i, 1, f"p{i}") for i in range(30)]
+    upd_rows = [(3, 2, "x3"), (7, 2, "x7"), (90, 1, "new")]
+    expected = {k: (v, p) for k, v, p in base_rows}
+    expected.update({k: (v, p) for k, v, p in upd_rows})
+
+    real_rename = _os.rename
+    crash_at = 0
+
+    def flaky_rename(src, dst):
+        nonlocal crash_at
+        crash_at -= 1
+        if crash_at == 0:
+            raise OSError("injected crash")
+        real_rename(src, dst)
+
+    n = 1
+    while True:
+        snap = str(tmp_path / f"snap{n}")
+        upsert_snapshot_bucketed(
+            spark,
+            spark.createDataFrame(base_rows, schema),
+            snap,
+            "k",
+            "v",
+            n_buckets=4,
+        )
+        upd = spark.createDataFrame(upd_rows, schema)
+        crash_at = n
+        monkeypatch.setattr(_os, "rename", flaky_rename)
+        try:
+            upsert_snapshot_bucketed(spark, upd, snap, "k", "v", n_buckets=4)
+            crashed = False
+        except OSError:
+            crashed = True
+        finally:
+            monkeypatch.setattr(_os, "rename", real_rename)
+        # replay the batch (the streaming at-least-once contract)
+        upsert_snapshot_bucketed(spark, upd, snap, "k", "v", n_buckets=4)
+        got = {
+            r.k: (r.v, r.payload)
+            for r in read_snapshot_bucketed(spark, snap).collect()
+        }
+        assert got == expected, (n, crashed, got)
+        assert not any(
+            e.endswith(".old") for e in _os.listdir(snap)
+        ), (n, _os.listdir(snap))
+        assert not _os.path.isdir(snap + ".staging"), n
+        if not crashed:  # the Nth rename never happened: sweep complete
+            break
+        n += 1
+    assert n >= 3  # the sweep actually exercised multiple crash points
