@@ -96,21 +96,44 @@ SELECT doc_id, n_emails, n_phones, n_ips,
 FROM scrubbed
 """,
 )
-def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pii_scrub(
+    spark: SparkSession, sf_dir: str, engine: str = "arrow"
+) -> DataFrame:
     """PII redaction pass: count and replace emails, phone numbers, and
     IPv4 addresses with typed placeholders. Deterministic pseudo-PII is
     injected from ``doc_id`` first (the synthetic corpus is word-only) so
     the redaction machinery is value-checked end-to-end — the oracle
     recomputes the identical injection, counts, and scrubbed-text hash.
 
-    Plan: one documents scan, one codegen stage, zero shuffles; regex
-    evaluation is JVM-side and linear in text length (degenerate-split
-    fan-out: multi-regex per-row CPU on a possibly single-split scan —
-    the same measured rule as the other regex-heavy legs)."""
+    ``engine="arrow"`` (default, r8): ONE ``mapInPandas`` kernel per row
+    doing the three ``re`` passes in C (findall counts on the salted
+    text + the chained sub replacements) — measured **4.79 -> 0.92 s at
+    the sf1 stress set (5.2x)**; every one of the 32 tasks in the
+    expression form's heavy stage ran ~4.5 s of Java-regex CPU (median
+    == max, so this was compute cost, not a straggler, and the fix is
+    cheaper passes, not more fan-out). ``engine="expr"`` keeps the JVM
+    expression form as the executable spec the SQL oracle mirrors;
+    row-identity between the two is pytest-gated on the corpus and an
+    adversarial PII set (``tests/test_curation_pii.py``) — the
+    kernel-boundary rule from SCALING.md applied once more.
+
+    Plan (either engine): one documents scan, zero shuffles, linear in
+    text length; degenerate-split fan-out via ``ensure_parallelism``.
+    """
+    if engine not in ("arrow", "expr"):
+        raise ValueError(f"unknown engine: {engine!r}")
     doc = ensure_parallelism(
         load_table(spark, sf_dir, "documents"),
         spark.sparkContext.defaultParallelism,
     )
+    if engine == "arrow":
+        return _pii_scrub_kernel(doc.select("doc_id", "text"))
+    return _pii_scrub_expr(doc)
+
+
+def _pii_scrub_expr(doc: DataFrame) -> DataFrame:
+    """JVM expression form over a (doc_id, text, ...) DataFrame — the
+    executable spec the SQL oracle mirrors."""
     salted = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -141,6 +164,55 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(salted, F.lit(IPV4_RE), F.lit(0))).alias("n_ips"),
         F.length(clean).alias("clean_len"),
         F.md5(clean).alias("clean_hash"),
+    )
+
+
+def _pii_scrub_kernel(doc: DataFrame) -> DataFrame:
+    """(doc_id, text) -> the pii_scrub row, one Arrow batch at a time.
+    Semantics mirror the expression form EXACTLY: counts are matches on
+    the salted text (each pattern independently), the replacement chain
+    is email -> phone -> IP with the phone guard-char backreference.
+    Patterns live in the Java/RE2/Python-re common subset (module
+    docstring), and expr==arrow row identity is pytest-gated."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    def kernel(batches):
+        em = re.compile(EMAIL_RE)
+        ph = re.compile(PHONE_RE)
+        ip = re.compile(IPV4_RE)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["doc_id"].tolist()
+            texts = pdf["text"].tolist()
+            out = {
+                "doc_id": ids,
+                "n_emails": [],
+                "n_phones": [],
+                "n_ips": [],
+                "clean_len": [],
+                "clean_hash": [],
+            }
+            for i, t in zip(ids, texts):
+                s = (
+                    f"{t} contact user{i}@example.com call "
+                    f"+1-555-{i % 10000:04d} from 10.0.{i % 256}.7"
+                )
+                out["n_emails"].append(len(em.findall(s)))
+                out["n_phones"].append(len(ph.findall(s)))
+                out["n_ips"].append(len(ip.findall(s)))
+                c = ip.sub("<IP>", ph.sub(r"\1<PHONE>", em.sub("<EMAIL>", s)))
+                out["clean_len"].append(len(c))
+                out["clean_hash"].append(hashlib.md5(c.encode()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return doc.mapInPandas(
+        kernel,
+        "doc_id long, n_emails int, n_phones int, n_ips int, "
+        "clean_len int, clean_hash string",
     )
 
 

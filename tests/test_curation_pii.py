@@ -84,3 +84,47 @@ def test_spark_duckdb_agree_on_phone_regex(spark, s):
         f"len(regexp_extract_all('{text}', '{PHONE_RE}')) AS n"
     ).fetchone()
     assert (spark_row.clean, spark_row.n) == duck, (s, spark_row, duck)
+
+
+def test_pii_arrow_kernel_row_identical_to_expr_on_corpus(spark):
+    """The Arrow default engine must be row-identical to the expression
+    spec on the real corpus (the oracle checks the spec; this pins the
+    kernel to it)."""
+    from gcp_map_reduce_spark.operators.curation_rules import pii_scrub
+
+    d = "/root/testdata/sf0.01"
+    a = {tuple(r) for r in pii_scrub(spark, d, engine="expr").collect()}
+    b = {tuple(r) for r in pii_scrub(spark, d, engine="arrow").collect()}
+    assert a == b and a
+
+
+def test_pii_arrow_kernel_row_identical_on_adversarial_texts(spark):
+    """Java regex (expr) vs Python re (kernel) must agree on the nasty
+    cases: every REDACTED/KEPT phone variant, emails with dots/plus
+    tags/subdomains, IPs adjacent to phones, unicode text, placeholder
+    literals already present, and empty-ish strings."""
+    from gcp_map_reduce_spark.operators.curation_rules import (
+        _pii_scrub_expr,
+        _pii_scrub_kernel,
+    )
+
+    texts = (
+        [f"call {s} now" for s in REDACTED + KEPT]
+        + [
+            "mail first.last+tag@sub.example.co.uk today",
+            "a@b.io x@y.z 1.2.3.4 555-867-5309 10.0.0.1",
+            "phone then ip 555.867.5309 10.0.203.7 end",
+            "unicode café naïve 北京 🎉 +1 (555) 867-5309",
+            "already <EMAIL> and <PHONE> and <IP> here",
+            "",
+            "   ",
+            "dot.end@example.com.",
+            "999.999.999.999 is not a valid ip but matches the class",
+        ]
+    )
+    doc = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    a = sorted(map(tuple, _pii_scrub_expr(doc).collect()))
+    b = sorted(map(tuple, _pii_scrub_kernel(doc).collect()))
+    assert a == b
