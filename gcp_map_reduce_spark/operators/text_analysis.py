@@ -475,7 +475,7 @@ def _profile_finalize(m: DataFrame) -> DataFrame:
 # -- TF-IDF + n-grams ------------------------------------------------------
 
 from gcp_map_reduce_spark.functions.text import sql_tokens_cte, tokenize  # noqa: E402
-from gcp_map_reduce_spark.operators.scale import ensure_parallelism  # noqa: E402
+from gcp_map_reduce_spark.operators.scale import ensure_parallelism, materialize  # noqa: E402
 
 
 _TFIDF_ORACLE = f"""
@@ -498,17 +498,23 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`tfidf_score` because ln() differs between engines in the last
     ulp (measured: ~1% of integer arguments) and can't value-hash.
 
-    Plan shape: tf is one shuffle on (doc_id, word); df is a map-side-
-    combinable reaggregation of tf (NOT a second corpus scan); n_docs and
-    df broadcast back onto tf.
+    Plan shape: tf is one shuffle on (doc_id, word), MATERIALIZED before
+    its three consumers (r8, measured): tf feeds the output, the df
+    broadcast, and the n_docs broadcast — without the checkpoint each
+    broadcast leg re-executes the whole scan+tokenize+tf subtree as its
+    own query stage (three concurrent 50k-doc tokenizes profiled at
+    stress, one ~2.6 s single-split task each). With the checkpoint plus
+    the degenerate-split fan-out the tokenize runs ONCE across all
+    cores: 3.04 -> 1.70 s at the sf1 stress set AND 0.71 -> 0.66 s at
+    sf0.1 — this REVERSES the r7 fan-out-only adjudication (+42% at
+    sf0.1 then), because the exchange is now paid once instead of once
+    per recompute; the checkpoint is |distinct (doc, word)| rows, the
+    standard cut at 100 TB.
     """
-    # measured: NO degenerate-split fan-out here — tf-idf is
-    # shuffle-bound after tokenize (explode + two groupBys dominate), so
-    # the guard's full-text exchange cost +42% at sf0.1 for a -5% stress
-    # delta (round 7; token_rarity shares the shape and the verdict)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = ensure_parallelism(docs, spark.sparkContext.defaultParallelism)
     toks = tokenize(docs, text_col="text", out_col="word", keep_cols=["doc_id"])
-    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    tf = materialize(toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf")))
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
     n = tf.select(F.count_distinct("doc_id").alias("n_docs"))
     return tf.join(F.broadcast(df), "word").crossJoin(F.broadcast(n)).select(
