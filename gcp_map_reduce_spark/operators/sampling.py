@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from gcp_map_reduce_spark.functions.text import WS_SPLIT, normalize_text, sql_normalize
 from gcp_map_reduce_spark.operators.dedup import portable_hash64, sql_portable_hash64
+from gcp_map_reduce_spark.operators.scale import materialize
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
@@ -163,8 +164,18 @@ def corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id semantics); with roughly uniform doc_ids the groups
     balance. A production variant samples quantiles first (what Spark's
     range partitioner does internally).
+
+    The mixture is MATERIALIZED before its three consumers (r8,
+    measured): ``hi``, ``grouped`` and ``totals`` each re-executed the
+    scan + per-doc token count without the checkpoint (profiled at
+    stress as concurrent single-split ~1.15 s tasks). The checkpoint is
+    |survivors| skinny rows; 1.83 -> 1.46 s at sf1 stress and
+    0.79 -> 0.64 s at sf0.1 (adding a degenerate-split fan-out on top
+    measured WORSE at sf0.1 — the cumsum path shuffles anyway).
     """
-    mix = corpus_mixture(spark, sf_dir).select("doc_id", "lang", "n_tokens")
+    mix = materialize(
+        corpus_mixture(spark, sf_dir).select("doc_id", "lang", "n_tokens")
+    )
     hi = mix.agg((F.max("doc_id") + 1).alias("hi"))
     grouped = mix.crossJoin(F.broadcast(hi)).withColumn(
         "grp",
