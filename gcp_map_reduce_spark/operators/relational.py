@@ -467,9 +467,17 @@ def join_outer_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER fact join + broadcast dimension chain in one query:
     order count / spend per customer INCLUDING zero-order customers
     (null-safe count/sum), enriched with the region name via explicitly
-    broadcast nation -> region (zero shuffle on the dim side)."""
+    broadcast nation -> region (zero shuffle on the dim side).
+
+    The customer⋈orders leg carries a SHUFFLE_HASH hint (r8, measured):
+    left alone, AQE broadcast the 1.5M-row ORDERS side at the stress
+    scale and probed it from the single-split customer scan — one 1 s
+    task holding the whole query, and the one plan shape that cannot
+    exist at 100 TB (the fact side is never broadcastable). The hinted
+    shuffle join partitions both sides on custkey: 1.76 -> 0.63 s at
+    sf1 stress and 0.67 -> 0.54 s at sf0.1, value-identical."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").hint("shuffle_hash")
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
     region = F.broadcast(_t(spark, sf_dir, "region"))
     return (
