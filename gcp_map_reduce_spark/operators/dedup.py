@@ -715,8 +715,15 @@ def dedup_minhash(
     # band sides + both signature re-joins read the signatures:
     # materialize once or the whole pipeline runs four times
     sig = materialize(minhash_signatures(spark, sf_dir, fast_hash=fast_hash))
+    # repartition the candidate set before the signature re-joins (same
+    # shape as near_dup_edges_minhash_verified): AQE coalesces the
+    # ~10 MB candidate shuffle to 2 partitions by BYTES, but the
+    # zip_with agreement fold is interpreted per-element CPU — measured
+    # 2.48 -> 1.96 s at sf1 stress (two 1 s two-task stages -> 32-way),
+    # noise-level at sf0.1
     cand = (
         minhash_band_candidates(sig)
+        .repartition(spark.sparkContext.defaultParallelism)
         .join(
             sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
             "doc_a",
