@@ -39,8 +39,11 @@ def __getattr__(name):
         "upsert_snapshot": "gcp_map_reduce_spark.sinks.writers",
         "upsert_snapshot_bucketed": "gcp_map_reduce_spark.sinks.writers",
         "read_snapshot_bucketed": "gcp_map_reduce_spark.sinks.writers",
+        "migrate_snapshot_to_bucketed": "gcp_map_reduce_spark.sinks.writers",
         "write_sorted_layout": "gcp_map_reduce_spark.sinks.writers",
         "dataset_stats": "gcp_map_reduce_spark.sinks.writers",
+        "choose_edge_source": "gcp_map_reduce_spark.operators.dedup",
+        "estimate_candidate_pairs_per_doc": "gcp_map_reduce_spark.operators.dedup",
     }
     if name in lazy:
         import importlib
@@ -67,7 +70,10 @@ __all__ = [
     "upsert_snapshot",
     "upsert_snapshot_bucketed",
     "read_snapshot_bucketed",
+    "migrate_snapshot_to_bucketed",
     "write_sorted_layout",
     "dataset_stats",
+    "choose_edge_source",
+    "estimate_candidate_pairs_per_doc",
 ]
 __version__ = "0.1.0"
