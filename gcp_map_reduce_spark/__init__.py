@@ -40,6 +40,7 @@ def __getattr__(name):
         "upsert_snapshot_bucketed": "gcp_map_reduce_spark.sinks.writers",
         "read_snapshot_bucketed": "gcp_map_reduce_spark.sinks.writers",
         "migrate_snapshot_to_bucketed": "gcp_map_reduce_spark.sinks.writers",
+        "suggest_n_buckets": "gcp_map_reduce_spark.sinks.writers",
         "write_sorted_layout": "gcp_map_reduce_spark.sinks.writers",
         "dataset_stats": "gcp_map_reduce_spark.sinks.writers",
         "choose_edge_source": "gcp_map_reduce_spark.operators.dedup",
@@ -71,6 +72,7 @@ __all__ = [
     "upsert_snapshot_bucketed",
     "read_snapshot_bucketed",
     "migrate_snapshot_to_bucketed",
+    "suggest_n_buckets",
     "write_sorted_layout",
     "dataset_stats",
     "choose_edge_source",

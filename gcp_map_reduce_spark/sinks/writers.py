@@ -267,6 +267,41 @@ def upsert_snapshot_bucketed(
     return [int(b) for b in affected]
 
 
+def suggest_n_buckets(
+    snapshot_bytes: int,
+    typical_batch_keys: int,
+    target_bucket_bytes: int = 256 * 1024 * 1024,
+    min_rewrite_fraction: float = 0.25,
+) -> int:
+    """Cost-based bucket count for :func:`upsert_snapshot_bucketed`,
+    from the round-8 measurement (``tools/bench_cdc_merge.py``): the
+    rewrite bound is min(|batch keys|, n_buckets)/n_buckets of the
+    snapshot, so uniform-hashed batches SATURATE a small layout (1,000
+    keys touched all 64 buckets — zero byte win) while a too-fine layout
+    pays per-bucket task overhead on every merge.
+
+    Two constraints, take the max:
+
+    - buckets no bigger than ``target_bucket_bytes`` (a bucket is the
+      rewrite unit AND the read-side pruning unit);
+    - enough buckets that a typical batch rewrites at most
+      ``min_rewrite_fraction`` of them: with k uniform-hashed keys the
+      expected touched fraction of n buckets is 1 - (1-1/n)^k <= k/n,
+      so n >= k / min_rewrite_fraction bounds the rewrite.
+
+    Returns a power of two (stable, and re-bucketing halves/doubles
+    cleanly)."""
+    if snapshot_bytes <= 0 or typical_batch_keys < 0:
+        raise ValueError("snapshot_bytes must be > 0, batch keys >= 0")
+    by_size = snapshot_bytes / target_bucket_bytes
+    by_batch = typical_batch_keys / min_rewrite_fraction if typical_batch_keys else 1
+    n = max(1, by_size, by_batch)
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
 def migrate_snapshot_to_bucketed(
     spark: SparkSession,
     snapshot_dir: str,

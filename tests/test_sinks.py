@@ -437,3 +437,21 @@ def test_bucketed_merge_survives_crash_at_every_rename(spark, tmp_path, monkeypa
             break
         n += 1
     assert n >= 3  # the sweep actually exercised multiple crash points
+
+
+def test_suggest_n_buckets_bounds_rewrite_and_bucket_size():
+    from gcp_map_reduce_spark.sinks.writers import suggest_n_buckets
+
+    # size-bound: 100 GB snapshot, tiny batches -> ~400 buckets of 256 MB
+    n = suggest_n_buckets(100 * 2**30, typical_batch_keys=10)
+    assert n == 512 and (100 * 2**30) / n <= 256 * 2**20
+    # batch-bound: 1k-key batches must not saturate the layout (the
+    # measured failure mode: 1k keys touched all 64 buckets)
+    n = suggest_n_buckets(32 * 2**20, typical_batch_keys=1000)
+    assert n >= 4000  # expected touched fraction k/n <= 0.25
+    # power of two, floor of 1
+    assert suggest_n_buckets(1, 0) == 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        suggest_n_buckets(0, 1)
