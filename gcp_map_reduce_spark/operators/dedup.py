@@ -90,7 +90,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5+normalize is too cheap per row to buy an exchange. Contrast
     ``doc_tokens``/``salted_token_counts``, where tokenize+explode is
     heavy enough that the conditional fan-out wins at stress and is free
-    at sf0.1.
+    at sf0.1. Also measured (r8): computing both hashes in ONE scan and
+    checkpointing (doc_id, h_raw, h_norm) before the two groupBys is a
+    wash — 0.35 vs 0.33 s at sf0.1, 0.95 vs 1.03 s at stress — because
+    the branch scans run CONCURRENTLY and the checkpoint write costs
+    what the saved pass saves; the dual-scan form stays.
     """
     docs = load_table(spark, sf_dir, "documents")
     raw = (

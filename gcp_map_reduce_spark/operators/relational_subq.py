@@ -371,7 +371,15 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     NO broadcast hint — both scale with SF (at 100 TB neither fits an
     executor), so AQE decides: it broadcasts them at bench scale and
     falls back to shuffle joins on a cluster. Final top-k is
-    TakeOrderedAndProject."""
+    TakeOrderedAndProject.
+
+    Measured and rejected (r8): a one-pass aggregate rewrite (per-order
+    per-supplier shipdate maxima -> sorted supplier struct list -> the
+    unique-argmax winner joined back to its lines) is value-identical
+    at every scale but SLOWER — 0.85 -> 1.35 s at sf0.1, 1.51 -> 4.78 s
+    at stress: the collect_list machinery plus the join-back re-shuffle
+    of lineitem cost more than the three SHJ probes, whose build sides
+    AQE sizes correctly. The semi/anti shape stays."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
