@@ -128,3 +128,53 @@ def test_pii_arrow_kernel_row_identical_on_adversarial_texts(spark):
     a = sorted(map(tuple, _pii_scrub_expr(doc).collect()))
     b = sorted(map(tuple, _pii_scrub_kernel(doc).collect()))
     assert a == b
+
+
+def test_quality_rules_arrow_kernel_row_identical(spark):
+    """Arrow default vs the expression spec, on the corpus and an
+    adversarial set (empty/whitespace strings, unicode lowering,
+    repeated-token runs, bigram ties, single-token docs)."""
+    from gcp_map_reduce_spark.operators.curation_rules import (
+        _quality_rules_kernel,
+        quality_rules,
+    )
+    from gcp_map_reduce_spark.operators.scale import ensure_parallelism  # noqa: F401
+
+    d = "/root/testdata/sf0.01"
+    a = sorted(map(tuple, quality_rules(spark, d, engine="expr").collect()))
+    b = sorted(map(tuple, quality_rules(spark, d, engine="arrow").collect()))
+    assert a == b and a
+
+    texts = [
+        "",
+        "   ",
+        "one",
+        "a a a a a a",
+        "x y x y x y x y",
+        "İstanbul STRASSE ß Σίσυφος ΣΊΣΥΦΟΣ",
+        "tab\tand  double  space",
+        "b b c c",  # bigram tie
+        "café 北京 🎉 café 北京 🎉",
+    ]
+    doc = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    from pyspark.sql import functions as F  # noqa: F401
+
+    # expression form over the same custom frame: reuse quality_rules'
+    # internals by writing the frame to a temp table dir is overkill —
+    # compare the kernel against a DuckDB-free python reimplementation?
+    # No: run the real expression pipeline by monkey-path — simplest is
+    # the library seam: both engines share ensure_parallelism(load_table)
+    # so drive them through a parquet round-trip.
+    import tempfile, shutil, os
+    work = tempfile.mkdtemp(prefix="qr_adv_")
+    try:
+        doc.withColumn("lang", F.lit("en")).write.parquet(
+            os.path.join(work, "documents.parquet")
+        )
+        a = sorted(map(tuple, quality_rules(spark, work, engine="expr").collect()))
+        b = sorted(map(tuple, quality_rules(spark, work, engine="arrow").collect()))
+        assert a == b and len(a) == len(texts)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
