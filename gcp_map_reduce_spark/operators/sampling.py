@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from gcp_map_reduce_spark.functions.text import WS_SPLIT, normalize_text, sql_normalize
 from gcp_map_reduce_spark.operators.dedup import portable_hash64, sql_portable_hash64
-from gcp_map_reduce_spark.operators.scale import materialize
+from gcp_map_reduce_spark.operators.scale import ensure_parallelism, materialize
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
@@ -78,26 +78,38 @@ WHERE {sql_portable_hash64("CAST(doc_id AS VARCHAR)")} % 1000 < {_sql_rate('lang
 """
 
 
+def _n_tokens_expr():
+    """Whitespace token count of ``text`` (Column builders need a live
+    SparkContext, so this can't be a module-level constant)."""
+    return F.size(
+        F.filter(F.split(normalize_text(F.col("text")), WS_SPLIT), lambda t: t != "")
+    ).cast("long")
+
+
+def _mixture_plan(docs_with_tokens: DataFrame) -> DataFrame:
+    """Mixture predicate + rate columns over any (doc_id, lang, n_tokens)
+    relation — shared by :func:`corpus_mixture` (lazy token counts, only
+    survivors pay) and :func:`corpus_sampling` (pre-computed corpus-wide
+    profile, counted once for all three legs)."""
+    bucket = portable_hash64(F.col("doc_id").cast("string")) % 1000
+    return docs_with_tokens.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        _rate_expr(F.col("lang")).cast("int").alias("rate_permille"),
+        "n_tokens",
+    ).filter(F.col("bucket") < F.col("rate_permille"))
+
+
 def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language mixture sample with each survivor's
     token count — the input to shard packing. Pure per-row predicate +
-    per-row token count: zero shuffle, survives any repartitioning."""
+    per-row token count: zero shuffle, survives any repartitioning.
+    The hash-gate filter doesn't reference n_tokens, so Catalyst pushes
+    it below the projection — only survivors pay the token count."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = portable_hash64(F.col("doc_id").cast("string")) % 1000
-    n_tokens = F.size(
-        F.filter(
-            F.split(normalize_text(F.col("text")), WS_SPLIT), lambda t: t != ""
-        )
-    ).cast("long")
-    return (
-        docs.select(
-            "doc_id",
-            "lang",
-            bucket.alias("bucket"),
-            _rate_expr(F.col("lang")).cast("int").alias("rate_permille"),
-            n_tokens.alias("n_tokens"),
-        )
-        .filter(F.col("bucket") < F.col("rate_permille"))
+    return _mixture_plan(
+        docs.select("doc_id", "lang", _n_tokens_expr().alias("n_tokens"))
     )
 
 
@@ -237,7 +249,9 @@ WHERE rk <= {STRATA_K}
 """
 
 
-def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_stratified_sample(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """EXACTLY STRATA_K documents per language (vs the mixture's Bernoulli
     rates): rank docs within each language by a salted content-independent
     hash and keep the first K — a deterministic stratified sample that is
@@ -249,8 +263,13 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one shuffle on lang (bounded cardinality) for the ranking
     window; K rows per group survive. At extreme per-group sizes swap
     row_number for a two-phase top-k (per-partition heads, then merge).
+
+    ``docs`` lets a caller substitute any (doc_id, lang, ...) relation —
+    ``corpus_sampling`` passes its materialized corpus profile so this
+    leg rides the shared scan instead of re-reading the table.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     strat_h = portable_hash64(
         F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))
     )
@@ -314,9 +333,25 @@ def corpus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic sample (:func:`weighted_sample` with token count over
     corpus-median as the weight — longer docs keep with proportionally
     higher probability, hash-gated so the oracle reproduces the exact
-    survivor set). Independent zero/one-shuffle plans; the union is a
-    shuffle-free concatenation."""
-    mix = corpus_mixture(spark, sf_dir).select(
+    survivor set).
+
+    All three legs ride ONE materialized corpus profile
+    (doc_id, lang, n_tokens) from a degenerate-split-guarded scan (r8,
+    measured): the weighted leg needs the token count for every doc
+    anyway, so counting once and sharing removes the mixture leg's
+    second count, the stratified leg's third table scan, and — the
+    stress-scale straggler — the unguarded weighted-leg scan that ran
+    the whole corpus's token counting in one task on a single-split
+    file. The legs themselves stay pure per-row predicates (mixture,
+    weighted) plus one bounded-cardinality lang shuffle (stratified);
+    the union is a shuffle-free concatenation."""
+    profile = materialize(
+        ensure_parallelism(
+            load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+            spark.sparkContext.defaultParallelism,
+        ).select("doc_id", "lang", _n_tokens_expr().alias("n_tokens"))
+    )
+    mix = _mixture_plan(profile).select(
         F.lit("mixture").alias("strategy"),
         "doc_id",
         "lang",
@@ -325,7 +360,7 @@ def corpus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.lit(None).cast("string").alias("split"),
     )
-    strat = corpus_stratified_sample(spark, sf_dir).select(
+    strat = corpus_stratified_sample(spark, sf_dir, docs=profile).select(
         F.lit("stratified").alias("strategy"),
         "doc_id",
         "lang",
@@ -334,15 +369,7 @@ def corpus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n_tokens"),
         "split",
     )
-    docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(
-        F.filter(
-            F.split(normalize_text(F.col("text")), WS_SPLIT), lambda t: t != ""
-        )
-    ).cast("long")
-    wdf = docs.select("doc_id", "lang", n_tokens.alias("n_tokens")).withColumn(
-        "w", F.col("n_tokens") / 56.0
-    )
+    wdf = profile.withColumn("w", F.col("n_tokens") / 56.0)
     weighted = weighted_sample(
         wdf, "doc_id", "w", base_rate=WEIGHTED_BASE_RATE
     ).select(

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from gcp_map_reduce_spark.functions.text import NON_WS, WS_SPLIT, sql_tokens_cte, tokenize
+from gcp_map_reduce_spark.functions.text import NON_WS, WS_SPLIT, sql_tokens_cte
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
@@ -98,11 +98,36 @@ register_udf(
 def udf_wordcount_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The plug-in path end-to-end: tokenize (JVM) -> grouped-map pandas
     UDF computing per-doc counts. Same oracle as the built-in would have —
-    the Python plug-in must agree with SQL semantics exactly."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = tokenize(docs, text_col="text", out_col="word", keep_cols=["doc_id"])
+    the Python plug-in must agree with SQL semantics exactly.
+
+    Two skew decisions (r8, measured at the sf1 stress set):
+
+    - The token stream comes from :func:`doc_tokens` — the shared
+      tokenize path with its degenerate-split guard. This query's private
+      load+tokenize had re-introduced the exact straggler the guard
+      exists for: the stress documents file scans as one populated split,
+      and the scan+tokenize stage ran one 1.8–1.9 s task against a
+      10–15 ms stage median, holding the whole query's wall clock (the
+      grouped-map stage downstream was already balanced at ~0.3–0.4 s).
+      Measured: 2.33 -> 1.53 s wall at stress, worst task 1827 -> ~740 ms
+      (median ~= max now — compute-bound, no straggler); costs the
+      guard's one Exchange at sf0.1 (0.65 -> 0.75 s), the same trade
+      every doc_tokens consumer already accepts.
+
+    - The bucket key is a hash of the FULL fine group key (doc_id, word),
+      not doc_id alone: every row of one (doc_id, word) group still lands
+      in exactly one bucket — the per-bucket pandas groupby emits each
+      group exactly once — but a long document's distinct words spread
+      over all buckets instead of pinning one. Measured neutral on THIS
+      corpus (its docs are near-uniform, so doc_id buckets balance too);
+      kept because it makes the worst grouped-map task scale with the
+      hottest (doc_id, word) pair rather than the longest document,
+      which is the bound you want on a real power-law corpus."""
+    from gcp_map_reduce_spark.operators.wordcount import doc_tokens
+
+    toks = doc_tokens(spark, sf_dir)
     bucketed = toks.withColumn(
-        "bucket", F.pmod(F.col("doc_id"), F.lit(N_UDF_BUCKETS))
+        "bucket", F.pmod(F.xxhash64("doc_id", "word"), F.lit(N_UDF_BUCKETS))
     )
     return apply_grouped(bucketed, ["bucket"], "wordcount_grouped")
 
