@@ -266,34 +266,39 @@ SELECT * FROM (
 
 @query("dedup_embedding_cosine", oracle=_embedding_dedup_oracle())
 def dedup_embedding_cosine(
-    spark: SparkSession, sf_dir: str, payload: str = "corpus"
+    spark: SparkSession, sf_dir: str, payload: str = "tiles"
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (semantic dedup), banded:
-    LSH-sketch band buckets generate candidates (equi-join on
-    (band_id, band_val) — a hash join, never BroadcastNestedLoop), then
-    the exact cosine threshold filters candidates only.
+    """Embedding-cosine near-duplicate pairs (semantic dedup): band
+    agreement on the 16-plane sign sketch gates candidates, the exact
+    cosine threshold decides. Three value-identical plans (pytest-gated),
+    picked by ``payload``; which one scales depends on how selective the
+    banding is for the corpus/threshold at hand:
 
-    Scale shape: the band self-join carries IDS ONLY (vec_a, vec_b) —
-    payloads re-join after candidate dedup, so the big exchange is two
-    longs wide — and the checkpoint is SKINNY: only (vec_id, sketch),
-    two longs per vector, feeds the band join (a fat checkpoint of
-    embedding+norm would pin the entire corpus to executor storage at
-    100 TB). Payload vectors for the exact re-rank re-read the source
-    scan instead.
+    - ``"tiles"`` (default, r8): blocked GEMM — hash-assign vectors to
+      ~DEDUP_TILE_TARGET-row blocks, one ``applyInPandas`` task per
+      unordered block pair, band mask + cosine evaluated vectorized on
+      the tile; per-pair rows never materialize. The right plan when
+      banding is UNSELECTIVE — here the wide-angle threshold (0.45 on a
+      near-orthogonal corpus) lets ~89% of all pairs through the 2-bit
+      bands (probed at sf0.1), so the id-join plans degenerate to
+      all-pairs gathers. Measured: 1.71 -> 0.79 s at sf0.01,
+      2.70 -> 1.59 s at sf0.1, 69.3 -> 6.6 s at the 10x stress set.
+      Replication is x n_blocks, so this is the mid-scale /
+      degenerate-banding shape, not the 100 TB default.
+    - ``"corpus"``: the banded id-join — band buckets generate candidate
+      pairs via equi-join carrying IDS ONLY (hash join, never
+      BroadcastNestedLoop), with a SKINNY (vec_id, sketch) checkpoint;
+      payload vectors re-join from the source scan per leg. The right
+      shape when banding actually prunes (selective thresholds,
+      cosine ~0.9+ near-dup hunting at 100 TB).
+    - ``"candidates"``: as ``"corpus"`` but the re-rank kernel runs over
+      the broadcast-semi-joined candidate rows only — wins over
+      ``"corpus"`` when candidates are orders of magnitude fewer than
+      corpus rows.
 
-    ``payload`` picks how the re-rank legs read those vectors — measured
-    at sf0.1 best-of-5, both shapes value-identical (pytest-gated):
-
-    - ``"corpus"`` (default): each join leg runs the Arrow feature
-      kernel over the full corpus scan — 3.17 s. At bench scale the
-      kernel pass is cheap and extra job/broadcast machinery costs more
-      than it saves (the SCALING.md boundary rule again).
-    - ``"candidates"``: the corpus is first inner-joined to the
-      broadcast candidate-id set, so the kernel touches candidate rows
-      only — 3.49 s here (the broadcast + extra band-join execution
-      outweigh the saved pass), but the 100 TB shape: candidates are
-      orders of magnitude fewer than corpus rows, and two full-corpus
-      Python passes would dominate the job.
+    At true scale, pick id-join vs tiles with a candidate-density probe
+    (band-bucket histogram, sum(n^2)/N^2 — the same sampled-density
+    decision as ``choose_edge_source``).
 
     The oracle mirrors the BANDING itself (``_embedding_dedup_oracle``:
     same plane literals, same sign sketches, same 8x2-bit band
@@ -302,10 +307,12 @@ def dedup_embedding_cosine(
     140/144 at sf0.1; ``embedding_near_dup_pairs_exact`` is the library
     verifier, recall floor asserted in ``tests/test_similarity.py``;
     checkpoint width plan-asserted in ``tests/test_plans.py``)."""
-    if payload not in ("corpus", "candidates"):
+    if payload not in ("corpus", "candidates", "tiles"):
         raise ValueError(
-            f"payload must be 'corpus' or 'candidates', got {payload!r}"
+            f"payload must be 'corpus', 'candidates' or 'tiles', got {payload!r}"
         )
+    if payload == "tiles":
+        return _dedup_embedding_tiles(spark, sf_dir)
     sk = materialize(
         embed_features_arrow(_emb(spark, sf_dir)).select("vec_id", "sketch")
     )
@@ -357,6 +364,148 @@ def dedup_embedding_cosine(
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_COSINE)
     )
+
+
+DEDUP_TILE_TARGET = 1536  # vectors per tile block (tiles payload mode)
+
+
+def _dedup_embedding_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-GEMM form of :func:`dedup_embedding_cosine` — the plan for
+    the DEGENERATE-density regime, where banding stops pruning.
+
+    Why it exists (r8, measured): at this corpus's wide-angle threshold
+    (cosine 0.45 on near-orthogonal vectors) the 2-bit bands pass ~89%
+    of ALL pairs as candidates (probed at sf0.1: 1.78M of 2.0M pairs).
+    The id-join plan then gathers two 64-double payloads per candidate —
+    at the 10x stress scale that is ~1.8e8 joined rows carrying ~KB
+    each, a 54 s shuffle/compute stage. This form never materializes
+    per-pair rows: vectors are hash-assigned to ~DEDUP_TILE_TARGET-row
+    blocks, every unordered block pair (i <= j) becomes ONE
+    ``applyInPandas`` task, and each task evaluates its sub-matrix of
+    cosines + the band mask vectorized in numpy, emitting only the
+    qualifying pairs. Shuffle volume is corpus x n_blocks skinny rows
+    (each vector replicated once per partner block) instead of
+    candidate-pairs x payload.
+
+    Bit-exactness vs the id-join plan and the SQL oracle: the accumulator
+    runs ``acc += A[:, d][:, None] * B[:, d][None, :]`` — every (i, j)
+    cell sees the identical d-sequential operand order as
+    ``_cosine_arrow``'s left fold, and min/max id emission is safe
+    because per-term products commute bitwise. The band mask is the same
+    8x2-bit agreement on the same sketches. Equality is pytest-gated.
+
+    Each unordered pair lands in exactly ONE tile (the (min, max) of the
+    two members' block ids), so no dropDuplicates is needed.
+
+    Scale boundary (SCALING.md): replication is x n_blocks, so this is
+    the mid-scale / degenerate-banding plan. At true 100 TB scale with a
+    SELECTIVE threshold (near-dup cosine ~0.9+, where bands actually
+    prune), the id-only band join is the right shape — pick by the
+    candidate-density probe (band-bucket histogram, Σn²/N²), the same
+    sampled-density decision as ``choose_edge_source``.
+    """
+    import math
+
+    from pyspark.sql.types import (
+        DoubleType as _D,
+        LongType as _L,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    # block count from a metadata-only parquet count — feats then has a
+    # single consumer (the tile fan-out), so nothing fat is checkpointed
+    n_vec = _emb(spark, sf_dir).count()
+    feats = embed_features_arrow(_emb(spark, sf_dir)).select(
+        "vec_id", "e", "n2", "sketch"
+    )
+    n_blocks = max(1, math.ceil(n_vec / DEDUP_TILE_TARGET))
+    band_bits = N_PLANES // DEDUP_BANDS
+    mask = (1 << band_bits) - 1
+    threshold = NEAR_DUP_COSINE
+
+    rep = (
+        feats.withColumn(
+            "blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks))
+        )
+        .select(
+            "vec_id",
+            "e",
+            "n2",
+            "sketch",
+            "blk",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_blocks - 1))
+            ).alias("other"),
+        )
+        .select(
+            "vec_id",
+            "e",
+            "n2",
+            "sketch",
+            F.least("blk", "other").alias("ti"),
+            F.greatest("blk", "other").alias("tj"),
+            (F.col("blk") <= F.col("other")).alias("is_a"),
+        )
+    )
+
+    out_schema = _ST(
+        [
+            _SF("vec_a", _L()),
+            _SF("vec_b", _L()),
+            _SF("cosine", _D()),
+        ]
+    )
+
+    def tile_kernel(key: tuple, pdf) -> "pd.DataFrame":
+        import pandas as pd
+
+        ti, tj = key
+        if ti == tj:
+            a = pdf
+            b = pdf
+        else:
+            a = pdf[pdf["is_a"]]
+            b = pdf[~pdf["is_a"]]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        A = np.stack(a["e"].to_numpy())
+        B = np.stack(b["e"].to_numpy())
+        acc = np.zeros((len(a), len(b)), dtype=np.float64)
+        for d in range(A.shape[1]):
+            acc += A[:, d][:, None] * B[:, d][None, :]
+        an2 = a["n2"].to_numpy(dtype=np.float64)
+        bn2 = b["n2"].to_numpy(dtype=np.float64)
+        cos = acc / np.sqrt(an2[:, None] * bn2[None, :])
+        ska = a["sketch"].to_numpy(dtype=np.int64)
+        skb = b["sketch"].to_numpy(dtype=np.int64)
+        x = ska[:, None] ^ skb[None, :]
+        band_ok = np.zeros(x.shape, dtype=bool)
+        for bnd in range(DEDUP_BANDS):
+            band_ok |= ((x >> (bnd * band_bits)) & mask) == 0
+        ia = a["vec_id"].to_numpy(dtype=np.int64)
+        ib = b["vec_id"].to_numpy(dtype=np.int64)
+        ia_m = np.broadcast_to(ia[:, None], cos.shape)
+        ib_m = np.broadcast_to(ib[None, :], cos.shape)
+        keep = band_ok & (cos >= threshold)
+        if ti == tj:
+            # both sides are the same rows: keep the strict upper
+            # triangle so each unordered pair (and no self-pair) emits once
+            keep &= ia_m < ib_m
+        # cross tiles: sides come from disjoint blocks, every unordered
+        # pair appears exactly once — emit canonical (min, max) ids
+        # (cosine is bitwise side-symmetric: per-term products commute)
+        va = np.minimum(ia_m, ib_m)[keep]
+        vb = np.maximum(ia_m, ib_m)[keep]
+        return pd.DataFrame(
+            {"vec_a": va, "vec_b": vb, "cosine": cos[keep]}
+        )
+
+    return rep.groupBy("ti", "tj").applyInPandas(tile_kernel, schema=out_schema)
 
 
 _SEMANTIC_SEARCH_ORACLE = f"""

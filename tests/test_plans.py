@@ -171,15 +171,16 @@ def test_q4_exists_becomes_semi_join(spark):
 
 
 def test_embedding_dedup_checkpoint_is_skinny(spark):
-    # every materialized input must be id-width ONLY: (vec_id, sketch)
-    # feeding the band join and (vec_a, vec_b) candidate pairs — two
-    # longs per row either way. A checkpoint that also carries the
-    # embedding payload/norm checkpoints the whole corpus at 100 TB.
-    # The payload re-rank must instead re-read the parquet source (scan
-    # visible in the same plan), semi-joined down to candidate ids.
+    # id-join shape (payload="corpus"): every materialized input must be
+    # id-width ONLY: (vec_id, sketch) feeding the band join and
+    # (vec_a, vec_b) candidate pairs — two longs per row either way. A
+    # checkpoint that also carries the embedding payload/norm checkpoints
+    # the whole corpus at 100 TB. The payload re-rank must instead
+    # re-read the parquet source (scan visible in the same plan),
+    # semi-joined down to candidate ids.
     from gcp_map_reduce_spark.operators.similarity import dedup_embedding_cosine
 
-    df = dedup_embedding_cosine(spark, "/root/testdata/sf0.001")
+    df = dedup_embedding_cosine(spark, "/root/testdata/sf0.001", payload="corpus")
     plan = df._jdf.queryExecution().executedPlan().toString()
     import re
 
@@ -189,3 +190,17 @@ def test_embedding_dedup_checkpoint_is_skinny(spark):
         names = [c.split("#")[0].strip() for c in cols.split(",")]
         assert names in (["vec_id", "sketch"], ["vec_a", "vec_b"]), names
     assert "Scan parquet" in plan or "FileScan parquet" in plan, plan
+
+
+def test_embedding_dedup_tiles_has_no_checkpoint_and_no_join(spark):
+    # tiles shape (the default): a single parquet scan fans out to block
+    # pairs — no checkpoint (nothing fat pinned to executor storage), no
+    # join of any kind (per-pair rows never materialize), one exchange
+    # (the tile groupBy)
+    from gcp_map_reduce_spark.operators.similarity import dedup_embedding_cosine
+
+    df = dedup_embedding_cosine(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan

@@ -196,22 +196,27 @@ def test_embed_features_arrow_bit_identical_to_expression_form(spark):
 
 
 def test_embedding_dedup_payload_shapes_agree(spark):
-    """payload='candidates' (the 100 TB semi-join shape: feature kernel
-    over candidate rows only) must return exactly the default
-    full-corpus-leg result."""
+    """All three plans — 'tiles' (default blocked GEMM), 'corpus'
+    (banded id-join) and 'candidates' (id-join + semi-joined re-rank) —
+    must return bit-identical pairs AND cosines: which one runs is a
+    measured density/scale decision, never a semantics change."""
     from gcp_map_reduce_spark.operators.similarity import dedup_embedding_cosine
 
     base = {
         (r.vec_a, r.vec_b): r.cosine
-        for r in dedup_embedding_cosine(spark, SF_ORACLE).collect()
-    }
-    cand = {
-        (r.vec_a, r.vec_b): r.cosine
         for r in dedup_embedding_cosine(
-            spark, SF_ORACLE, payload="candidates"
+            spark, SF_ORACLE, payload="corpus"
         ).collect()
     }
-    assert base and cand == base
+    assert base
+    for mode in ("tiles", "candidates"):
+        got = {
+            (r.vec_a, r.vec_b): r.cosine
+            for r in dedup_embedding_cosine(
+                spark, SF_ORACLE, payload=mode
+            ).collect()
+        }
+        assert got == base, mode
 
 
 def test_ivf_rerank_forms_identical(spark):
