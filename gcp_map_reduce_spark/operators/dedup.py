@@ -250,51 +250,141 @@ WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= 0.8
 """
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs: 3-shingle Jaccard >= 0.8 via inverted-index
-    self-join over shingle FINGERPRINTS (Broder-style): each shingle is
-    its rolling gram hash in the 2^31 space, not the gram string. The
-    join shuffles 8-byte longs instead of ~25-byte strings (measured
-    841 MB -> ~300 MB shuffle on the sf1 stress set) and the per-doc
-    build is the vectorized Arrow kernel instead of string concats.
+JACCARD_THRESHOLD = 0.8
+
+
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, prefix_filter: bool = False
+) -> DataFrame:
+    """Near-dup pairs: 3-shingle Jaccard >= 0.8 over shingle FINGERPRINTS
+    (Broder-style): each shingle is its rolling gram hash in the 2^31
+    space, not the gram string — the join shuffles 8-byte longs instead
+    of ~25-byte strings and the per-doc build avoids per-gram concats.
     Fingerprint collisions are possible but DETERMINISTIC and mirrored
     exactly by the oracle (same md5-based token hashes, same rolling
     arithmetic — see :func:`_gram_hashes_sql`), so the value-hash gate
     stays exact; semantically a collision perturbs one intersection
-    count with probability ~|shingles|^2/2^31 per corpus."""
+    count with probability ~|shingles|^2/2^31 per corpus.
+
+    ``prefix_filter=True`` is the SCALE form (r8): exact PREFIX
+    FILTERING (Bayardo et al.'s AllPairs bound) — index only each doc's
+    FIRST ``|A| - ceil(t*|A|) + 1`` gram hashes under the global
+    ascending hash order; any pair with Jaccard >= t must share a
+    prefix gram, so the candidate set provably contains every
+    qualifying pair. Each candidate is then verified ONCE via
+    ``array_intersect`` on the checkpointed per-doc arrays (distinct
+    elements, so its size IS the intersection count; same ints, same
+    division -> bit-identical output, oracle unchanged; pytest asserts
+    the two forms agree at sf0.01/sf0.1). The ceil is exact integer
+    arithmetic — double 0.8 sits above the rational 4/5, and a float
+    ceil would shorten the prefix into false negatives at |A| % 5 == 0.
+
+    Measured crossover (same shape as the exact/minhash edge-source
+    choice): at the 10x-dup-density stress set the full inverted-index
+    self-join emits one row per SHARED GRAM per pair — 113M
+    intersection rows — where the prefix plan emits 23.9M
+    candidate-gram rows (4.7x less exchange) and wins ~1.2-1.4x wall
+    (12.2 vs 14.2 s best-of on a contended box); at sf0.1's low dup
+    density the dedup+verify overhead exceeds the savings (2.3 vs
+    1.2 s), so the DEFAULT stays the full form at bench scale and the
+    prefix form is the documented high-density/scale switch.
+
+    Both candidate self-joins carry (doc_id, gh) ONLY and are hinted
+    SHUFFLE_MERGE: Catalyst's size estimate under an explode is the
+    CHILD's, so it silently broadcasts the corpus-wide inverted index —
+    fatal on a real cluster (index ~ corpus size) and it also disables
+    AQE's skew-split, which sort-merge gets for free when one hot
+    gram's bucket blows up. The hint costs ~0.2 s at sf0.1 (the local
+    broadcast build is cheap) and wins at stress (17.2 BHJ -> 14.2 SMJ
+    full-form best-of) — priced and kept for the cluster shape."""
     # Materialize the COMPACT array form (one row per doc), not the
     # exploded inverted index: the checkpoint is |docs| rows instead of
     # |docs|*|shingles| rows (~50x fewer at bench scale, measured 2x on
     # the whole operator), |A| comes free as size(gh_arr) with no
-    # groupBy shuffle, and each self-join side re-explodes from the
+    # groupBy shuffle, and each join side re-explodes/re-slices from the
     # checkpoint — explode is cheap narrow compute; the gram build above
-    # it is what must not run twice.
-    arr = materialize(doc_gram_hash_arrays(spark, sf_dir, n=3))
-    sizes = arr.select("doc_id", F.size("gh_arr").alias("sz"))
-    sh = arr.select("doc_id", F.explode("gh_arr").alias("gh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
+    # it is what must not run twice. Arrays are kept SORTED (ascending
+    # hash): the prefix bound needs one global total order shared by
+    # every doc, and array_intersect is order-insensitive.
+    t = JACCARD_THRESHOLD
+    arr = materialize(
+        doc_gram_hash_arrays(spark, sf_dir, n=3).select(
+            "doc_id", F.array_sort("gh_arr").alias("gh_arr")
+        )
+    )
+    if not prefix_filter:
+        sizes = arr.select("doc_id", F.size("gh_arr").alias("sz"))
+        sh = arr.select("doc_id", F.explode("gh_arr").alias("gh"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.hint("SHUFFLE_MERGE")
+            .join(
+                b,
+                (F.col("a.gh") == F.col("b.gh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count("*").alias("isect"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+        jac = F.col("isect").cast("double") / (
+            F.col("sza") + F.col("szb") - F.col("isect")
+        )
+        return (
+            inter.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select("doc_a", "doc_b", "isect", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= t)
+        )
+    # prefix length |A| - ceil(t|A|) + 1 (AllPairs): if the two docs
+    # share NO gram among these heads, fewer than t|A| of A's grams can
+    # be shared at all, so Jaccard < t. ceil(t*|A|) is computed in EXACT
+    # integer arithmetic for t = 4/5 — double 0.8 is slightly ABOVE the
+    # rational, so float ceil over-rounds at multiples of 5 and would
+    # shorten the prefix into false negatives
+    t_num, t_den = 4, 5
+    assert t_num / t_den == t
+    sz = F.size("gh_arr")
+    min_overlap = F.floor((sz * t_num + (t_den - 1)) / t_den)
+    plen = (sz - min_overlap + 1).cast("int")
+    pref = arr.select(
+        "doc_id", F.explode(F.slice("gh_arr", 1, plen)).alias("gh")
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
+        a.hint("SHUFFLE_MERGE")
+        .join(
             b,
             (F.col("a.gh") == F.col("b.gh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count("*").alias("isect"))
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
-    jac = F.col("isect").cast("double") / (
-        F.col("sza") + F.col("szb") - F.col("isect")
+    ga = arr.select(F.col("doc_id").alias("doc_a"), F.col("gh_arr").alias("ga"))
+    gb = arr.select(F.col("doc_id").alias("doc_b"), F.col("gh_arr").alias("gb"))
+    isect = F.size(F.array_intersect("ga", "gb"))
+    jac = isect.cast("double") / (
+        F.size("ga") + F.size("gb") - isect
     )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", "isect", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.8)
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            isect.alias("isect"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t)
     )
 
 

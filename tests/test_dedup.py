@@ -26,6 +26,21 @@ def test_minhash_recall_vs_exact(spark):
     assert recall >= 0.9, (recall, len(exact), len(approx))
 
 
+def test_ngram_jaccard_prefix_filter_is_exact(spark):
+    """The AllPairs prefix-filtered plan must return the IDENTICAL rows
+    (pairs, isect, jaccard doubles) as the full inverted-index self-join
+    — prefix filtering is a candidate-pruning bound, never a semantics
+    change. Which form runs is the measured dup-density crossover in the
+    docstring."""
+    from gcp_map_reduce_spark.operators.dedup import dedup_ngram_jaccard
+
+    full = dedup_ngram_jaccard(spark, SF_ORACLE, prefix_filter=False)
+    pref = dedup_ngram_jaccard(spark, SF_ORACLE, prefix_filter=True)
+    assert full.count() > 0
+    assert full.exceptAll(pref).count() == 0
+    assert pref.exceptAll(full).count() == 0
+
+
 def test_simhash_finds_planted_dups(spark):
     from gcp_map_reduce_spark.operators.dedup import (
         dedup_ngram_jaccard,
