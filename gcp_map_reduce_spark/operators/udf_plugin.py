@@ -146,7 +146,14 @@ def udf_scalar_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     def n_tokens(s: pd.Series) -> pd.Series:
         return s.str.findall(NON_WS + "+").str.len().astype("int32")
 
-    docs = load_table(spark, sf_dir, "documents")
+    from gcp_map_reduce_spark.operators.scale import ensure_parallelism
+
+    # degenerate-split guard: per-row Python over text (the r8 stress
+    # audit caught this leg's whole scan serializing on one task)
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents"),
+        spark.sparkContext.defaultParallelism,
+    )
     return docs.select("doc_id", n_tokens("text").alias("n_tokens"))
 
 
@@ -186,8 +193,16 @@ def udf_tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
             for w in PY_NORMALIZE(text or "").split():
                 yield (w,)
 
+    from gcp_map_reduce_spark.operators.scale import ensure_parallelism
+
     spark.udtf.register("tokenize_udtf", TokenizeUDTF)
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    # degenerate-split guard matters MOST here: the UDTF is row-at-a-time
+    # Python, so a single-split scan serializes the whole corpus's
+    # tokenization on one core (r8 stress audit)
+    ensure_parallelism(
+        load_table(spark, sf_dir, "documents"),
+        spark.sparkContext.defaultParallelism,
+    ).createOrReplaceTempView("_udtf_docs")
     return spark.sql(
         "SELECT t.word, count(*) AS cnt "
         "FROM _udtf_docs d, LATERAL tokenize_udtf(d.text) t "
