@@ -289,37 +289,38 @@ def dedup_ngram_jaccard(
     1.2 s), so the DEFAULT stays the full form at bench scale and the
     prefix form is the documented high-density/scale switch.
 
-    Both candidate self-joins carry (doc_id, gh) ONLY and are hinted
-    SHUFFLE_MERGE: Catalyst's size estimate under an explode is the
-    CHILD's, so it silently broadcasts the corpus-wide inverted index —
-    fatal on a real cluster (index ~ corpus size) and it also disables
-    AQE's skew-split, which sort-merge gets for free when one hot
-    gram's bucket blows up. The hint costs ~0.2 s at sf0.1 (the local
-    broadcast build is cheap) and wins at stress (17.2 BHJ -> 14.2 SMJ
-    full-form best-of) — priced and kept for the cluster shape."""
+    Join-strategy asymmetry (measured): Catalyst's size estimate under
+    an explode is the CHILD's, so it happily broadcasts the corpus-wide
+    inverted index (~20M rows at stress from a ~1 MB estimate) — fatal
+    once per-doc fan-out times corpus size outgrows memory, and it
+    blocks AQE's skew split (sort-merge only). The PREFIX form — the
+    high-density/scale switch — therefore pins SHUFFLE_MERGE. The FULL
+    form deliberately does NOT: it is the documented at-bench-scale
+    choice (past the density crossover you switch to prefix or minhash
+    edges), and in exactly that regime the local broadcast is the
+    fastest plan (hint measured +0.2 s at sf0.1 on this leg and ~+0.3 s
+    on each of dedup_clusters/curated_corpus, whose exact edge source
+    rides it)."""
     # Materialize the COMPACT array form (one row per doc), not the
     # exploded inverted index: the checkpoint is |docs| rows instead of
     # |docs|*|shingles| rows (~50x fewer at bench scale, measured 2x on
     # the whole operator), |A| comes free as size(gh_arr) with no
     # groupBy shuffle, and each join side re-explodes/re-slices from the
     # checkpoint — explode is cheap narrow compute; the gram build above
-    # it is what must not run twice. Arrays are kept SORTED (ascending
-    # hash): the prefix bound needs one global total order shared by
-    # every doc, and array_intersect is order-insensitive.
+    # it is what must not run twice. The checkpoint stays UNSORTED (the
+    # full form doesn't care, and the sort is ~0.13 s at sf0.1); the
+    # prefix branch sorts on read — its bound needs one global total
+    # order shared by every doc, and array_intersect is
+    # order-insensitive.
     t = JACCARD_THRESHOLD
-    arr = materialize(
-        doc_gram_hash_arrays(spark, sf_dir, n=3).select(
-            "doc_id", F.array_sort("gh_arr").alias("gh_arr")
-        )
-    )
+    arr = materialize(doc_gram_hash_arrays(spark, sf_dir, n=3))
     if not prefix_filter:
         sizes = arr.select("doc_id", F.size("gh_arr").alias("sz"))
         sh = arr.select("doc_id", F.explode("gh_arr").alias("gh"))
         a = sh.alias("a")
         b = sh.alias("b")
         inter = (
-            a.hint("SHUFFLE_MERGE")
-            .join(
+            a.join(
                 b,
                 (F.col("a.gh") == F.col("b.gh"))
                 & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -353,7 +354,8 @@ def dedup_ngram_jaccard(
     min_overlap = F.floor((sz * t_num + (t_den - 1)) / t_den)
     plen = (sz - min_overlap + 1).cast("int")
     pref = arr.select(
-        "doc_id", F.explode(F.slice("gh_arr", 1, plen)).alias("gh")
+        "doc_id",
+        F.explode(F.slice(F.array_sort("gh_arr"), 1, plen)).alias("gh"),
     )
     a = pref.alias("a")
     b = pref.alias("b")

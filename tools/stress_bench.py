@@ -160,7 +160,17 @@ def main() -> None:
     # this volume.
     from bench import HEADLINE
 
-    headline = list(HEADLINE) + ["pii_scrub", "salted_token_counts"]
+    # beyond the bench headline: the stragglers/quadratics the r8
+    # non-headline audit surfaced (and fixed) — gated here so they can't
+    # silently regress at skew again
+    headline = list(HEADLINE) + [
+        "pii_scrub",
+        "salted_token_counts",
+        "udf_plugin_suite",
+        "dedup_pair_scores",
+        "dedup_embedding_cosine",
+        "corpus_sampling",
+    ]
 
     results: dict[str, dict] = {}
     # warm-up: JVM + codegen at the target volume
