@@ -45,6 +45,8 @@ def __getattr__(name):
         "dataset_stats": "gcp_map_reduce_spark.sinks.writers",
         "choose_edge_source": "gcp_map_reduce_spark.operators.dedup",
         "estimate_candidate_pairs_per_doc": "gcp_map_reduce_spark.operators.dedup",
+        "choose_embedding_payload": "gcp_map_reduce_spark.operators.similarity",
+        "estimate_band_candidates_per_vec": "gcp_map_reduce_spark.operators.similarity",
     }
     if name in lazy:
         import importlib
@@ -77,5 +79,7 @@ __all__ = [
     "dataset_stats",
     "choose_edge_source",
     "estimate_candidate_pairs_per_doc",
+    "choose_embedding_payload",
+    "estimate_band_candidates_per_vec",
 ]
 __version__ = "0.1.0"

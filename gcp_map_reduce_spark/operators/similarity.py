@@ -25,6 +25,8 @@ FP determinism for the oracle (two distinct mechanisms):
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,6 +36,8 @@ from pyspark.sql.window import Window
 from gcp_map_reduce_spark.operators.scale import ensure_parallelism, materialize
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
+
+log = logging.getLogger(__name__)
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors in the demo queries
 TOP_K = 5
@@ -296,9 +300,12 @@ def dedup_embedding_cosine(
       ``"corpus"`` when candidates are orders of magnitude fewer than
       corpus rows.
 
-    At true scale, pick id-join vs tiles with a candidate-density probe
-    (band-bucket histogram, sum(n^2)/N^2 — the same sampled-density
-    decision as ``choose_edge_source``).
+    ``payload="auto"`` runs that decision in place:
+    :func:`choose_embedding_payload` probes the sampled band-bucket
+    candidate density (sum n*(n-1)/2 per bucket, 1/p^2-scaled — the
+    same sampled plan choice as ``choose_edge_source``) and picks tiles
+    when banding is degenerate for this corpus/threshold, the id-join
+    when it prunes.
 
     The oracle mirrors the BANDING itself (``_embedding_dedup_oracle``:
     same plane literals, same sign sketches, same 8x2-bit band
@@ -307,10 +314,13 @@ def dedup_embedding_cosine(
     140/144 at sf0.1; ``embedding_near_dup_pairs_exact`` is the library
     verifier, recall floor asserted in ``tests/test_similarity.py``;
     checkpoint width plan-asserted in ``tests/test_plans.py``)."""
-    if payload not in ("corpus", "candidates", "tiles"):
+    if payload not in ("corpus", "candidates", "tiles", "auto"):
         raise ValueError(
-            f"payload must be 'corpus', 'candidates' or 'tiles', got {payload!r}"
+            "payload must be 'corpus', 'candidates', 'tiles' or 'auto', "
+            f"got {payload!r}"
         )
+    if payload == "auto":
+        payload = choose_embedding_payload(spark, sf_dir)
     if payload == "tiles":
         return _dedup_embedding_tiles(spark, sf_dir)
     sk = materialize(
@@ -367,6 +377,96 @@ def dedup_embedding_cosine(
 
 
 DEDUP_TILE_TARGET = 1536  # vectors per tile block (tiles payload mode)
+
+# choose_embedding_payload: banded-candidates-per-vector above which the
+# banding is considered degenerate and the tiles plan wins. ~0.9*N here
+# (2-bit bands on near-orthogonal vectors) vs O(1..tens) when bands
+# actually prune — 64 sits orders of magnitude from both.
+EMBEDDING_PAYLOAD_CPV_THRESHOLD = 64.0
+
+
+def estimate_band_candidates_per_vec(
+    spark: SparkSession,
+    sf_dir: str,
+    sample_target: int = 2000,
+    seed: int = 42,
+    sketches: DataFrame | None = None,
+) -> float:
+    """Sampled estimate of the banded candidate-pair density per vector:
+    E[candidate pairs] / N, with candidate pairs = sum over
+    (band_id, band_val) buckets of n*(n-1)/2 — exactly the row count the
+    banded id-join materializes (an upper bound on distinct pairs, which
+    is what the join must pay before dropDuplicates). Same unbiased
+    1/p^2 estimator as ``estimate_candidate_pairs_per_doc``: a pair
+    survives independent vector-sampling with probability p^2.
+
+    ``sketches`` substitutes any (vec_id, sketch) relation (tests build
+    adversarial ones); by default a ~``sample_target``-vector sample is
+    sketched with the production kernel.
+    """
+    if sketches is None:
+        emb = _emb(spark, sf_dir)
+        n = emb.count()
+        if n == 0:
+            return 0.0
+        p = min(1.0, sample_target / n)
+        sample = emb.sample(fraction=p, seed=seed) if p < 1.0 else emb
+        sketches = embed_features_arrow(sample).select("vec_id", "sketch")
+        scale = 1.0 / (p * p)
+    else:
+        n = sketches.count()
+        if n == 0:
+            return 0.0
+        scale = 1.0
+    band_bits = N_PLANES // DEDUP_BANDS
+    mask = (1 << band_bits) - 1
+    bands = sketches.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sketch"), b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    for b in range(DEDUP_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_val")
+    )
+    row = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.count("*").alias("bn"))
+        .agg(F.sum(F.expr("bn * (bn - 1)")).alias("m"))
+        .collect()[0]
+    )
+    est_pairs = (row["m"] or 0) * scale / 2.0
+    return est_pairs / n
+
+
+def choose_embedding_payload(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = EMBEDDING_PAYLOAD_CPV_THRESHOLD,
+    sample_target: int = 2000,
+    seed: int = 42,
+) -> str:
+    """Cost-based tiles-vs-id-join decision for embedding near-dup (the
+    density probe the tiles docstring promises — the same sampled
+    plan-choice pattern as ``choose_edge_source``): above ``threshold``
+    candidate pairs per vector the banding is degenerate for this
+    corpus/threshold and the blocked-GEMM ``"tiles"`` plan wins; below
+    it the bands genuinely prune and the id-only band join
+    (``"corpus"``) is the scale shape. Pass ``payload="auto"`` to
+    :func:`dedup_embedding_cosine` to apply in place."""
+    cpv = estimate_band_candidates_per_vec(
+        spark, sf_dir, sample_target=sample_target, seed=seed
+    )
+    choice = "tiles" if cpv >= threshold else "corpus"
+    log.info(
+        "choose_embedding_payload: est candidates/vec %.1f (threshold %.0f) -> %s",
+        cpv,
+        threshold,
+        choice,
+    )
+    return choice
 
 
 def _dedup_embedding_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:

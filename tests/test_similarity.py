@@ -219,6 +219,44 @@ def test_embedding_dedup_payload_shapes_agree(spark):
         assert got == base, mode
 
 
+def test_choose_embedding_payload_probe_and_decision(spark):
+    """The density probe must (a) read ~all-pairs density on this corpus
+    (2-bit bands on near-orthogonal vectors -> ~0.9*N candidates/vec)
+    and pick 'tiles'; (b) read zero density on an adversarial
+    collision-free sketch set and pick 'corpus'. payload='auto' wires
+    the decision into the operator."""
+    from gcp_map_reduce_spark.operators.similarity import (
+        DEDUP_BANDS,
+        N_PLANES,
+        choose_embedding_payload,
+        dedup_embedding_cosine,
+        estimate_band_candidates_per_vec,
+    )
+
+    n_vec = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").count()
+    cpv = estimate_band_candidates_per_vec(spark, SF_ORACLE)
+    # degenerate banding: a large fraction of all pairs collide
+    assert cpv > 0.5 * n_vec, (cpv, n_vec)
+    assert choose_embedding_payload(spark, SF_ORACLE) == "tiles"
+
+    # 4 vectors whose sketches disagree on EVERY 2-bit band: band b of
+    # row i gets value (i) — all four values distinct per band, so the
+    # collision mass is exactly zero
+    band_bits = N_PLANES // DEDUP_BANDS
+    rows = [
+        (i, sum(i << (b * band_bits) for b in range(DEDUP_BANDS)))
+        for i in range(4)
+    ]
+    sk = spark.createDataFrame(rows, "vec_id long, sketch long")
+    assert estimate_band_candidates_per_vec(spark, SF_ORACLE, sketches=sk) == 0.0
+
+    # auto mode returns the tiles result here (bit-identical anyway)
+    auto = dedup_embedding_cosine(spark, SF_ORACLE, payload="auto")
+    base = dedup_embedding_cosine(spark, SF_ORACLE, payload="corpus")
+    assert auto.exceptAll(base).count() == 0
+    assert base.exceptAll(auto).count() == 0
+
+
 def test_ivf_rerank_forms_identical(spark):
     """Both re-rank implementations (JVM expression fold vs Arrow kernel)
     must return identical rows — which one runs is purely a measured
