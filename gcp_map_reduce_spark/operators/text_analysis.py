@@ -550,32 +550,86 @@ SELECT bigram, count(*) AS n_occurrences,
 FROM grams GROUP BY bigram
 """,
 )
-def corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus bigram statistics (occurrences + doc frequency) — the
-    n-gram counting path, built array-natively like the dedup shingles
-    (zip_with over a shifted slice; no per-token shuffle)."""
+def corpus_bigrams(
+    spark: SparkSession, sf_dir: str, engine: str = "arrow"
+) -> DataFrame:
+    """Corpus bigram statistics (occurrences + doc frequency).
+
+    ``engine="arrow"`` (default, r8): one ``mapInPandas`` pass per doc —
+    the same C-level normalize chain the profile kernel proved exact
+    (punct-delete -> lower -> ASCII-fold -> WS-strip; after the fold
+    ``str.split()`` equals the WS-class split), then a bigram Counter —
+    emitting PRE-COLLAPSED (bigram, per-doc count) partials. Downstream
+    the doc-frequency is a plain ``count(*)`` (one row per (doc,
+    bigram) by construction) instead of a ``count_distinct`` expansion,
+    and the shuffle carries per-doc distinct bigrams rather than raw
+    occurrences. Row-identical to the expression form (pytest-gated).
+
+    ``engine="expr"`` is the executable spec the SQL oracle mirrors:
+    array-native zip_with over a shifted slice (no per-token shuffle),
+    explode, groupBy + count_distinct."""
+    if engine not in ("arrow", "expr"):
+        raise ValueError(f"engine must be 'arrow' or 'expr', got {engine!r}")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # Fan out ONLY if the scan under-splits (tiny local files); at scale
     # the scan's own splits carry the per-row work with no Exchange.
     docs = ensure_parallelism(docs, spark.sparkContext.defaultParallelism)
-    w = F.filter(
-        F.split(normalize_text(F.col("text")), WS_SPLIT), lambda t: t != ""
-    )
-    shifted = F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0)))
-    grams = F.zip_with(
-        w,
-        shifted,
-        lambda g, t: F.when(g.isNull() | t.isNull(), F.lit(None)).otherwise(
-            F.concat(g, F.lit(" "), t)
-        ),
-    )
-    flat = docs.select(
-        "doc_id",
-        F.explode(F.filter(grams, lambda x: x.isNotNull())).alias("bigram"),
-    )
-    return flat.groupBy("bigram").agg(
-        F.count("*").alias("n_occurrences"),
-        F.count_distinct("doc_id").alias("n_docs"),
+    if engine == "expr":
+        w = F.filter(
+            F.split(normalize_text(F.col("text")), WS_SPLIT), lambda t: t != ""
+        )
+        shifted = F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0)))
+        grams = F.zip_with(
+            w,
+            shifted,
+            lambda g, t: F.when(g.isNull() | t.isNull(), F.lit(None)).otherwise(
+                F.concat(g, F.lit(" "), t)
+            ),
+        )
+        flat = docs.select(
+            "doc_id",
+            F.explode(F.filter(grams, lambda x: x.isNotNull())).alias("bigram"),
+        )
+        return flat.groupBy("bigram").agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+
+    import string as _string
+
+    ws_chars = " \t\n\x0b\f\r\x1c\x1d\x1e\x1f"
+    punct_del = {ord(c): None for c in _string.punctuation}
+
+    def kernel(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            grams: list[str] = []
+            cnts: list[int] = []
+            for t in pdf["text"]:
+                norm = (
+                    t.translate(punct_del)
+                    .lower()
+                    .encode("ascii", "ignore")
+                    .decode("ascii")
+                    .strip(ws_chars)
+                )
+                toks = norm.split()  # pure ASCII == the WS-class split
+                if len(toks) < 2:
+                    continue
+                c = Counter(
+                    " ".join(p) for p in zip(toks, toks[1:])
+                )
+                grams.extend(c.keys())
+                cnts.extend(c.values())
+            yield pd.DataFrame({"bigram": grams, "cnt": cnts})
+
+    part = docs.mapInPandas(kernel, "bigram string, cnt long")
+    return part.groupBy("bigram").agg(
+        F.sum("cnt").alias("n_occurrences"),
+        F.count("*").alias("n_docs"),
     )
 
 

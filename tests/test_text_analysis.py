@@ -63,6 +63,24 @@ def test_profile_engines_row_identical_on_unicode_edges(spark):
         assert a[k] == b[k], (k, a[k], b[k])
 
 
+def test_bigram_engines_row_identical_on_corpus(spark):
+    """The Arrow bigram Counter kernel must produce the identical
+    (bigram, n_occurrences, n_docs) rows as the zip_with expression spec
+    — the normalize-chain parity is pinned by the profile kernel's
+    adversarial gate; this pins the pairing + per-doc collapse."""
+    from gcp_map_reduce_spark.operators.text_analysis import corpus_bigrams
+
+    a = {
+        r.bigram: (r.n_occurrences, r.n_docs)
+        for r in corpus_bigrams(spark, SF_ORACLE, engine="expr").collect()
+    }
+    b = {
+        r.bigram: (r.n_occurrences, r.n_docs)
+        for r in corpus_bigrams(spark, SF_ORACLE, engine="arrow").collect()
+    }
+    assert a and a == b
+
+
 def test_profile_rejects_unknown_engine(spark):
     import pytest
 
