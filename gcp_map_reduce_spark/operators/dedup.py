@@ -851,15 +851,91 @@ SIMHASH_BITS = 60  # bits of the portable 60-bit token hash
 _CHUNK_BITS = 15  # band width for the Hamming-distance join (4 chunks)
 
 
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_fingerprints(
+    spark: SparkSession, sf_dir: str, engine: str = "arrow"
+) -> DataFrame:
     """60-bit SimHash per doc from token-frequency-weighted bit votes.
 
     For each bit j: vote = sum over distinct tokens of (+cnt if bit j of
     portable_hash64(token) set else -cnt); bit j of the fingerprint =
-    vote > 0. All 60 votes are one wide aggregate — single shuffle on
-    doc_id.
+    vote > 0.
+
+    ``engine="arrow"`` (default, r8): ZERO-shuffle — one ``mapInPandas``
+    pass per doc runs the proven C-level normalize chain, a token
+    Counter, the md5 hash per DISTINCT word (cached across the batch's
+    docs — the corpus vocabulary is tiny next to token occurrences) and
+    the 60 votes as one numpy sign-matrix product. Replaces the
+    tokenize-explode + (doc, word) groupBy + 60-column doc groupBy
+    pipeline (two corpus-scale shuffles). Votes are exact integer sums
+    (order-free), the hash is ``int(md5[:15], 16)`` — identical bytes
+    hashed (tokens are pure ASCII after the fold) — so fingerprints are
+    bit-equal to the expression form (pytest-gated).
+
+    ``engine="expr"`` is the executable spec the SQL oracle mirrors:
+    all 60 votes as one wide aggregate — single shuffle on doc_id.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if engine not in ("arrow", "expr"):
+        raise ValueError(f"engine must be 'arrow' or 'expr', got {engine!r}")
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark.sparkContext.defaultParallelism,
+    )
+    if engine == "arrow":
+        import string as _string
+
+        ws_chars = " \t\n\x0b\f\r\x1c\x1d\x1e\x1f"
+        punct_del = {ord(c): None for c in _string.punctuation}
+        n_bits = SIMHASH_BITS
+
+        def kernel(batches):
+            import hashlib
+            from collections import Counter
+
+            import pandas as pd
+
+            hash_cache: dict[str, int] = {}
+            shifts = np.arange(n_bits, dtype=np.int64)
+
+            def h64(w: str) -> int:
+                v = hash_cache.get(w)
+                if v is None:
+                    v = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                    hash_cache[w] = v
+                return v
+
+            for pdf in batches:
+                ids, fps = [], []
+                for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                    norm = (
+                        t.translate(punct_del)
+                        .lower()
+                        .encode("ascii", "ignore")
+                        .decode("ascii")
+                        .strip(ws_chars)
+                    )
+                    toks = norm.split()  # pure ASCII == the WS-class split
+                    if not toks:
+                        continue  # no (doc, word) rows -> no fingerprint
+                    cnt = Counter(toks)
+                    H = np.fromiter(
+                        (h64(w) for w in cnt), dtype=np.int64, count=len(cnt)
+                    )
+                    C = np.fromiter(
+                        cnt.values(), dtype=np.int64, count=len(cnt)
+                    )
+                    bits = (H[:, None] >> shifts) & 1  # (n_words, 60)
+                    votes = ((2 * bits - 1) * C[:, None]).sum(axis=0)
+                    fp = int(((votes > 0).astype(np.int64) << shifts).sum())
+                    ids.append(doc_id)
+                    fps.append(fp)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "simhash": pd.Series(fps, dtype="int64"),
+                    }
+                )
+
+        return docs.mapInPandas(kernel, "doc_id long, simhash long")
     toks = (
         docs.select(
             "doc_id",

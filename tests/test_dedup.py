@@ -26,6 +26,24 @@ def test_minhash_recall_vs_exact(spark):
     assert recall >= 0.9, (recall, len(exact), len(approx))
 
 
+def test_simhash_engines_bit_identical(spark):
+    """The Arrow fingerprint kernel (cached md5 per distinct word +
+    numpy sign votes) must produce bit-equal 60-bit fingerprints to the
+    60-column aggregate spec for every doc — votes are exact integer
+    sums, so any divergence is a normalize/hash parity bug."""
+    from gcp_map_reduce_spark.operators.dedup import simhash_fingerprints
+
+    a = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprints(spark, SF_ORACLE, engine="expr").collect()
+    }
+    b = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprints(spark, SF_ORACLE, engine="arrow").collect()
+    }
+    assert a and a == b
+
+
 def test_ngram_jaccard_prefix_filter_is_exact(spark):
     """The AllPairs prefix-filtered plan must return the IDENTICAL rows
     (pairs, isect, jaccard doubles) as the full inverted-index self-join
