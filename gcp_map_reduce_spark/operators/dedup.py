@@ -254,7 +254,7 @@ JACCARD_THRESHOLD = 0.8
 
 
 def dedup_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, prefix_filter: bool = False
+    spark: SparkSession, sf_dir: str, prefix_filter: bool | str = False
 ) -> DataFrame:
     """Near-dup pairs: 3-shingle Jaccard >= 0.8 over shingle FINGERPRINTS
     (Broder-style): each shingle is its rolling gram hash in the 2^31
@@ -286,8 +286,22 @@ def dedup_ngram_jaccard(
     candidate-gram rows (4.7x less exchange) and wins ~1.2-1.4x wall
     (12.2 vs 14.2 s best-of on a contended box); at sf0.1's low dup
     density the dedup+verify overhead exceeds the savings (2.3 vs
-    1.2 s), so the DEFAULT stays the full form at bench scale and the
-    prefix form is the documented high-density/scale switch.
+    1.2 s).
+
+    ``prefix_filter="auto"`` decides by the SAME sampled density probe
+    as ``choose_edge_source`` — candidate pairs per doc
+    (sum df*(df-1)/2 over gram fingerprints) is exactly the row count
+    the full join materializes, and the measured crossover sits on the
+    same side of the existing threshold as the edge-source choice (~267
+    pairs/doc at sf0.1 -> full wins; ~2,743 at stress -> prefix wins).
+    The probe is one ~1.3 s sampled job at stress scale, repaid ~5x by
+    the right plan. The DEFAULT stays the plain full form (False): the
+    probe is pure overhead for callers that already know their regime —
+    ``dedup_clusters``/``curated_corpus`` only take exact edges when
+    ``choose_edge_source`` has ALREADY measured the density below the
+    same threshold (where full wins), and the registered pair-scores
+    suite opts into "auto" because its exact leg must run at every
+    density (tagged branch).
 
     Join-strategy asymmetry (measured): Catalyst's size estimate under
     an explode is the CHILD's, so it happily broadcasts the corpus-wide
@@ -312,6 +326,18 @@ def dedup_ngram_jaccard(
     # prefix branch sorts on read — its bound needs one global total
     # order shared by every doc, and array_intersect is
     # order-insensitive.
+    if prefix_filter == "auto":
+        cpd = estimate_candidate_pairs_per_doc(spark, sf_dir)
+        prefix_filter = cpd >= EDGE_SOURCE_CPD_THRESHOLD
+        log.info(
+            "dedup_ngram_jaccard: est candidate pairs/doc %.1f -> %s form",
+            cpd,
+            "prefix" if prefix_filter else "full",
+        )
+    elif not isinstance(prefix_filter, bool):
+        raise ValueError(
+            f"prefix_filter must be bool or 'auto', got {prefix_filter!r}"
+        )
     t = JACCARD_THRESHOLD
     arr = materialize(doc_gram_hash_arrays(spark, sf_dir, n=3))
     if not prefix_filter:
@@ -1375,7 +1401,14 @@ def dedup_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        norm(dedup_ngram_jaccard(spark, sf_dir), "ngram_jaccard", F.col("jaccard"))
+        # "auto": this leg must run at EVERY density (tagged branch), so
+        # the sampled probe picks full vs prefix-filtered per corpus —
+        # both bit-identical (see dedup_ngram_jaccard's crossover notes)
+        norm(
+            dedup_ngram_jaccard(spark, sf_dir, prefix_filter="auto"),
+            "ngram_jaccard",
+            F.col("jaccard"),
+        )
         .unionByName(
             norm(dedup_minhash(spark, sf_dir), "minhash", F.col("est_jaccard"))
         )
