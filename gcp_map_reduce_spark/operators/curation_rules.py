@@ -197,6 +197,17 @@ def _pii_scrub_kernel(doc: DataFrame) -> DataFrame:
                 "clean_hash": [],
             }
             for i, t in zip(ids, texts):
+                if t is None:
+                    # expr parity: concat(NULL, ...) is NULL, so every
+                    # computed column is null (the f-string would
+                    # otherwise stringify None — silent divergence, not
+                    # even a crash)
+                    for k in (
+                        "n_emails", "n_phones", "n_ips",
+                        "clean_len", "clean_hash",
+                    ):
+                        out[k].append(None)
+                    continue
                 s = (
                     f"{t} contact user{i}@example.com call "
                     f"+1-555-{i % 10000:04d} from 10.0.{i % 256}.7"
@@ -407,6 +418,19 @@ def _quality_rules_kernel(doc: DataFrame) -> DataFrame:
                 "top_bigram_frac": [], "max_run": [], "keep": [],
             }
             for i, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+                if text is None:
+                    # expr parity: split(lower(NULL)) is NULL, every
+                    # derived metric is null — EXCEPT top_bigram_frac,
+                    # whose when(n_tokens >= 2, ...).otherwise(0.0)
+                    # treats the null condition as false
+                    out["doc_id"].append(i)
+                    for k in (
+                        "n_tokens", "n_distinct", "distinct_ratio",
+                        "top_token_frac", "max_run", "keep",
+                    ):
+                        out[k].append(None)
+                    out["top_bigram_frac"].append(0.0)
+                    continue
                 t = pat.split(text.lower())
                 n = len(t)
                 c = Counter(t)

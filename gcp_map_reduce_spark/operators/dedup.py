@@ -399,7 +399,10 @@ def dedup_ngram_jaccard(
     )
     ga = arr.select(F.col("doc_id").alias("doc_a"), F.col("gh_arr").alias("ga"))
     gb = arr.select(F.col("doc_id").alias("doc_b"), F.col("gh_arr").alias("gb"))
-    isect = F.size(F.array_intersect("ga", "gb"))
+    # cast to long: the full form's F.count emits LongType, and with
+    # prefix_filter='auto' the output schema must not vary with the
+    # sampled corpus density (r8 advice)
+    isect = F.size(F.array_intersect("ga", "gb")).cast("long")
     jac = isect.cast("double") / (
         F.size("ga") + F.size("gb") - isect
     )
@@ -932,6 +935,9 @@ def simhash_fingerprints(
             for pdf in batches:
                 ids, fps = [], []
                 for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                    if t is None:
+                        continue  # expr parity: explode(split(NULL))
+                        # emits no (doc, word) rows -> no fingerprint
                     norm = (
                         t.translate(punct_del)
                         .lower()

@@ -374,7 +374,15 @@ def profile_metrics_arrow(docs: DataFrame) -> DataFrame:
                 )
             }
             fps = []
+            null_rows = np.zeros(n, dtype=bool)
             for i, t in enumerate(pdf["text"]):
+                if t is None:
+                    # expr parity: every metric expression propagates
+                    # the null (regexp_count/size/length/md5 of NULL
+                    # are NULL); mask this row to nulls after the loop
+                    null_rows[i] = True
+                    fps.append(None)
+                    continue
                 cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
                 ints["n_chars"][i] = len(cp)
                 ints["n_digit"][i] = int(((cp >= 48) & (cp <= 57)).sum())
@@ -413,7 +421,12 @@ def profile_metrics_arrow(docs: DataFrame) -> DataFrame:
                 }
             )
             for k, v in ints.items():
-                out[k] = v
+                if null_rows.any():
+                    s = pd.array(v, dtype="Int32")
+                    s[null_rows] = pd.NA
+                    out[k] = s
+                else:
+                    out[k] = v
             out["fp"] = fps
             # column order must match the declared schema
             yield out[
@@ -609,6 +622,9 @@ def corpus_bigrams(
             grams: list[str] = []
             cnts: list[int] = []
             for t in pdf["text"]:
+                if t is None:
+                    continue  # expr parity: explode of the NULL gram
+                    # array emits no bigram rows
                 norm = (
                     t.translate(punct_del)
                     .lower()

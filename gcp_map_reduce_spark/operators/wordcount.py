@@ -104,6 +104,8 @@ def wordcount(
         cnt = Counter()
         for pdf in batches:
             for t in pdf["text"]:
+                if t is None:
+                    continue  # expr parity: tokenize emits no rows
                 norm = (
                     t.translate(punct_del)
                     .lower()

@@ -221,50 +221,55 @@ def upsert_snapshot_bucketed(
     updates.withColumn(BUCKET_COL, _bucket_expr(key, n_buckets)).write.mode(
         "overwrite"
     ).parquet(upd_staging)
-    upd = spark.read.parquet(upd_staging)
-    affected = sorted(
-        r[BUCKET_COL] for r in upd.select(BUCKET_COL).distinct().collect()
-    )
-    if not affected:
-        shutil.rmtree(upd_staging, ignore_errors=True)
-        return []
-    if have_base:
-        base = (
-            spark.read.parquet(snapshot_dir)
-            .filter(F.col(BUCKET_COL).isin([int(b) for b in affected]))
-            .drop(BUCKET_COL)
+    # try/finally so a merge/write failure after the updates landed in
+    # staging cannot orphan the sibling dir (r8 advice) — only the
+    # promote loop reads staged data, and it runs inside the try
+    try:
+        upd = spark.read.parquet(upd_staging)
+        affected = sorted(
+            r[BUCKET_COL] for r in upd.select(BUCKET_COL).distinct().collect()
         )
-    else:
-        base = upd.drop(BUCKET_COL).limit(0)
-    merged = upsert_snapshot(
-        base, upd.drop(BUCKET_COL), key, version_col, seq_col=seq_col
-    )
-    staging = snapshot_dir + ".staging"
-    merged.withColumn(BUCKET_COL, _bucket_expr(key, n_buckets)).write.mode(
-        "overwrite"
-    ).partitionBy(BUCKET_COL).parquet(staging)
-    os.makedirs(snapshot_dir, exist_ok=True)
-    if not os.path.isfile(marker):
-        with open(marker, "w") as fh:
-            fh.write(str(n_buckets))
-    for b in affected:
-        name = f"{BUCKET_COL}={b}"
-        staged = os.path.join(staging, name)
-        live = os.path.join(snapshot_dir, name)
-        old = _old_dir(snapshot_dir, name)
-        if not os.path.isdir(staged):
-            # every affected bucket has >= 1 update row, and keep-latest
-            # never drops the last row of a key — an absent staged dir
-            # means the layout assumption broke; fail loudly
-            raise RuntimeError(f"staging missing rewritten bucket {name}")
-        if os.path.isdir(live):
-            os.rename(live, old)
-        os.rename(staged, live)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-    shutil.rmtree(staging)
-    shutil.rmtree(upd_staging, ignore_errors=True)
-    return [int(b) for b in affected]
+        if not affected:
+            return []
+        if have_base:
+            base = (
+                spark.read.parquet(snapshot_dir)
+                .filter(F.col(BUCKET_COL).isin([int(b) for b in affected]))
+                .drop(BUCKET_COL)
+            )
+        else:
+            base = upd.drop(BUCKET_COL).limit(0)
+        merged = upsert_snapshot(
+            base, upd.drop(BUCKET_COL), key, version_col, seq_col=seq_col
+        )
+        staging = snapshot_dir + ".staging"
+        merged.withColumn(BUCKET_COL, _bucket_expr(key, n_buckets)).write.mode(
+            "overwrite"
+        ).partitionBy(BUCKET_COL).parquet(staging)
+        os.makedirs(snapshot_dir, exist_ok=True)
+        if not os.path.isfile(marker):
+            with open(marker, "w") as fh:
+                fh.write(str(n_buckets))
+        for b in affected:
+            name = f"{BUCKET_COL}={b}"
+            staged = os.path.join(staging, name)
+            live = os.path.join(snapshot_dir, name)
+            old = _old_dir(snapshot_dir, name)
+            if not os.path.isdir(staged):
+                # every affected bucket has >= 1 update row, and
+                # keep-latest never drops the last row of a key — an
+                # absent staged dir means the layout assumption broke;
+                # fail loudly
+                raise RuntimeError(f"staging missing rewritten bucket {name}")
+            if os.path.isdir(live):
+                os.rename(live, old)
+            os.rename(staged, live)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+        shutil.rmtree(staging)
+        return [int(b) for b in affected]
+    finally:
+        shutil.rmtree(upd_staging, ignore_errors=True)
 
 
 def suggest_n_buckets(
@@ -311,8 +316,24 @@ def migrate_snapshot_to_bucketed(
     """One-time rewrite of a monolithic snapshot (root ``part-*`` parquet
     files) into the bucketed layout ``upsert_snapshot_bucketed`` merges
     into. Write-then-swap: the bucketed copy lands in a sibling dir and
-    replaces the monolithic one only after the write succeeds, so a
-    crash mid-migration leaves the original untouched."""
+    replaces the monolithic one only after the write succeeds. A crash
+    before the first rename leaves the original untouched; a crash
+    between the two renames (or before the final cleanup) is repaired by
+    the recovery sweep at the START of the next call — roll the
+    ``.premigration`` dir back when the snapshot is missing, drop it
+    when the swap already completed — mirroring ``_recover_bucket_dirs``
+    (r8 advice: a stale ``.premigration`` previously stranded the data
+    AND made the retry's rename fail outright)."""
+    old = snapshot_dir + ".premigration"
+    if os.path.isdir(old):
+        if not os.path.isdir(snapshot_dir):
+            # crashed between the two renames: roll back, then redo the
+            # migration from the recovered monolithic snapshot
+            os.rename(old, snapshot_dir)
+        else:
+            # swap completed but the cleanup didn't: the live snapshot
+            # is the migrated copy; the leftover is safe to drop
+            shutil.rmtree(old)
     df = spark.read.parquet(snapshot_dir)
     if BUCKET_COL in df.columns:
         raise ValueError(f"snapshot at {snapshot_dir} is already bucketed")
@@ -322,7 +343,6 @@ def migrate_snapshot_to_bucketed(
     ).partitionBy(BUCKET_COL).parquet(migrated)
     with open(os.path.join(migrated, _N_BUCKETS_FILE), "w") as fh:
         fh.write(str(n_buckets))
-    old = snapshot_dir + ".premigration"
     os.rename(snapshot_dir, old)
     os.rename(migrated, snapshot_dir)
     shutil.rmtree(old)

@@ -54,6 +54,13 @@ def test_ngram_jaccard_prefix_filter_is_exact(spark):
 
     full = dedup_ngram_jaccard(spark, SF_ORACLE, prefix_filter=False)
     pref = dedup_ngram_jaccard(spark, SF_ORACLE, prefix_filter=True)
+    # schema must not vary with the prefix_filter='auto' density probe:
+    # direct callers writing parquet / unioning results would hit drift
+    # if the prefix branch emitted isect as int (r8 advice). Nullability
+    # legitimately differs (count(*) is non-null, size(intersect) is
+    # nullable) and affects neither parquet nor unions — pin name+type.
+    shape = lambda df: [(f.name, f.dataType) for f in df.schema]  # noqa: E731
+    assert shape(full) == shape(pref), (full.schema, pref.schema)
     assert full.count() > 0
     assert full.exceptAll(pref).count() == 0
     assert pref.exceptAll(full).count() == 0

@@ -241,6 +241,71 @@ def test_bucketed_merge_refuses_monolithic_base_and_migrates(spark, tmp_path):
     assert got[0] == (1, "p0")  # pre-migration row survived
 
 
+def test_bucketed_merge_cleans_staging_on_failure(spark, tmp_path, monkeypatch):
+    """A merge failure AFTER the updates landed in .staging-updates must
+    not orphan the sibling dir (r8 advice: cleanup used to run only on
+    the empty-affected early return and the success path)."""
+    import pytest
+
+    from gcp_map_reduce_spark.sinks import writers
+
+    schema = "k bigint, v bigint, payload string"
+    upd = spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], schema)
+    snap = str(tmp_path / "snap")
+
+    def boom(*a, **kw):
+        raise RuntimeError("merge failed")
+
+    monkeypatch.setattr(writers, "upsert_snapshot", boom)
+    with pytest.raises(RuntimeError, match="merge failed"):
+        writers.upsert_snapshot_bucketed(spark, upd, snap, "k", "v", n_buckets=4)
+    assert not os.path.isdir(snap + ".staging-updates")
+
+
+def test_migration_recovers_from_crash_between_renames(spark, tmp_path):
+    """Crash window in migrate_snapshot_to_bucketed: between the two
+    os.renames the snapshot dir is ABSENT and the data sits in
+    .premigration. The next call must roll back and complete the
+    migration instead of failing on the missing dir (r8 advice)."""
+    from gcp_map_reduce_spark.sinks.writers import (
+        migrate_snapshot_to_bucketed,
+        read_snapshot_bucketed,
+    )
+
+    snap = str(tmp_path / "snap")
+    schema = "k bigint, v bigint, payload string"
+    base = spark.createDataFrame([(i, 1, f"p{i}") for i in range(20)], schema)
+    base.write.parquet(snap)
+    # simulate the crash: first rename done, second never happened
+    os.rename(snap, snap + ".premigration")
+    assert not os.path.isdir(snap)
+    migrate_snapshot_to_bucketed(spark, snap, "k", n_buckets=4)
+    got = {r.k: r.payload for r in read_snapshot_bucketed(spark, snap).collect()}
+    assert got == {i: f"p{i}" for i in range(20)}
+    assert not os.path.isdir(snap + ".premigration")
+
+
+def test_migration_drops_stale_premigration_leftover(spark, tmp_path):
+    """Crash window after the swap completed but before the cleanup: the
+    live snapshot is the migrated copy and .premigration is a stale
+    duplicate — the next call must remove it (previously the retry's
+    os.rename failed outright on the existing dir)."""
+    import pytest
+
+    from gcp_map_reduce_spark.sinks.writers import migrate_snapshot_to_bucketed
+
+    snap = str(tmp_path / "snap")
+    schema = "k bigint, v bigint, payload string"
+    base = spark.createDataFrame([(i, 1, f"p{i}") for i in range(10)], schema)
+    base.write.parquet(snap)
+    migrate_snapshot_to_bucketed(spark, snap, "k", n_buckets=4)
+    # simulate the leftover from a crash before the final rmtree
+    base.write.parquet(snap + ".premigration")
+    with pytest.raises(ValueError, match="already bucketed"):
+        migrate_snapshot_to_bucketed(spark, snap, "k", n_buckets=4)
+    assert not os.path.isdir(snap + ".premigration")
+
+
 def test_bucketed_merge_freezes_nondeterministic_updates(spark, tmp_path):
     """The affected-bucket probe and the merged rewrite must see the SAME
     update rows even when the source is non-deterministic — otherwise
