@@ -108,6 +108,7 @@ def test_bench_compact_stdout_line_survives_driver_tail():
             "queries": {name: 9999.999 for name in HEADLINE},
             "errors": {},
             "sf": 0.1,
+            "banked_value": 9999.999,
         }
     )
     assert len(payload) < 1900, len(payload)
@@ -120,3 +121,44 @@ def test_bench_compact_stdout_line_survives_driver_tail():
     src = inspect.getsource(bench.main)
     assert 'del compact["queries_detail"]' in src
     assert src.rstrip().endswith("spark.stop()")
+
+
+def test_bench_merge_best_is_merge_only(tmp_path):
+    """BENCH_BEST.json bank semantics (r8 verdict task #1): per-query
+    min merged with its detail as a unit; a contended (worse) run can
+    never degrade the bank; errored queries don't bank; a partial bank
+    yields banked_value=None rather than an incomparable partial sum;
+    different-sf artifacts don't merge."""
+    import json
+
+    from bench import merge_best
+
+    bank = str(tmp_path / "BENCH_BEST.json")
+    mk = lambda secs, errors=None, sf=0.1: {  # noqa: E731
+        "metric": "headline_queries_total_wall_sec",
+        "value": round(sum(secs.values()), 3),
+        "unit": "sec",
+        "queries": secs,
+        "queries_detail": {n: {"runs": [s], "min": s} for n in secs for s in [secs[n]]},
+        "errors": errors or {},
+        "sf": sf,
+    }
+
+    # quiet run banks everything
+    assert merge_best(mk({"a": 1.0, "b": 2.0}), bank) == 3.0
+    # contended run (worse everywhere) leaves the bank untouched
+    assert merge_best(mk({"a": 1.5, "b": 2.5}), bank) == 3.0
+    # a one-query improvement banks just that query, detail follows
+    assert merge_best(mk({"a": 0.8, "b": 9.0}), bank) == 2.8
+    with open(bank) as fh:
+        b = json.load(fh)
+    assert b["queries"]["a"] == {"sec": 0.8, "detail": {"runs": [0.8], "min": 0.8}}
+    assert b["queries"]["b"]["sec"] == 2.0
+    # errored queries never bank (even with a fast bogus timing)
+    assert merge_best(mk({"a": 0.1, "b": 1.9}, errors={"a": "boom"}), bank) == 2.7
+    assert json.load(open(bank))["queries"]["a"]["sec"] == 0.8
+    # a session with an unbanked query name -> None, not a partial sum
+    assert merge_best(mk({"a": 0.8, "b": 2.0, "c": 5.0}, errors={"c": "x"}), bank) is None
+    # different sf refuses to merge
+    assert merge_best(mk({"a": 0.01, "b": 0.01}, sf=0.01), bank) is None
+    assert json.load(open(bank))["queries"]["a"]["sec"] == 0.8
