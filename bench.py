@@ -87,12 +87,11 @@ def build_overrides() -> dict:
 
     1. Production-mode: dedup_minhash benches with its production hash
        family (xxhash64) instead of the DuckDB-portable md5 the
-       registered entry keeps for the oracle gate. The alternative edge
-       sources (dedup_clusters edge_source / curated_corpus
-       near_dup_source = 'minhash') are NOT substituted: they are the
-       100 TB plans, but at bench scale the exact shingle join is the
-       better plan and an engine should run the best plan for the data
-       size.
+       registered entry keeps for the oracle gate. dedup_clusters /
+       curated_corpus bench their r9 default (edge_source="auto"): the
+       density probe fires once during warm-up and is session-cached,
+       so the timed runs measure the chosen plan (exact at this scale)
+       plus a dict lookup.
     2. Historical-comparability: names the registry consolidated into
        tagged suite unions (driver-window fit) keep benching their
        ORIGINAL single-operator library plans, so per-query timings
@@ -112,7 +111,12 @@ def build_overrides() -> dict:
     return {
         "dedup_minhash": lambda s, d: dedup_minhash(s, d, fast_hash=True),
         "corpus_shards": corpus_shards,
-        "dedup_clusters": lambda s, d: dedup_clusters(s, d, edge_source="exact"),
+        # historical-comparability: the registered row is the two-edge
+        # SUITE; bench times the single-operator form at its library
+        # default (edge_source="auto" since r9 — the probe fires once in
+        # warm-up and is session-cached, so timed runs measure the
+        # chosen plan plus a dict lookup)
+        "dedup_clusters": lambda s, d: dedup_clusters(s, d),
         "similarity_ivf_ann": similarity_ivf_ann,
         "similarity_lsh_ann": similarity_lsh_ann,
         "semantic_search_docs": semantic_search_docs,

@@ -1157,8 +1157,24 @@ def estimate_candidate_pairs_per_doc(
     survives doc-sampling with probability exactly p^2, so
     sum(df_s*(df_s-1)) / p^2 is unbiased for sum(df*(df-1)). One small
     job over ~sample_target docs — measured ~1.3 s against the 50k-doc
-    stress corpus, vs the ~15 s the right plan choice saves there.
+    stress corpus, vs the ~15 s the right plan choice saves there — and
+    cached per (sf_dir, sample_target, seed) for the session (r9): the
+    corpus under an sf_dir is immutable within a session, so every
+    caller after the first gets a dict lookup.
     """
+    from gcp_map_reduce_spark.plans.probes import cached_probe
+
+    return cached_probe(
+        ("cpd", sf_dir, sample_target, seed),
+        lambda: _estimate_candidate_pairs_per_doc(
+            spark, sf_dir, sample_target, seed
+        ),
+    )
+
+
+def _estimate_candidate_pairs_per_doc(
+    spark: SparkSession, sf_dir: str, sample_target: int, seed: int
+) -> float:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n = docs.count()
     if n == 0:
@@ -1240,7 +1256,7 @@ FROM reach GROUP BY s
 def dedup_clusters(
     spark: SparkSession,
     sf_dir: str,
-    edge_source: str = "exact",
+    edge_source: str = "auto",
     fast_hash: bool = False,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: every document
@@ -1249,17 +1265,20 @@ def dedup_clusters(
 
     ``edge_source`` picks where the pair graph comes from:
 
-    - ``"exact"`` (default, what the recursive-CTE oracle checks): the
-      exact shingle inverted-index self-join (``dedup_ngram_jaccard``) —
+    - ``"auto"`` (default, r9): :func:`choose_edge_source` probes the
+      corpus's candidate-pair density (sampled, ~1 small job, CACHED
+      per sf_dir for the session) and picks between the two — the
+      cost-based form of the SCALING.md crossover table, now cheap
+      enough to be the default (the r8 auto-default was reverted only
+      for the +0.3-0.5 s uncached probe cost per bench query);
+    - ``"exact"`` (what the recursive-CTE oracle checks): the exact
+      shingle inverted-index self-join (``dedup_ngram_jaccard``) —
       full recall, but quadratic in the hottest shingle's doc frequency;
     - ``"minhash"`` (the 100 TB plan): minhash band-collision candidates
       exactly verified per pair (``near_dup_edges_minhash_verified``) —
       bounded shuffle, recall = band recall (~1.0 for true copies).
       ``tests/test_dedup.py`` asserts both sources produce IDENTICAL
-      clusterings at oracle scale;
-    - ``"auto"``: :func:`choose_edge_source` probes the corpus's
-      candidate-pair density (sampled, ~1 small job) and picks between
-      the two — the cost-based form of the SCALING.md crossover table.
+      clusterings at oracle scale.
 
     Spark side is min-label propagation WITH pointer doubling: each round
     a node's label drops to the minimum of (its label, its neighbors'

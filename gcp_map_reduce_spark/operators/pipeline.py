@@ -81,19 +81,21 @@ ANTI JOIN drops USING (doc_id)
 def curated_corpus(
     spark: SparkSession,
     sf_dir: str,
-    near_dup_source: str = "exact",
+    near_dup_source: str = "auto",
     fast_hash: bool = False,
 ) -> DataFrame:
     """Documents surviving quality gate + exact dedup + near-dup removal,
     with their token budget — the corpus a training run would consume.
 
-    ``near_dup_source`` mirrors ``dedup_clusters``' edge_source: "exact"
-    (default; what the oracle replicates) uses the shingle self-join,
-    "minhash" (the 100 TB plan, optionally with ``fast_hash``) drops docs
-    via verified band-collision candidates — identical survivor sets at
-    oracle scale (tests/test_dedup.py asserts edge-set equality);
-    "auto" lets ``choose_edge_source`` pick by the sampled
-    candidate-pair-density probe."""
+    ``near_dup_source`` mirrors ``dedup_clusters``' edge_source: "auto"
+    (default, r9) lets ``choose_edge_source`` pick by the sampled
+    candidate-pair-density probe (cached per sf_dir for the session, so
+    the probe job runs at most once even though dedup_clusters asks the
+    same question); "exact" (what the oracle replicates) uses the
+    shingle self-join, "minhash" (the 100 TB plan, optionally with
+    ``fast_hash``) drops docs via verified band-collision candidates —
+    identical survivor sets at oracle scale (tests/test_dedup.py asserts
+    edge-set equality)."""
     if near_dup_source == "auto":
         near_dup_source = choose_edge_source(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")

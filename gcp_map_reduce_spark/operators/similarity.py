@@ -270,15 +270,18 @@ SELECT * FROM (
 
 @query("dedup_embedding_cosine", oracle=_embedding_dedup_oracle())
 def dedup_embedding_cosine(
-    spark: SparkSession, sf_dir: str, payload: str = "tiles"
+    spark: SparkSession, sf_dir: str, payload: str = "auto"
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (semantic dedup): band
     agreement on the 16-plane sign sketch gates candidates, the exact
     cosine threshold decides. Three value-identical plans (pytest-gated),
-    picked by ``payload``; which one scales depends on how selective the
-    banding is for the corpus/threshold at hand:
+    picked by ``payload`` — default ``"auto"`` (r9): the sampled density
+    probe picks, and its estimate is cached per sf_dir for the session
+    so repeated calls pay a dict lookup, not a Spark job. Which plan
+    scales depends on how selective the banding is for the
+    corpus/threshold at hand:
 
-    - ``"tiles"`` (default, r8): blocked GEMM — hash-assign vectors to
+    - ``"tiles"`` (r8): blocked GEMM — hash-assign vectors to
       ~DEDUP_TILE_TARGET-row blocks, one ``applyInPandas`` task per
       unordered block pair, band mask + cosine evaluated vectorized on
       the tile; per-pair rows never materialize. The right plan when
@@ -402,8 +405,31 @@ def estimate_band_candidates_per_vec(
 
     ``sketches`` substitutes any (vec_id, sketch) relation (tests build
     adversarial ones); by default a ~``sample_target``-vector sample is
-    sketched with the production kernel.
+    sketched with the production kernel and the estimate is cached per
+    (sf_dir, sample_target, seed) for the session (r9) — a
+    caller-supplied relation has no stable cache key and bypasses it.
     """
+    if sketches is None:
+        from gcp_map_reduce_spark.plans.probes import cached_probe
+
+        return cached_probe(
+            ("cpv", sf_dir, sample_target, seed),
+            lambda: _estimate_band_candidates_per_vec(
+                spark, sf_dir, sample_target, seed
+            ),
+        )
+    return _estimate_band_candidates_per_vec(
+        spark, sf_dir, sample_target, seed, sketches
+    )
+
+
+def _estimate_band_candidates_per_vec(
+    spark: SparkSession,
+    sf_dir: str,
+    sample_target: int,
+    seed: int,
+    sketches: DataFrame | None = None,
+) -> float:
     if sketches is None:
         emb = _emb(spark, sf_dir)
         n = emb.count()
