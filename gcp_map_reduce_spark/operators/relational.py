@@ -102,7 +102,21 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-style: 3-way join + agg + top-k (tiebreak on l_orderkey)."""
+    """TPC-H Q3-style: 3-way join + agg + top-k (tiebreak on l_orderkey).
+
+    The lineitem leg pins SHUFFLE_HASH (r9, measured): without it
+    Catalyst BROADCASTS the filtered lineitem FACT — the pruned scan's
+    size estimate (4/16 columns of the file bytes, ~29 MB at stress)
+    slips under the raised 64 MB broadcast threshold, and the shipdate
+    filter doesn't lower the estimate without stats. Broadcasting a
+    fact is wrong at every scale (at stress it serializes ~2M rows
+    through one build task + the driver: 3.99 -> 1.44 s best-of-3;
+    sf0.1 unchanged within spread). Measured-and-rejected alternative:
+    pre-aggregating lineitem revenue by l_orderkey BEFORE the join
+    (1.74 s — it pays the agg shuffle for the ~4/5 of orders the
+    customer-segment filter later drops). Same trap class as
+    join_outer_broadcast's r8 fix; both are pinned by
+    tests/test_plans.py's no-fact-broadcast gate."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
@@ -114,7 +128,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = dec("l_discount", 2, 4)
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(li.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
         .select(

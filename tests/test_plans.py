@@ -115,6 +115,24 @@ def test_no_accidental_nested_loop_or_cartesian_anywhere(spark):
     )
 
 
+def test_q3_never_broadcasts_the_lineitem_fact(spark):
+    # the pruned lineitem scan's size ESTIMATE (needed-columns fraction
+    # of file bytes) slips under the raised 64 MB broadcast threshold,
+    # so without the pinned SHUFFLE_HASH hint Catalyst broadcasts a
+    # filtered FACT — ~2M rows serialized through one build task at
+    # stress (3.99 -> 1.44 s with the hint, r9). The fact join must be
+    # a shuffled hash join with lineitem on the build/stream side, never
+    # a BroadcastExchange of the lineitem scan.
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "ShuffledHashJoin" in plan, plan
+    # no broadcast join on the orderkey (the fact join); the remaining
+    # broadcast (customer into orders on custkey) is the intended one
+    for block in plan.split("\n(")[1:]:
+        if block.splitlines()[0].endswith("BroadcastHashJoin"):
+            keys = block.split("Join type:")[0]
+            assert "orderkey" not in keys, block[:300]
+
+
 def test_decontamination_streams_train_side(spark):
     # 100 TB posture: the eval side (1/EVAL_MOD pushed-down scan) is
     # broadcast; the train side streams through the broadcast hash join

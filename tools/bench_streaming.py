@@ -1,18 +1,33 @@
 #!/usr/bin/env python
-"""Streaming CDC apply throughput (r8): the one engine axis with pytest
-gates but no measured number. Seeds a snapshot from the stress events
-table, lands a sequence of trickle micro-batch files, and drains them
-through ``run_streaming_upsert`` with ``availableNow`` — once in
-monolithic mode (full-snapshot rewrite per batch) and once bucketed.
-Reports wall seconds and sec/batch — the numbers behind SCALING.md's "a
-trickle of CDC updates must not pay a full-snapshot rewrite per batch".
+"""Streaming throughput measurements, two legs:
 
-Each batch file is landed and drained by its own ``availableNow`` run
-against the SAME checkpoint (the test-suite driving pattern), so each
-file is exactly one applied micro-batch.
+``--mode cdc`` (r8): CDC apply throughput. Seeds a snapshot from the
+stress events table, lands a sequence of trickle micro-batch files, and
+drains them through ``run_streaming_upsert`` with ``availableNow`` —
+once in monolithic mode (full-snapshot rewrite per batch) and once
+bucketed. Reports wall seconds and sec/batch — the numbers behind
+SCALING.md's "a trickle of CDC updates must not pay a full-snapshot
+rewrite per batch". Each batch file is landed and drained by its own
+``availableNow`` run against the SAME checkpoint (the test-suite
+driving pattern), so each file is exactly one applied micro-batch.
 
-Usage: python tools/bench_streaming.py [--dir /root/repo/stress/sf1]
-       [--batches 8] [--keys-per-batch 50] [--n-buckets 256]
+``--mode sessionize`` (r9): stateful-sessionize throughput — the
+``applyInPandasWithState`` operator's events/sec number. Splits the
+events table into time-ordered micro-batch files (so the watermark
+advances between batches and event-time timeouts fire), drains them in
+one ``availableNow`` run with ``maxFilesPerTrigger=1``, and ASSERTS
+batch parity in-run: every emitted session must equal a session of the
+batch gap-split ground truth exactly (start, end, n_events, rounded
+total), no duplicates, and every non-trailing session must have been
+emitted (trailing open sessions — at most one per user — legitimately
+stay in state when the final watermark hasn't passed their gap). State
+posture for the 100 TB stream: state is one fixed-size tuple per ACTIVE
+user (reported as peak_state_rows), not O(events), and event-time
+timeouts bound its lifetime.
+
+Usage: python tools/bench_streaming.py [--mode cdc|sessionize]
+       [--dir /root/repo/stress/sf1] [--batches N]
+       [--keys-per-batch 50] [--n-buckets 256]
 """
 
 from __future__ import annotations
@@ -39,13 +54,137 @@ def dir_bytes(path: str) -> int:
     return total
 
 
+def bench_sessionize(spark, args) -> None:
+    """Throughput + in-run batch parity for the stateful sessionizer."""
+    import glob as _glob
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gcp_map_reduce_spark.sources.tables import load_table
+    from gcp_map_reduce_spark.streaming.stateful import run_stateful_sessionize
+
+    ev = load_table(spark, args.dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+
+    work = tempfile.mkdtemp(prefix="stream_sess_")
+    try:
+        # time-ordered micro-batch files: slice the stream at ts quantile
+        # boundaries so file k+1's events are all >= file k's (no late
+        # rows; the watermark advances monotonically per micro-batch).
+        # Plain FILES directly under src — the file-stream source does
+        # not descend into directory-shaped spark parquet output.
+        src = os.path.join(work, "events")
+        os.makedirs(src)
+        probs = [i / args.batches for i in range(1, args.batches)]
+        ev_us = ev.withColumn("_ts_us", F.unix_micros("ts"))
+        cuts = ev_us.approxQuantile("_ts_us", probs, 0.001) if probs else []
+        bounds = [None] + cuts + [None]
+        for b in range(args.batches):
+            lo, hi = bounds[b], bounds[b + 1]
+            sl = ev_us
+            if lo is not None:
+                sl = sl.filter(F.col("_ts_us") >= lo)
+            if hi is not None:
+                sl = sl.filter(F.col("_ts_us") < hi)
+            sl = sl.drop("_ts_us")
+            stage = os.path.join(work, f"stage{b}")
+            sl.coalesce(1).write.parquet(stage)
+            # chronological move order => ascending mtimes => the file
+            # source drains the batches in time order
+            for f in sorted(_glob.glob(f"{stage}/part-*.parquet")):
+                shutil.move(f, os.path.join(src, f"f{b:03d}.parquet"))
+            shutil.rmtree(stage)
+
+        t0 = time.perf_counter()
+        q = run_stateful_sessionize(
+            spark,
+            src,
+            os.path.join(work, "ckpt"),
+            query_name="sessions_bench",
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(1800)
+        sec = round(time.perf_counter() - t0, 2)
+
+        got = spark.sql(
+            "SELECT user_id, session_start, session_end, n_events,"
+            " total_value FROM sessions_bench"
+        ).collect()
+
+        # ---- in-run batch parity (off the clock) --------------------
+        # ground truth = per-user sort by ts, split at gaps > 30 min —
+        # identical to the batch sessionize_events semantics
+        pdf = ev.select("user_id", "ts", "value").toPandas()
+        # micros precision, matching the operator's ms-truncating kernel
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        gap_us = 30 * 60 * 1_000_000
+        truth: set = set()
+        trailing: set = set()
+        for uid, g in pdf.sort_values("ts").groupby("user_id"):
+            ts = g["ts"].astype("int64").to_numpy()  # microseconds
+            val = g["value"].to_numpy()
+            brk = [0] + [
+                i for i in range(1, len(ts)) if ts[i] - ts[i - 1] > gap_us
+            ]
+            ends = brk + [len(ts)]
+            for j in range(len(brk)):
+                lo_i, hi_i = ends[j], ends[j + 1]
+                key = (
+                    uid,
+                    int(ts[lo_i] // 1000),
+                    int(ts[hi_i - 1] // 1000),
+                    hi_i - lo_i,
+                    round(float(val[lo_i:hi_i].sum()), 6),
+                )
+                truth.add(key)
+                if j == len(brk) - 1:
+                    trailing.add(key)
+        emitted: set = set()
+        for r in got:
+            key = (
+                r["user_id"],
+                int(pd.Timestamp(r["session_start"]).value // 1_000_000),
+                int(pd.Timestamp(r["session_end"]).value // 1_000_000),
+                r["n_events"],
+                round(r["total_value"], 6),
+            )
+            assert key not in emitted, f"duplicate session emission: {key}"
+            emitted.add(key)
+            assert key in truth, f"emitted session not in batch truth: {key}"
+        missing = truth - trailing - emitted
+        assert not missing, (
+            f"{len(missing)} closed sessions missing from the stream output;"
+            f" first: {sorted(missing)[:3]}"
+        )
+
+        print(json.dumps({
+            "metric": "streaming_stateful_sessionize",
+            "dir": args.dir,
+            "events": n_events,
+            "batches": args.batches,
+            "sec": sec,
+            "events_per_sec": round(n_events / sec),
+            "sessions_emitted": len(emitted),
+            "sessions_total": len(truth),
+            "peak_state_rows": n_users,  # one fixed-size tuple per user
+            "batch_parity": "asserted",
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["cdc", "sessionize"], default="cdc")
     ap.add_argument("--dir", default="/root/repo/stress/sf1")
-    ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--batches", type=int, default=None)
     ap.add_argument("--keys-per-batch", type=int, default=50)
     ap.add_argument("--n-buckets", type=int, default=256)
     args = ap.parse_args()
+    if args.batches is None:
+        args.batches = 8 if args.mode == "cdc" else 16
 
     from gcp_map_reduce_spark.session import get_spark
     from gcp_map_reduce_spark.sinks.writers import upsert_snapshot_bucketed
@@ -54,6 +193,10 @@ def main() -> None:
 
     spark = get_spark(app_name="bench_streaming")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.mode == "sessionize":
+        bench_sessionize(spark, args)
+        return
 
     ev = load_table(spark, args.dir, "events").withColumn(
         "version", F.lit(1).cast("bigint")
