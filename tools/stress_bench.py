@@ -135,6 +135,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="/root/repo/stress/sf1")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--queries",
+        nargs="*",
+        default=None,
+        help="time only these rows (default: all). For banking a "
+        "specific stale row during a short quiet window via "
+        "stress_ci --merge-baseline --queries ... — the merge touches "
+        "only queries present in the run, so a subset run can never "
+        "degrade the rest of the baseline.",
+    )
     args = ap.parse_args()
 
     from gcp_map_reduce_spark.session import get_spark
@@ -171,6 +181,15 @@ def main() -> None:
         "dedup_embedding_cosine",
         "corpus_sampling",
     ]
+    if args.queries is not None:
+        wanted = set(args.queries)
+        unknown = wanted - set(headline) - {
+            "dedup_clusters_minhash", "curated_corpus_minhash",
+            "topk_naive_window", "topk_salted",
+        }
+        if unknown:
+            raise SystemExit(f"unknown stress queries: {sorted(unknown)}")
+        headline = [n for n in headline if n in wanted]
 
     results: dict[str, dict] = {}
     # warm-up: JVM + codegen at the target volume
@@ -190,6 +209,7 @@ def main() -> None:
     from gcp_map_reduce_spark.operators.dedup import dedup_clusters
     from gcp_map_reduce_spark.operators.pipeline import curated_corpus
 
+    selected = set(args.queries) if args.queries is not None else None
     for name, fn in [
         ("dedup_clusters_minhash",
          lambda s, dd: dedup_clusters(s, dd, edge_source="minhash",
@@ -198,20 +218,28 @@ def main() -> None:
          lambda s, dd: curated_corpus(s, dd, near_dup_source="minhash",
                                       fast_hash=True)),
     ]:
+        if selected is not None and name not in selected:
+            continue
         fn(spark, args.dir).write.format("noop").mode("overwrite").save()
         run_timed(spark, name, fn, args.dir, args.runs, results)
 
     # skew head-to-head: identical output, different worst-task bound
+    ran_topk = []
     for name, fn in [("topk_naive_window", topk_naive),
                      ("topk_salted", topk_salted)]:
+        if selected is not None and name not in selected:
+            continue
         fn(spark, args.dir).write.format("noop").mode("overwrite").save()
         run_timed(spark, name, fn, args.dir, args.runs, results)
+        ran_topk.append(name)
 
     # correctness of the salted decomposition on the ACTUAL skewed data
-    a = topk_naive(spark, args.dir)
-    b = topk_salted(spark, args.dir)
-    mismatch = a.exceptAll(b).count() + b.exceptAll(a).count()
-    results["topk_salted_equals_naive"] = {"mismatch_rows": mismatch}
+    # (only meaningful on full runs / when both topk legs were timed)
+    if selected is None or len(ran_topk) == 2:
+        a = topk_naive(spark, args.dir)
+        b = topk_salted(spark, args.dir)
+        mismatch = a.exceptAll(b).count() + b.exceptAll(a).count()
+        results["topk_salted_equals_naive"] = {"mismatch_rows": mismatch}
 
     print(json.dumps({
         "metric": "stress_sf1_skew",
