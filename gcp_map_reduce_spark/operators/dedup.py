@@ -283,10 +283,12 @@ def dedup_ngram_jaccard(
     choice): at the 10x-dup-density stress set the full inverted-index
     self-join emits one row per SHARED GRAM per pair — 113M
     intersection rows — where the prefix plan emits 23.9M
-    candidate-gram rows (4.7x less exchange) and wins ~1.2-1.4x wall
-    (12.2 vs 14.2 s best-of on a contended box); at sf0.1's low dup
-    density the dedup+verify overhead exceeds the savings (2.3 vs
-    1.2 s).
+    candidate-gram rows, and with the r9 LENGTH filter (below) the
+    surviving pairs drop 22.46M -> 8.42M: prefix+length wins 8.8 vs
+    18.7 s quiet-box (2.1x); at sf0.1's low dup density the
+    dedup+verify overhead still exceeds the savings (2.40 vs 1.46 s
+    interleaved A/B, r9), so full stays the low-density choice and the
+    probe threshold is unchanged.
 
     ``prefix_filter="auto"`` decides by the SAME sampled density probe
     as ``choose_edge_source`` — candidate pairs per doc
@@ -381,6 +383,7 @@ def dedup_ngram_jaccard(
     plen = (sz - min_overlap + 1).cast("int")
     pref = arr.select(
         "doc_id",
+        sz.alias("sz"),
         F.explode(F.slice(F.array_sort("gh_arr"), 1, plen)).alias("gh"),
     )
     a = pref.alias("a")
@@ -390,7 +393,20 @@ def dedup_ngram_jaccard(
         .join(
             b,
             (F.col("a.gh") == F.col("b.gh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # AllPairs LENGTH filter (r9, measured): jac >= t forces
+            # isect <= min(|A|,|B|) and union >= max, so t*max <= min —
+            # exact integer arithmetic again (same t = 4/5 rational).
+            # Evaluated inside the merge join, it prunes size-mismatched
+            # pairs BEFORE the dedup shuffle and the array_intersect
+            # verify, which the stage profile showed is ~all the cost:
+            # 22.46M -> 8.42M candidate pairs and 14.8 -> 8.8 s at the
+            # stress set (verify cost is per-pair O(|A|+|B|), so the
+            # asymmetric pairs the filter kills are also the expensive
+            # ones). A repartition of the survivors was measured and
+            # rejected (+1.7 s — AQE's coalesce is already right here).
+            & (F.col("a.sz") * t_den >= F.col("b.sz") * t_num)
+            & (F.col("b.sz") * t_den >= F.col("a.sz") * t_num),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
