@@ -384,29 +384,49 @@ def dedup_ngram_jaccard(
     pref = arr.select(
         "doc_id",
         sz.alias("sz"),
-        F.explode(F.slice(F.array_sort("gh_arr"), 1, plen)).alias("gh"),
+        # pos is the gram's 0-based rank in the FULL sorted array (the
+        # prefix is its head) — the positional filter below needs it
+        F.posexplode(F.slice(F.array_sort("gh_arr"), 1, plen)).alias(
+            "pos", "gh"
+        ),
     )
     a = pref.alias("a")
     b = pref.alias("b")
+    # PPJoin pruning inside the merge join (r9, measured at stress;
+    # both bounds in exact integer arithmetic for t = 4/5):
+    # - LENGTH filter: jac >= t forces isect <= min(|A|,|B|) and
+    #   union >= max, so t*max <= min — kills size-mismatched pairs
+    #   (22.46M -> 8.42M candidates, 14.8 -> 8.8 s).
+    # - POSITIONAL filter: jac >= t also forces
+    #   isect >= alpha = ceil(t/(1+t) * (|A|+|B|)) = ceil(4(a+b)/9),
+    #   and for a shared gram at sorted ranks (pa, pb) with NO shared
+    #   gram before it, isect <= min(|A|-pa, |B|-pb). Filtering every
+    #   match row by its own bound is exact: a qualifying pair always
+    #   survives via its FIRST shared prefix gram's row (8.9 -> 4.6 s;
+    #   result rows bit-identical, 249,288 = 249,288 at stress).
+    # Both prune BEFORE the dedup shuffle and the per-pair O(|A|+|B|)
+    # array_intersect verify, which stage profiling showed is ~all the
+    # cost. A repartition of the survivors was measured and rejected
+    # (+1.7 s — AQE's coalesce is already right here).
+    # ceil(4(a+b)/9) via integer div — `div` keeps it exact at any size
+    alpha = F.expr(
+        f"(((a.sz + b.sz) * {t_num}) + {t_num + t_den - 1}) div {t_num + t_den}"
+    )
     cand = (
         a.hint("SHUFFLE_MERGE")
         .join(
             b,
             (F.col("a.gh") == F.col("b.gh"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # AllPairs LENGTH filter (r9, measured): jac >= t forces
-            # isect <= min(|A|,|B|) and union >= max, so t*max <= min —
-            # exact integer arithmetic again (same t = 4/5 rational).
-            # Evaluated inside the merge join, it prunes size-mismatched
-            # pairs BEFORE the dedup shuffle and the array_intersect
-            # verify, which the stage profile showed is ~all the cost:
-            # 22.46M -> 8.42M candidate pairs and 14.8 -> 8.8 s at the
-            # stress set (verify cost is per-pair O(|A|+|B|), so the
-            # asymmetric pairs the filter kills are also the expensive
-            # ones). A repartition of the survivors was measured and
-            # rejected (+1.7 s — AQE's coalesce is already right here).
             & (F.col("a.sz") * t_den >= F.col("b.sz") * t_num)
-            & (F.col("b.sz") * t_den >= F.col("a.sz") * t_num),
+            & (F.col("b.sz") * t_den >= F.col("a.sz") * t_num)
+            & (
+                F.least(
+                    F.col("a.sz") - F.col("a.pos"),
+                    F.col("b.sz") - F.col("b.pos"),
+                )
+                >= alpha
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
