@@ -283,12 +283,13 @@ def dedup_ngram_jaccard(
     choice): at the 10x-dup-density stress set the full inverted-index
     self-join emits one row per SHARED GRAM per pair — 113M
     intersection rows — where the prefix plan emits 23.9M
-    candidate-gram rows, and with the r9 LENGTH filter (below) the
-    surviving pairs drop 22.46M -> 8.42M: prefix+length wins 8.8 vs
-    18.7 s quiet-box (2.1x); at sf0.1's low dup density the
-    dedup+verify overhead still exceeds the savings (2.40 vs 1.46 s
-    interleaved A/B, r9), so full stays the low-density choice and the
-    probe threshold is unchanged.
+    candidate-gram rows, and with the r9 LENGTH + POSITIONAL filters
+    (below) the surviving pairs drop 22.46M -> 8.42M -> fewer still:
+    prefix+filters win 4.6 vs 18.7 s quiet-box (4x); at sf0.1's low dup
+    density the dedup+verify overhead still exceeds the savings (1.76
+    vs 1.51 s interleaved A/B, r9 — the filters narrowed the gap from
+    0.94 to 0.25 s but didn't flip it), so full stays the low-density
+    choice and the probe threshold is unchanged.
 
     ``prefix_filter="auto"`` decides by the SAME sampled density probe
     as ``choose_edge_source`` — candidate pairs per doc
