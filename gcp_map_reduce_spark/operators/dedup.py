@@ -342,43 +342,52 @@ def dedup_ngram_jaccard(
             f"prefix_filter must be bool or 'auto', got {prefix_filter!r}"
         )
     t = JACCARD_THRESHOLD
+    # t as an exact rational: double 0.8 is slightly ABOVE 4/5, so every
+    # bound below uses integer arithmetic on (t_num, t_den) — float
+    # rounding would turn the filters into false negatives
+    t_num, t_den = 4, 5
+    assert t_num / t_den == t
     arr = materialize(doc_gram_hash_arrays(spark, sf_dir, n=3))
     if not prefix_filter:
-        sizes = arr.select("doc_id", F.size("gh_arr").alias("sz"))
-        sh = arr.select("doc_id", F.explode("gh_arr").alias("gh"))
+        # carry |A| on the exploded rows (+4 bytes/row): the AllPairs
+        # LENGTH bound (jac >= 4/5 forces 4*max <= 5*min, exact integer
+        # arithmetic) prunes size-mismatched pairs' shared-gram rows
+        # INSIDE the join, before the pair groupBy — and F.first(sz)
+        # inside that groupBy replaces the two post-agg size joins the
+        # previous plan paid. Exact (r9 pytest: 256 == 256 pairs at
+        # sf0.1) and ~10% faster at sf0.1 (1.39 vs 1.54 s best-of-3).
+        sh = arr.select(
+            "doc_id", F.size("gh_arr").alias("sz"), F.explode("gh_arr").alias("gh")
+        )
         a = sh.alias("a")
         b = sh.alias("b")
         inter = (
             a.join(
                 b,
                 (F.col("a.gh") == F.col("b.gh"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & (F.col("a.sz") * t_den >= F.col("b.sz") * t_num)
+                & (F.col("b.sz") * t_den >= F.col("a.sz") * t_num),
             )
             .groupBy(
                 F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
             )
-            .agg(F.count("*").alias("isect"))
+            .agg(
+                F.count("*").alias("isect"),
+                F.first(F.col("a.sz")).alias("sza"),
+                F.first(F.col("b.sz")).alias("szb"),
+            )
         )
-        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
         jac = F.col("isect").cast("double") / (
             F.col("sza") + F.col("szb") - F.col("isect")
         )
-        return (
-            inter.join(sa, "doc_a")
-            .join(sb, "doc_b")
-            .select("doc_a", "doc_b", "isect", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= t)
-        )
+        return inter.select(
+            "doc_a", "doc_b", "isect", jac.alias("jaccard")
+        ).filter(F.col("jaccard") >= t)
     # prefix length |A| - ceil(t|A|) + 1 (AllPairs): if the two docs
     # share NO gram among these heads, fewer than t|A| of A's grams can
-    # be shared at all, so Jaccard < t. ceil(t*|A|) is computed in EXACT
-    # integer arithmetic for t = 4/5 — double 0.8 is slightly ABOVE the
-    # rational, so float ceil over-rounds at multiples of 5 and would
-    # shorten the prefix into false negatives
-    t_num, t_den = 4, 5
-    assert t_num / t_den == t
+    # be shared at all, so Jaccard < t
     sz = F.size("gh_arr")
     min_overlap = F.floor((sz * t_num + (t_den - 1)) / t_den)
     plen = (sz - min_overlap + 1).cast("int")
