@@ -1178,9 +1178,13 @@ def near_dup_edges_minhash_verified(
 # pairs per document. Set from measurement (r8): cpd ~28 at sf0.01 and
 # ~267 at sf0.1 — densities where the exact shingle self-join is the
 # faster plan — vs ~2,743 at the 10x-dup-clique stress set, where the
-# exact join goes quadratic (19.6 s vs minhash 4.7 s, SCALING.md
-# crossover table). 1,000 sits at the geometric middle of the measured
-# gap; both real workloads clear it by >3x on their own side.
+# exact join goes quadratic in the clique size. The r9 length filter
+# narrowed the stress-side gap (exact pairs now ~7.3 s vs ~19 s before;
+# minhash-verified edges still win there, 5.2 s banked for the whole
+# clustering) without moving the crossover's sign at either measured
+# density, so the threshold stands. 1,000 sits at the geometric middle
+# of the measured gap; both real workloads clear it by >3x on their own
+# side.
 EDGE_SOURCE_CPD_THRESHOLD = 1000.0
 
 
