@@ -147,28 +147,13 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    from gcp_map_reduce_spark.session import get_spark
-    from bench import build_overrides
-    from gcp_map_reduce_spark.plans import registry
-
-    registry.load_catalog()
-    overrides = build_overrides()
-
-    def plan(name):
-        return overrides.get(name) or registry.QUERIES[name]
-
-    spark = get_spark(
-        app_name="stress_bench", extra_conf={"spark.ui.enabled": "true"}
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
     # The FULL bench.py headline set — every query the sf0.1 bench tracks
     # gets a stress row (wall sec + max single-task ms), so a skew/scale
     # regression can't hide in a query the gate doesn't time
     # (tests/test_sinks.py pins the superset relation). Stress-specific
     # extras: the salted-agg and PII paths whose stragglers only show at
     # this volume.
-    from bench import HEADLINE
+    from bench import HEADLINE, build_overrides
 
     # beyond the bench headline: the stragglers/quadratics the r8
     # non-headline audit surfaced (and fixed) — gated here so they can't
@@ -181,6 +166,7 @@ def main() -> None:
         "dedup_embedding_cosine",
         "corpus_sampling",
     ]
+    # validate the subset BEFORE paying JVM startup
     if args.queries is not None:
         wanted = set(args.queries)
         unknown = wanted - set(headline) - {
@@ -190,6 +176,20 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"unknown stress queries: {sorted(unknown)}")
         headline = [n for n in headline if n in wanted]
+
+    from gcp_map_reduce_spark.session import get_spark
+    from gcp_map_reduce_spark.plans import registry
+
+    registry.load_catalog()
+    overrides = build_overrides()
+
+    def plan(name):
+        return overrides.get(name) or registry.QUERIES[name]
+
+    spark = get_spark(
+        app_name="stress_bench", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
 
     results: dict[str, dict] = {}
     # warm-up: JVM + codegen at the target volume
