@@ -601,9 +601,23 @@ def _dedup_embedding_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         A = np.stack(a["e"].to_numpy())
         B = np.stack(b["e"].to_numpy())
-        acc = np.zeros((len(a), len(b)), dtype=np.float64)
-        for d in range(A.shape[1]):
-            acc += A[:, d][:, None] * B[:, d][None, :]
+        # d-sequential fold in ROW CHUNKS (r9, measured 2x): the naive
+        # full-tile loop streams the 1536x1536 accumulator + a same-size
+        # outer-product temp through memory once per dim; a 256-row
+        # chunk keeps both L2-resident across the d loop. Bit-identical
+        # by construction — each (i, j) element still accumulates
+        # A[i,d]*B[j,d] for d = 0..D-1 in the same order (asserted
+        # elementwise == in the r9 prototype); chunking only changes
+        # WHICH elements are computed when, never an element's fold.
+        acc = np.empty((len(a), len(b)), dtype=np.float64)
+        _CH = 256
+        for lo in range(0, len(a), _CH):
+            hi = min(lo + _CH, len(a))
+            Ach = A[lo:hi]
+            sub = np.zeros((hi - lo, len(b)), dtype=np.float64)
+            for d in range(A.shape[1]):
+                sub += Ach[:, d][:, None] * B[:, d][None, :]
+            acc[lo:hi] = sub
         an2 = a["n2"].to_numpy(dtype=np.float64)
         bn2 = b["n2"].to_numpy(dtype=np.float64)
         cos = acc / np.sqrt(an2[:, None] * bn2[None, :])
