@@ -339,8 +339,11 @@ def test_bucketed_merge_freezes_nondeterministic_updates(spark, tmp_path):
 
 
 def test_stress_gate_exemption_list_is_pinned():
-    """The max-task exemption exists ONLY for the two documented-quadratic
-    exact-edge paths; growing it requires a visible diff here."""
+    """Empty since r9: the old dedup_clusters/curated_corpus exemption
+    covered their exact-edge quadratic straggler, and edge_source="auto"
+    now picks minhash edges at the stress density (max tasks ~1-3 s, no
+    by-design straggler left). Growing the set requires a visible diff
+    here plus a rationale in stress_ci.py."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -349,7 +352,7 @@ def test_stress_gate_exemption_list_is_pinned():
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    assert mod._MAX_TASK_EXEMPT == {"dedup_clusters", "curated_corpus"}
+    assert mod._MAX_TASK_EXEMPT == set()
 
 
 def test_stress_bench_covers_full_headline_set():
