@@ -601,11 +601,16 @@ def _dedup_embedding_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         A = np.stack(a["e"].to_numpy())
         B = np.stack(b["e"].to_numpy())
-        # d-sequential fold in ROW CHUNKS (r9, measured 2x): the naive
-        # full-tile loop streams the 1536x1536 accumulator + a same-size
-        # outer-product temp through memory once per dim; a 256-row
-        # chunk keeps both L2-resident across the d loop. Bit-identical
-        # by construction — each (i, j) element still accumulates
+        # d-sequential fold in ROW CHUNKS (r9): the naive full-tile loop
+        # streams the 1536x1536 accumulator + a same-size outer-product
+        # temp through memory once per dim; a 256-row chunk keeps both
+        # L2-resident across the d loop. Measured 2x single-threaded;
+        # under local[32]'s 32 concurrent tile tasks the SOCKET
+        # bandwidth is the shared ceiling and the A/B is a wash (7.98
+        # vs 8.19 s floors, within noise) — kept because per-task cache
+        # locality is the right posture for real executors running 4-8
+        # tasks each, and it costs nothing here. Bit-identical by
+        # construction — each (i, j) element still accumulates
         # A[i,d]*B[j,d] for d = 0..D-1 in the same order (asserted
         # elementwise == in the r9 prototype); chunking only changes
         # WHICH elements are computed when, never an element's fold.
