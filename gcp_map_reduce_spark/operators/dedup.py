@@ -254,7 +254,10 @@ JACCARD_THRESHOLD = 0.8
 
 
 def dedup_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, prefix_filter: bool | str = False
+    spark: SparkSession,
+    sf_dir: str,
+    prefix_filter: bool | str = False,
+    arr: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs: 3-shingle Jaccard >= 0.8 over shingle FINGERPRINTS
     (Broder-style): each shingle is its rolling gram hash in the 2^31
@@ -347,7 +350,12 @@ def dedup_ngram_jaccard(
     # rounding would turn the filters into false negatives
     t_num, t_den = 4, 5
     assert t_num / t_den == t
-    arr = materialize(doc_gram_hash_arrays(spark, sf_dir, n=3))
+    # ``arr`` lets a caller supply an ALREADY-MATERIALIZED
+    # (doc_id, gh_arr) relation — dedup_pair_scores shares one fused
+    # minhash_features_arrow pass across its ngram and minhash legs
+    # instead of paying the corpus scan + per-token hash twice (r9)
+    if arr is None:
+        arr = materialize(doc_gram_hash_arrays(spark, sf_dir, n=3))
     if not prefix_filter:
         # carry |A| on the exploded rows (+4 bytes/row): the AllPairs
         # LENGTH bound (jac >= 4/5 forces 4*max <= 5*min, exact integer
@@ -858,7 +866,10 @@ def minhash_band_candidates(sig: DataFrame) -> DataFrame:
 
 
 def dedup_minhash(
-    spark: SparkSession, sf_dir: str, fast_hash: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    fast_hash: bool = False,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates, verified by signature similarity.
 
@@ -884,8 +895,11 @@ def dedup_minhash(
     over the two re-joined arrays.
     """
     # band sides + both signature re-joins read the signatures:
-    # materialize once or the whole pipeline runs four times
-    sig = materialize(minhash_signatures(spark, sf_dir, fast_hash=fast_hash))
+    # materialize once or the whole pipeline runs four times. ``sig``
+    # lets a caller supply an already-materialized (doc_id, sig)
+    # relation (dedup_pair_scores' shared fused-features pass, r9).
+    if sig is None:
+        sig = materialize(minhash_signatures(spark, sf_dir, fast_hash=fast_hash))
     # repartition the candidate set before the signature re-joins (same
     # shape as near_dup_edges_minhash_verified): AQE coalesces the
     # ~10 MB candidate shuffle to 2 partitions by BYTES, but the
@@ -1475,17 +1489,35 @@ def dedup_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             score.cast("double").alias("score"),
         )
 
+    # one fused corpus pass (scan + per-token md5 + gram/signature
+    # kernel) feeds BOTH the ngram and the minhash legs — separate
+    # doc_gram_hash_arrays / minhash_signatures materializes paid the
+    # scan and the JVM per-token hash twice (r9; the multi-consumer-
+    # recompute class from the r8 audit, one level up). SimHash keeps
+    # its own scan: its kernel hashes distinct WORDS, not gram arrays.
+    feats = materialize(doc_minhash_features(spark, sf_dir))
     return (
         # "auto": this leg must run at EVERY density (tagged branch), so
         # the sampled probe picks full vs prefix-filtered per corpus —
         # both bit-identical (see dedup_ngram_jaccard's crossover notes)
         norm(
-            dedup_ngram_jaccard(spark, sf_dir, prefix_filter="auto"),
+            dedup_ngram_jaccard(
+                spark,
+                sf_dir,
+                prefix_filter="auto",
+                arr=feats.select("doc_id", "gh_arr"),
+            ),
             "ngram_jaccard",
             F.col("jaccard"),
         )
         .unionByName(
-            norm(dedup_minhash(spark, sf_dir), "minhash", F.col("est_jaccard"))
+            norm(
+                dedup_minhash(
+                    spark, sf_dir, sig=feats.select("doc_id", "sig")
+                ),
+                "minhash",
+                F.col("est_jaccard"),
+            )
         )
         .unionByName(
             norm(dedup_simhash(spark, sf_dir), "simhash", F.col("hamming"))
