@@ -104,17 +104,23 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style: 3-way join + agg + top-k (tiebreak on l_orderkey).
 
-    The lineitem leg pins SHUFFLE_HASH (r9, measured): without it
-    Catalyst BROADCASTS the filtered lineitem FACT — the pruned scan's
-    size estimate (4/16 columns of the file bytes, ~29 MB at stress)
-    slips under the raised 64 MB broadcast threshold, and the shipdate
-    filter doesn't lower the estimate without stats. Broadcasting a
-    fact is wrong at every scale (at stress it serializes ~2M rows
-    through one build task + the driver: 3.99 -> 1.44 s best-of-3;
-    sf0.1 unchanged within spread). Measured-and-rejected alternative:
-    pre-aggregating lineitem revenue by l_orderkey BEFORE the join
-    (1.74 s — it pays the agg shuffle for the ~4/5 of orders the
-    customer-segment filter later drops). Same trap class as
+    The fact join pins SHUFFLE_HASH on the CUST-ORDERS side (r9 found
+    the trap, r10 picked the build side): without a hint Catalyst
+    BROADCASTS the filtered lineitem FACT — the pruned scan's size
+    estimate (4/16 columns of the file bytes, ~29 MB at stress) slips
+    under the raised 64 MB broadcast threshold, and the shipdate filter
+    doesn't lower the estimate without stats (3.99 -> 1.44 s best-of-3
+    at stress with the hint). The hint sits on cust-orders, NOT
+    lineitem, so the segment-filtered smaller relation becomes the
+    in-memory hash BUILD side and lineitem streams — ShuffledHashJoin's
+    per-partition build map cannot spill, so building on the largest
+    relation is an OOM trap at 100 TB (r9 advice; also measured faster
+    at sf0.1: 0.44 vs 0.51 s min-of-4, values identical).
+    Measured-and-rejected alternatives: SHUFFLE_MERGE on lineitem
+    (same 0.44 s, pays a sort — kept in reserve if the build side ever
+    outgrows memory); pre-aggregating lineitem revenue by l_orderkey
+    BEFORE the join (1.74 s — it pays the agg shuffle for the ~4/5 of
+    orders the customer-segment filter later drops). Same trap class as
     join_outer_broadcast's r8 fix; both are pinned by
     tests/test_plans.py's no-fact-broadcast gate."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -128,7 +134,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = dec("l_discount", 2, 4)
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+        .hint("shuffle_hash")
+        .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
         .select(

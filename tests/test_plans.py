@@ -121,10 +121,13 @@ def test_q3_never_broadcasts_the_lineitem_fact(spark):
     # so without the pinned SHUFFLE_HASH hint Catalyst broadcasts a
     # filtered FACT — ~2M rows serialized through one build task at
     # stress (3.99 -> 1.44 s with the hint, r9). The fact join must be
-    # a shuffled hash join with lineitem on the build/stream side, never
-    # a BroadcastExchange of the lineitem scan.
+    # a shuffled hash join, never a BroadcastExchange of the lineitem
+    # scan — AND the hash build side must be the smaller cust-orders
+    # relation (BuildLeft), not lineitem: SHJ's per-partition build map
+    # cannot spill, so building on the largest relation trades the
+    # broadcast trap for an OOM trap at scale (r9 advice, fixed r10).
     plan = _plan(spark, "q3_shipping_priority")
-    assert "ShuffledHashJoin" in plan, plan
+    assert "ShuffledHashJoin Inner BuildLeft" in plan, plan
     # no broadcast join on the orderkey (the fact join); the remaining
     # broadcast (customer into orders on custkey) is the intended one
     for block in plan.split("\n(")[1:]:
