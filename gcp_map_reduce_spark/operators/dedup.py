@@ -1222,14 +1222,15 @@ def estimate_candidate_pairs_per_doc(
     sum(df_s*(df_s-1)) / p^2 is unbiased for sum(df*(df-1)). One small
     job over ~sample_target docs — measured ~1.3 s against the 50k-doc
     stress corpus, vs the ~15 s the right plan choice saves there — and
-    cached per (sf_dir, sample_target, seed) for the session (r9): the
-    corpus under an sf_dir is immutable within a session, so every
-    caller after the first gets a dict lookup.
+    cached per (corpus fingerprint, sample_target, seed) for the session
+    (r9; r10 folded the documents.parquet mtime/size into the key so an
+    in-place regeneration re-probes instead of serving a stale density):
+    every caller after the first gets a dict lookup.
     """
-    from gcp_map_reduce_spark.plans.probes import cached_probe
+    from gcp_map_reduce_spark.plans.probes import cached_probe, corpus_key
 
     return cached_probe(
-        ("cpd", sf_dir, sample_target, seed),
+        ("cpd", corpus_key(sf_dir, "documents"), sample_target, seed),
         lambda: _estimate_candidate_pairs_per_doc(
             spark, sf_dir, sample_target, seed
         ),

@@ -406,14 +406,16 @@ def estimate_band_candidates_per_vec(
     ``sketches`` substitutes any (vec_id, sketch) relation (tests build
     adversarial ones); by default a ~``sample_target``-vector sample is
     sketched with the production kernel and the estimate is cached per
-    (sf_dir, sample_target, seed) for the session (r9) — a
-    caller-supplied relation has no stable cache key and bypasses it.
+    (corpus fingerprint, sample_target, seed) for the session (r9; r10
+    keyed on embeddings.parquet mtime/size so in-place regeneration
+    re-probes) — a caller-supplied relation has no stable cache key and
+    bypasses it.
     """
     if sketches is None:
-        from gcp_map_reduce_spark.plans.probes import cached_probe
+        from gcp_map_reduce_spark.plans.probes import cached_probe, corpus_key
 
         return cached_probe(
-            ("cpv", sf_dir, sample_target, seed),
+            ("cpv", corpus_key(sf_dir, "embeddings"), sample_target, seed),
             lambda: _estimate_band_candidates_per_vec(
                 spark, sf_dir, sample_target, seed
             ),

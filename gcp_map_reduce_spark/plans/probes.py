@@ -15,16 +15,45 @@ the number back for a dict lookup.
 
 Deliberately NOT an LRU with eviction: the value space is a handful of
 floats per corpus, and silent eviction would turn "probe fires once" —
-the property pytest pins — into a load-dependent maybe. ``clear()``
-exists for tests and for callers that mutate a corpus dir in place.
+the property pytest pins — into a load-dependent maybe. Keys embed a
+:func:`corpus_key` fingerprint (parquet mtime/size), so regenerating a
+corpus in place self-invalidates (r10); ``clear()`` remains for tests.
 """
 
 from __future__ import annotations
 
 import logging
+import os
 from typing import Callable
 
 log = logging.getLogger(__name__)
+
+
+def corpus_key(sf_dir: str, table: str) -> tuple:
+    """Cache-key component that changes when the table's bytes change.
+
+    The r9 cache keyed on the ``sf_dir`` PATH STRING only, so a corpus
+    regenerated in place within one session (``tools/gen_stress.py``
+    re-run, a test fixture rewrite) silently served the OLD density
+    estimate and could pick the wrong plan (r9 advice). Folding the
+    parquet file's (mtime_ns, size) into the key makes regeneration
+    self-invalidating — no ``clear()`` call to forget. Single-file and
+    directory-of-part-files layouts both work; a missing path hashes as
+    a constant (the probe itself will then fail loudly on read)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            parts = sorted(os.listdir(path))
+            sig = tuple(
+                (p, os.stat(os.path.join(path, p)).st_mtime_ns)
+                for p in parts
+                if not p.startswith((".", "_"))
+            )
+            return (sf_dir, table, hash(sig))
+        st = os.stat(path)
+        return (sf_dir, table, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (sf_dir, table, "missing")
 
 _CACHE: dict[tuple, float] = {}
 # monotone counters, exposed for the pytest gate ("the cached probe

@@ -76,6 +76,55 @@ def test_band_candidate_probe_fires_once_and_custom_relation_bypasses(spark):
     assert STATS["misses"] - m0 == 1 and STATS["hits"] - h0 == 1
 
 
+def test_corpus_regeneration_invalidates_probe_cache(spark, tmp_path):
+    """r10 (r9 advice): the cache key embeds the parquet file's
+    mtime/size, so regenerating a corpus IN PLACE under the same path
+    re-probes instead of silently serving the stale density estimate."""
+    import shutil
+    import os
+
+    from gcp_map_reduce_spark.operators.dedup import (
+        estimate_candidate_pairs_per_doc,
+    )
+    from gcp_map_reduce_spark.plans.probes import STATS, corpus_key
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    shutil.copy(
+        os.path.join(SF_ORACLE, "documents.parquet"),
+        os.path.join(corpus, "documents.parquet"),
+    )
+    m0 = STATS["misses"]
+    estimate_candidate_pairs_per_doc(spark, corpus)
+    estimate_candidate_pairs_per_doc(spark, corpus)
+    assert STATS["misses"] - m0 == 1
+    # "regenerate" the corpus in place: same path, new bytes
+    k_before = corpus_key(corpus, "documents")
+    os.utime(os.path.join(corpus, "documents.parquet"))
+    assert corpus_key(corpus, "documents") != k_before
+    estimate_candidate_pairs_per_doc(spark, corpus)
+    assert STATS["misses"] - m0 == 2
+
+
+def test_corpus_key_directory_layout(tmp_path):
+    """Directory-of-part-files parquet layouts fingerprint too (a
+    Spark-written dataset is a dir), and hidden/_SUCCESS entries don't
+    churn the key."""
+    import os
+
+    from gcp_map_reduce_spark.plans.probes import corpus_key
+
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    (d / "part-00000.parquet").write_bytes(b"x")
+    k1 = corpus_key(str(tmp_path), "documents")
+    (d / "_SUCCESS").write_bytes(b"")
+    assert corpus_key(str(tmp_path), "documents") == k1
+    os.utime(d / "part-00000.parquet")
+    assert corpus_key(str(tmp_path), "documents") != k1
+    assert corpus_key(str(tmp_path), "missing")[-1] == "missing"
+
+
 def test_auto_defaults_share_one_probe_job(spark):
     """dedup_clusters and curated_corpus both default to
     edge_source='auto' (r9); building BOTH plans must run the sampled
