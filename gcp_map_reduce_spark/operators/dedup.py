@@ -1345,6 +1345,16 @@ def dedup_clusters(
       ``tests/test_dedup.py`` asserts both sources produce IDENTICAL
       clusterings at oracle scale.
 
+    Recall caveat on the default (r9 advice): above the density
+    threshold ``"auto"`` trades EXACT recall for bounded shuffle — a
+    borderline pair (jaccard barely >= 0.8) can miss every minhash band
+    and drop its edge, so the default output is band-recall, not the
+    exact edge set, precisely when the corpus is dup-heavy. Equality of
+    the two sources is asserted at oracle scale only. Callers for whom
+    a missed borderline edge is a correctness bug (legal-hold dedup,
+    eval-set decontamination) should pass ``edge_source="exact"`` and
+    pay the quadratic worst case knowingly.
+
     Spark side is min-label propagation WITH pointer doubling: each round
     a node's label drops to the minimum of (its label, its neighbors'
     labels, its label's label). The label-chasing term halves chain depth

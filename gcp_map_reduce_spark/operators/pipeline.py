@@ -95,7 +95,11 @@ def curated_corpus(
     shingle self-join, "minhash" (the 100 TB plan, optionally with
     ``fast_hash``) drops docs via verified band-collision candidates —
     identical survivor sets at oracle scale (tests/test_dedup.py asserts
-    edge-set equality)."""
+    edge-set equality). Same recall caveat as ``dedup_clusters`` (r9
+    advice): above the density threshold the default's survivor set is
+    band-recall — a borderline >= 0.8-jaccard near-dup can slip through
+    if it misses every band; pass ``near_dup_source="exact"`` when
+    missing one is a correctness bug."""
     if near_dup_source == "auto":
         near_dup_source = choose_edge_source(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
