@@ -331,8 +331,26 @@ def migrate_snapshot_to_bucketed(
             # migration from the recovered monolithic snapshot
             os.rename(old, snapshot_dir)
         else:
-            # swap completed but the cleanup didn't: the live snapshot
-            # is the migrated copy; the leftover is safe to drop
+            # Swap completed but the cleanup didn't — PROBABLY. Verify
+            # before destroying the only pre-migration copy (r9 advice):
+            # the live dir must actually BE the completed bucketed copy
+            # (bucket partition dirs or the n_buckets marker). A
+            # manually restored or foreign snapshot_dir alongside a
+            # stale .premigration is an ambiguity only the operator can
+            # resolve; deleting .premigration then would lose the
+            # rollback data.
+            entries = os.listdir(snapshot_dir)
+            is_bucketed = os.path.isfile(
+                os.path.join(snapshot_dir, _N_BUCKETS_FILE)
+            ) or any(e.startswith(f"{BUCKET_COL}=") for e in entries)
+            if not is_bucketed:
+                raise RuntimeError(
+                    f"both {snapshot_dir} and {old} exist, but the live "
+                    "dir is not a bucketed layout — refusing to delete "
+                    "the pre-migration copy. Resolve by removing "
+                    "whichever dir is stale (keep the monolithic copy "
+                    "you trust), then rerun the migration."
+                )
             shutil.rmtree(old)
     df = spark.read.parquet(snapshot_dir)
     if BUCKET_COL in df.columns:

@@ -306,6 +306,30 @@ def test_migration_drops_stale_premigration_leftover(spark, tmp_path):
     assert not os.path.isdir(snap + ".premigration")
 
 
+def test_migration_refuses_to_drop_rollback_for_foreign_live_dir(spark, tmp_path):
+    """r10 (r9 advice): .premigration may be the ONLY pre-migration copy.
+    If the live snapshot_dir is NOT the completed bucketed layout (e.g.
+    an operator manually restored a monolithic copy, or a foreign dir
+    landed at the path), deleting .premigration would destroy the
+    rollback data — the sweep must refuse and raise instead."""
+    import pytest
+
+    from gcp_map_reduce_spark.sinks.writers import migrate_snapshot_to_bucketed
+
+    snap = str(tmp_path / "snap")
+    schema = "k bigint, v bigint, payload string"
+    base = spark.createDataFrame([(i, 1, f"p{i}") for i in range(10)], schema)
+    # the rollback copy holds the real data...
+    base.write.parquet(snap + ".premigration")
+    # ...and the live path holds a MONOLITHIC (non-bucketed) dir
+    base.limit(3).write.parquet(snap)
+    with pytest.raises(RuntimeError, match="not a bucketed layout"):
+        migrate_snapshot_to_bucketed(spark, snap, "k", n_buckets=4)
+    # the rollback copy survived the refusal
+    assert os.path.isdir(snap + ".premigration")
+    assert spark.read.parquet(snap + ".premigration").count() == 10
+
+
 def test_bucketed_merge_freezes_nondeterministic_updates(spark, tmp_path):
     """The affected-bucket probe and the merged rewrite must see the SAME
     update rows even when the source is non-deterministic — otherwise
