@@ -247,7 +247,19 @@ def compact_parquet(
     the Hadoop FileSystem API (works for any scheme Spark can read), then
     one round-robin repartition spreads rows evenly across the target
     file count.
+
+    Crash posture (r10 kill-audit): src is never touched; dest is
+    retry-self-healing via ``mode("overwrite")``. Compacting IN PLACE
+    (dest == src) is refused — a kill after the committer's delete
+    would lose the source; write to a sibling and swap (or wrap with
+    ``sinks.writers.publish_atomic``).
     """
+    if os.path.abspath(src_path) == os.path.abspath(dest_path):
+        raise ValueError(
+            "compact_parquet refuses dest_path == src_path: a crash "
+            "mid-write would destroy the only copy; compact to a "
+            "sibling dir (or use publish_atomic) and swap"
+        )
     import math
 
     jvm = spark._jvm

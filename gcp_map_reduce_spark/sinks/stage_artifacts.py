@@ -134,11 +134,24 @@ def _reducer_id(token_col, n_reducers: int):
 
 def _dump(df: DataFrame, dest_dir: str, name_pattern: str) -> None:
     """Stream (artifact_id, json) rows to ``dest_dir/name_pattern.format(id)``
-    — one artifact in driver memory at a time."""
+    — one artifact in driver memory at a time.
+
+    Kill-safe per file (r10 audit): each artifact is written to a
+    ``.tmp`` sibling and ``os.replace``d into place (atomic on POSIX),
+    so a killed run can never leave a TRUNCATED artifact that parses as
+    valid-but-wrong JSON downstream; at worst the file is absent or
+    fully old. Stale ``.tmp`` leftovers from a killed prior run are
+    swept on entry."""
     os.makedirs(dest_dir, exist_ok=True)
+    for stale in os.listdir(dest_dir):
+        if stale.endswith(".tmp"):
+            os.remove(os.path.join(dest_dir, stale))
     for row in df.toLocalIterator():
-        with open(os.path.join(dest_dir, name_pattern.format(row[0])), "w") as f:
+        final = os.path.join(dest_dir, name_pattern.format(row[0]))
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
             f.write(row[1])
+        os.replace(tmp, final)
 
 
 def write_stage_artifacts(

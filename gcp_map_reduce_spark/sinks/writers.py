@@ -30,6 +30,12 @@ def write_sorted_single_json(df: DataFrame, path: str, sort_col: str) -> None:
     ``coalesce(1)`` funnels through one task — acceptable ONLY because the
     merged final output is small by construction (post-aggregation); never
     use this shape for fact-table writes at scale.
+
+    Crash posture (r10 kill-audit): retry-self-healing — a killed run
+    leaves ``_temporary`` garbage that the retried ``overwrite`` deletes
+    wholesale (killed-run simulation in ``tests/test_sinks.py``); wrap
+    in :func:`publish_atomic` when live readers must never observe the
+    in-between state.
     """
     df.orderBy(sort_col).coalesce(1).write.mode("overwrite").json(path)
 
@@ -40,7 +46,11 @@ def write_partitioned(
     """Native analytics sink: parquet, optionally hive-partitioned so
     downstream filters on the partition columns prune at plan time (the
     scalable version of the reference's per-first-letter reducer files,
-    ``scripts/reducer.py:27-34``)."""
+    ``scripts/reducer.py:27-34``).
+
+    Crash posture (r10 kill-audit): retry-self-healing via
+    ``mode("overwrite")``; see :func:`publish_atomic` for the
+    reader-safe publish wrapper."""
     w = df.write.mode("overwrite")
     if partition_cols:
         w = w.partitionBy(*partition_cols)
@@ -406,6 +416,11 @@ def write_sorted_layout(
     single-task sort anywhere. Smaller ``row_group_bytes`` = finer
     pruning granularity at slightly more footer overhead.
 
+    Crash posture (r10 kill-audit): retry-self-healing via
+    ``mode("overwrite")`` (killed-run simulation in
+    ``tests/test_sinks.py``); wrap in :func:`publish_atomic` when the
+    layout is rebuilt under live readers.
+
     Timestamp trap, enforced loudly: with the session default
     ``spark.sql.parquet.outputTimestampType=INT96`` (legacy compat),
     parquet writes NO min/max statistics for timestamp columns — the
@@ -440,6 +455,61 @@ def write_sorted_layout(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def publish_atomic(path: str, write_fn) -> None:
+    """Write-then-swap publish for any Spark directory sink: run
+    ``write_fn(staging_path)`` (typically ``lambda p: df.write...
+    .parquet(p)``), then atomically replace ``path`` with the completed
+    staging dir via two renames.
+
+    Why (r10 kill-audit): every ``mode("overwrite")`` sink in this
+    module is RETRY-self-healing — the retried overwrite deletes the
+    destination, stray ``_temporary`` dirs included — but not
+    READER-safe: between the committer's delete and the job commit a
+    concurrent reader sees a missing or partially-committed dataset
+    (FileOutputCommitter v1 renames task files one by one at job
+    commit). Wrapping the write in ``publish_atomic`` closes that
+    window: readers see the complete old dataset until one ``rename``
+    flips in the complete new one.
+
+    Crash windows, swept on the NEXT call (the ``migrate_snapshot_to_
+    bucketed`` pattern):
+
+    - died during ``write_fn``: a stale ``.staging-publish`` dir — always
+      safe to drop (only this function writes there, only pre-swap);
+    - died between the two renames: live dir absent, ``.old-publish``
+      holds the data — rolled back;
+    - died before the final cleanup: both dirs present and the live one
+      carries Spark's ``_SUCCESS`` commit marker — the leftover is
+      dropped; a live dir WITHOUT the marker alongside ``.old-publish``
+      is foreign interference and raises rather than guessing (r9
+      advice on the migration sweep applies here identically).
+    """
+    staging = path + ".staging-publish"
+    old = path + ".old-publish"
+    shutil.rmtree(staging, ignore_errors=True)
+    if os.path.isdir(old):
+        if not os.path.isdir(path):
+            os.rename(old, path)
+        elif os.path.isfile(os.path.join(path, "_SUCCESS")):
+            shutil.rmtree(old)
+        else:
+            raise RuntimeError(
+                f"both {path} and {old} exist but the live dir has no "
+                "_SUCCESS commit marker — refusing to delete the "
+                "rollback copy. Keep whichever dir you trust, remove "
+                "the other, and rerun."
+            )
+    write_fn(staging)
+    if not os.path.isdir(staging):
+        raise RuntimeError(
+            f"write_fn completed but produced no directory at {staging}"
+        )
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def dataset_stats(spark: SparkSession, path: str) -> dict:

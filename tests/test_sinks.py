@@ -547,3 +547,107 @@ def test_suggest_n_buckets_bounds_rewrite_and_bucket_size():
 
     with pytest.raises(ValueError):
         suggest_n_buckets(0, 1)
+
+
+# -- r10 kill-audit: every disk-mutating helper either self-heals on --
+# -- retry or refuses the unsafe call (VERDICT r9 task #2) -----------
+
+
+def test_overwrite_sinks_self_heal_from_killed_run(spark, tmp_path):
+    """Plant the debris a killed Spark write leaves (a _temporary
+    staging dir + a stray committed part file) at each sink's
+    destination; the retried overwrite must delete it wholesale and
+    produce a correct, garbage-free dataset."""
+    import glob
+
+    from gcp_map_reduce_spark.sinks.writers import (
+        write_partitioned,
+        write_sorted_layout,
+        write_sorted_single_json,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"p{i}", i % 3) for i in range(50)], "k bigint, payload string, g int"
+    )
+
+    def plant_debris(dest):
+        os.makedirs(os.path.join(dest, "_temporary", "0"), exist_ok=True)
+        with open(os.path.join(dest, "part-00099-dead.parquet"), "wb") as fh:
+            fh.write(b"garbage from a killed task")
+
+    d1 = str(tmp_path / "json_sink")
+    plant_debris(d1)
+    write_sorted_single_json(df, d1, "k")
+    assert not os.path.isdir(os.path.join(d1, "_temporary"))
+    assert not glob.glob(os.path.join(d1, "*dead*"))
+    assert spark.read.json(d1).count() == 50
+
+    d2 = str(tmp_path / "parquet_sink")
+    plant_debris(d2)
+    write_partitioned(df, d2, ["g"])
+    assert not os.path.isdir(os.path.join(d2, "_temporary"))
+    assert not glob.glob(os.path.join(d2, "*dead*"))
+    assert spark.read.parquet(d2).count() == 50
+
+    d3 = str(tmp_path / "sorted_layout")
+    plant_debris(d3)
+    write_sorted_layout(df, d3, ["k"], n_files=2)
+    assert not os.path.isdir(os.path.join(d3, "_temporary"))
+    assert not glob.glob(os.path.join(d3, "*dead*"))
+    assert spark.read.parquet(d3).count() == 50
+
+
+def test_compact_parquet_refuses_in_place(spark, tmp_path):
+    import pytest
+
+    from gcp_map_reduce_spark.operators.scale import compact_parquet
+
+    src = str(tmp_path / "data")
+    spark.range(10).write.parquet(src)
+    with pytest.raises(ValueError, match="refuses dest_path == src_path"):
+        compact_parquet(spark, src, src)
+
+
+def test_publish_atomic_swaps_and_sweeps_every_crash_window(spark, tmp_path):
+    import pytest
+
+    from gcp_map_reduce_spark.sinks.writers import publish_atomic
+
+    live = str(tmp_path / "ds")
+    old, staging = live + ".old-publish", live + ".staging-publish"
+
+    def write_v(n):
+        return lambda p: spark.range(n).write.parquet(p)
+
+    # happy path: first publish, then replace under a "reader"
+    publish_atomic(live, write_v(10))
+    assert spark.read.parquet(live).count() == 10
+    publish_atomic(live, write_v(20))
+    assert spark.read.parquet(live).count() == 20
+    assert not os.path.isdir(old) and not os.path.isdir(staging)
+
+    # window 1: died during write_fn -> stale staging is swept
+    os.makedirs(os.path.join(staging, "_temporary"), exist_ok=True)
+    publish_atomic(live, write_v(30))
+    assert spark.read.parquet(live).count() == 30
+    assert not os.path.isdir(staging)
+
+    # window 2: died between the two renames -> rollback from .old
+    os.rename(live, old)
+    publish_atomic(live, write_v(40))
+    assert spark.read.parquet(live).count() == 40
+    assert not os.path.isdir(old)
+
+    # window 3: died before final cleanup (live has _SUCCESS) -> drop .old
+    spark.range(5).write.parquet(old)
+    publish_atomic(live, write_v(50))
+    assert spark.read.parquet(live).count() == 50
+    assert not os.path.isdir(old)
+
+    # foreign live dir without the commit marker + rollback present:
+    # refuse rather than guess which copy is the real one
+    spark.range(5).write.parquet(old)
+    os.remove(os.path.join(live, "_SUCCESS"))
+    with pytest.raises(RuntimeError, match="no _SUCCESS commit marker"):
+        publish_atomic(live, write_v(60))
+    assert os.path.isdir(old)  # rollback copy survived the refusal

@@ -103,3 +103,26 @@ def test_wordcount_final_output_matches_reference_exactly(spark, tmp_path):
             sums[k] = sums.get(k, 0) + len(ones)
     for k, v in theirs.items():
         assert sums[k] == v, k
+
+
+def test_dump_is_atomic_per_file_and_sweeps_stale_tmp(spark, tmp_path):
+    """r10 kill-audit: a killed run must never leave a TRUNCATED
+    artifact in place of a complete one, and stale .tmp litter from the
+    kill is swept on the retry."""
+    import os
+
+    from gcp_map_reduce_spark.sinks.stage_artifacts import _dump
+
+    dest = str(tmp_path / "arts")
+    os.makedirs(dest)
+    # debris from a killed prior run: a half-written tmp
+    with open(os.path.join(dest, "out-1.json.tmp"), "w") as fh:
+        fh.write('{"trunc')
+    df = spark.createDataFrame(
+        [(1, '{"a": 1}'), (2, '{"b": 2}')], "id int, js string"
+    )
+    _dump(df, dest, "out-{}.json")
+    assert sorted(os.listdir(dest)) == ["out-1.json", "out-2.json"]
+    import json
+
+    assert json.load(open(os.path.join(dest, "out-1.json"))) == {"a": 1}
