@@ -126,32 +126,53 @@ def build_overrides() -> dict:
     }
 
 
-def merge_best(full: dict, bank_path: str = BANK_PATH) -> float | None:
+def merge_best(
+    full: dict, bank_path: str = BANK_PATH, universe: list[str] | None = None
+) -> float | None:
     """Merge one session artifact into the bank; return the banked total.
 
     Per query: bank the session's (min sec, detail) as a unit iff the
-    query ran error-free AND beats the banked sec (or is new). Entries
-    for queries outside this session are preserved. Only same-sf
-    artifacts merge (the bank is an sf0.1 series); a different-sf run
-    returns None untouched. Returns the banked headline total = sum of
-    banked secs over the session's query set (None if any is unbanked,
-    so partial banks can't masquerade as a comparable total)."""
+    query ran error-free AND beats the banked sec (or is new); each
+    newly banked row is stamped ``banked_at`` so staleness is visible
+    (r9 verdict: the bank is a sum of per-query minima across sessions —
+    an idealized floor no single run achieves — and needs its provenance
+    on record). Entries for queries outside this session are preserved.
+    Only same-sf artifacts merge (the bank is an sf0.1 series); a
+    different-sf run returns None untouched; a metric-name mismatch
+    between artifact and bank RAISES (r9 advice — merging apples into an
+    orange bank silently corrupted nothing yet, but nothing checked).
+
+    Returns the banked total summed over ``universe`` — the FULL
+    ``HEADLINE`` list by default, regardless of which subset this
+    artifact carried, so a partial/subset merge can never report a
+    smaller "total" under the same metric name (r9 advice). None while
+    any universe query is unbanked."""
     sf = full.get("sf")
     bank = {"metric": full["metric"], "unit": "sec", "sf": sf, "queries": {}}
     if os.path.isfile(bank_path):
         with open(bank_path) as fh:
             bank = json.load(fh)
+        if bank.get("metric") != full.get("metric"):
+            raise ValueError(
+                f"refusing to merge: artifact metric {full.get('metric')!r}"
+                f" != bank metric {bank.get('metric')!r} ({bank_path})"
+            )
         if bank.get("sf") != sf:
             return None
     errors = full.get("errors") or {}
     detail = full.get("queries_detail") or {}
+    stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     for name, sec in (full.get("queries") or {}).items():
         if name in errors:
             continue
         cur = bank["queries"].get(name)
         if cur is None or sec < cur["sec"]:
-            bank["queries"][name] = {"sec": sec, "detail": detail.get(name)}
-    names = list((full.get("queries") or {}).keys()) or HEADLINE
+            bank["queries"][name] = {
+                "sec": sec,
+                "detail": detail.get(name),
+                "banked_at": stamp,
+            }
+    names = universe if universe is not None else HEADLINE
     if not all(n in bank["queries"] for n in names):
         banked_total = None
     else:
@@ -160,6 +181,48 @@ def merge_best(full: dict, bank_path: str = BANK_PATH) -> float | None:
     with open(bank_path, "w") as fh:
         fh.write(json.dumps(bank) + "\n")
     return banked_total
+
+
+# Session-vs-bank regression gate (r9 verdict: merge-only banking can
+# never SURFACE a bench-scale regression — a genuine slide only shows as
+# a silently widening session-vs-banked gap). Mirrors stress_ci's 1.5x
+# rule; 3+ offenders distinguishes a real plan regression from the
+# documented shared-box noise (single queries swing 2-4x under load, but
+# contention inflates the whole suite roughly uniformly — see
+# perf-history: a post-pytest contended run read +10-15% across the
+# board, which 3 queries at +50% is not).
+REGRESSION_FACTOR = 1.5
+REGRESSION_MIN_QUERIES = 3
+
+
+def bank_regressions(full: dict, bank_path: str = BANK_PATH) -> list[dict]:
+    """Per-query rows where this session exceeds the banked sec by more
+    than ``REGRESSION_FACTOR``. The caller decides whether enough of
+    them constitute a gate failure (``REGRESSION_MIN_QUERIES``)."""
+    if not os.path.isfile(bank_path):
+        return []
+    with open(bank_path) as fh:
+        bank = json.load(fh)
+    if bank.get("sf") != full.get("sf") or bank.get("metric") != full.get(
+        "metric"
+    ):
+        return []
+    errors = full.get("errors") or {}
+    out = []
+    for name, sec in (full.get("queries") or {}).items():
+        cur = bank.get("queries", {}).get(name)
+        if name in errors or not cur:
+            continue
+        if sec > REGRESSION_FACTOR * cur["sec"]:
+            out.append(
+                {
+                    "query": name,
+                    "sec": sec,
+                    "banked": cur["sec"],
+                    "banked_at": cur.get("banked_at"),
+                }
+            )
+    return out
 
 
 def main() -> None:
@@ -265,6 +328,23 @@ def main() -> None:
     full["banked_value"] = merge_best(full)
     compact = dict(full)
     del compact["queries_detail"]
+    # regression gate (r10): merge-only banking can't surface a slide,
+    # so compare session-vs-bank here. Only the tripped gate changes the
+    # compact line (it must stay under the driver's 2,000-char tail).
+    regs = bank_regressions(full)
+    if len(regs) >= REGRESSION_MIN_QUERIES:
+        compact["bank_regression_gate"] = sorted(r["query"] for r in regs)
+        print(
+            f"BANK REGRESSION GATE: {len(regs)} queries exceed banked sec "
+            f"by >{REGRESSION_FACTOR}x: "
+            + ", ".join(
+                f"{r['query']} {r['sec']}s vs {r['banked']}s" for r in regs
+            )
+            + " — adjudicate (quiet-box re-run) before trusting this "
+            "session's totals; prune BENCH_BEST.json rows only for "
+            "intentional plan trades",
+            file=sys.stderr,
+        )
     print(json.dumps(compact))
     spark.stop()
 

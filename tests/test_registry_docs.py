@@ -144,21 +144,105 @@ def test_bench_merge_best_is_merge_only(tmp_path):
         "sf": sf,
     }
 
+    uni = ["a", "b"]
     # quiet run banks everything
-    assert merge_best(mk({"a": 1.0, "b": 2.0}), bank) == 3.0
+    assert merge_best(mk({"a": 1.0, "b": 2.0}), bank, universe=uni) == 3.0
     # contended run (worse everywhere) leaves the bank untouched
-    assert merge_best(mk({"a": 1.5, "b": 2.5}), bank) == 3.0
+    assert merge_best(mk({"a": 1.5, "b": 2.5}), bank, universe=uni) == 3.0
     # a one-query improvement banks just that query, detail follows
-    assert merge_best(mk({"a": 0.8, "b": 9.0}), bank) == 2.8
+    assert merge_best(mk({"a": 0.8, "b": 9.0}), bank, universe=uni) == 2.8
     with open(bank) as fh:
         b = json.load(fh)
-    assert b["queries"]["a"] == {"sec": 0.8, "detail": {"runs": [0.8], "min": 0.8}}
+    assert b["queries"]["a"]["sec"] == 0.8
+    assert b["queries"]["a"]["detail"] == {"runs": [0.8], "min": 0.8}
+    assert b["queries"]["a"]["banked_at"]  # staleness stamp (r10)
     assert b["queries"]["b"]["sec"] == 2.0
     # errored queries never bank (even with a fast bogus timing)
-    assert merge_best(mk({"a": 0.1, "b": 1.9}, errors={"a": "boom"}), bank) == 2.7
+    assert (
+        merge_best(mk({"a": 0.1, "b": 1.9}, errors={"a": "boom"}), bank, universe=uni)
+        == 2.7
+    )
     assert json.load(open(bank))["queries"]["a"]["sec"] == 0.8
-    # a session with an unbanked query name -> None, not a partial sum
-    assert merge_best(mk({"a": 0.8, "b": 2.0, "c": 5.0}, errors={"c": "x"}), bank) is None
+    # an unbanked universe query -> None, not a partial sum
+    assert (
+        merge_best(mk({"a": 0.8, "b": 2.0}), bank, universe=["a", "b", "zz"])
+        is None
+    )
     # different sf refuses to merge
-    assert merge_best(mk({"a": 0.01, "b": 0.01}, sf=0.01), bank) is None
+    assert merge_best(mk({"a": 0.01, "b": 0.01}, sf=0.01), bank, universe=uni) is None
     assert json.load(open(bank))["queries"]["a"]["sec"] == 0.8
+
+
+def test_bench_merge_best_totals_over_full_headline_and_checks_metric(tmp_path):
+    """r9 advice: a subset artifact whose queries are all banked must NOT
+    report a banked_value smaller than the full headline total under the
+    same metric name — the default universe is the FULL HEADLINE list;
+    and a metric-name mismatch refuses to merge."""
+    import json
+
+    import pytest
+
+    from bench import HEADLINE, merge_best
+
+    bank = str(tmp_path / "BENCH_BEST.json")
+    full = {
+        "metric": "headline_queries_total_wall_sec",
+        "unit": "sec",
+        "queries": {n: 1.0 for n in HEADLINE},
+        "errors": {},
+        "sf": 0.1,
+    }
+    assert merge_best(full, bank) == float(len(HEADLINE))
+    # subset merge: banked_value stays the FULL headline total
+    subset = dict(full, queries={HEADLINE[0]: 0.5})
+    assert merge_best(subset, bank) == float(len(HEADLINE)) - 0.5
+    # a partial bank (headline query missing) -> None even though the
+    # subset artifact's own queries are all banked
+    with open(bank) as fh:
+        b = json.load(fh)
+    del b["queries"][HEADLINE[-1]]
+    with open(bank, "w") as fh:
+        json.dump(b, fh)
+    assert merge_best(subset, bank) is None
+    # metric mismatch raises instead of silently merging
+    with pytest.raises(ValueError, match="refusing to merge"):
+        merge_best(dict(full, metric="other_metric"), bank)
+
+
+def test_bench_bank_regression_gate_trips_on_synthetic_slowdown(tmp_path):
+    """r9 verdict task #3: merge-only banking can never surface a bench
+    regression — the gate must flag a session that exceeds banked
+    per-query sec by >1.5x on 3+ queries, and stay silent otherwise."""
+    from bench import (
+        REGRESSION_MIN_QUERIES,
+        bank_regressions,
+        merge_best,
+    )
+
+    bank = str(tmp_path / "BENCH_BEST.json")
+    names = ["q1", "q2", "q3", "q4"]
+    mk = lambda secs: {  # noqa: E731
+        "metric": "headline_queries_total_wall_sec",
+        "unit": "sec",
+        "queries": secs,
+        "errors": {},
+        "sf": 0.1,
+    }
+    merge_best(mk({n: 1.0 for n in names}), bank, universe=names)
+    # uniform shared-box contention (+20%): no rows flagged
+    assert bank_regressions(mk({n: 1.2 for n in names}), bank) == []
+    # synthetic regression: three queries at 2x banked
+    slow = mk({"q1": 2.0, "q2": 2.0, "q3": 2.0, "q4": 1.1})
+    regs = bank_regressions(slow, bank)
+    assert sorted(r["query"] for r in regs) == ["q1", "q2", "q3"]
+    assert len(regs) >= REGRESSION_MIN_QUERIES
+    for r in regs:
+        assert r["banked"] == 1.0 and r["banked_at"]
+    # errored queries don't count as regressions (they're already loud)
+    slow["errors"] = {"q1": "boom"}
+    assert sorted(r["query"] for r in bank_regressions(slow, bank)) == [
+        "q2",
+        "q3",
+    ]
+    # sf mismatch: silent (the bank is an sf0.1 series)
+    assert bank_regressions(dict(slow, sf=0.01), bank) == []
