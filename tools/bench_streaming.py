@@ -25,7 +25,7 @@ posture for the 100 TB stream: state is one fixed-size tuple per ACTIVE
 user (reported as peak_state_rows), not O(events), and event-time
 timeouts bound its lifetime.
 
-Usage: python tools/bench_streaming.py [--mode cdc|sessionize]
+Usage: python tools/bench_streaming.py [--mode cdc|sessionize|neardup]
        [--dir /root/repo/stress/sf1] [--batches N]
        [--keys-per-batch 50] [--n-buckets 256]
 """
@@ -175,9 +175,121 @@ def bench_sessionize(spark, args) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_neardup(spark, args) -> None:
+    """Streaming near-dup dedup throughput (r9 verdict #5: the last
+    streaming leg without a measured number) + exact in-run parity.
+
+    Throughput: the stress documents corpus sliced into ``--batches``
+    doc_id-range files, drained one file per trigger through
+    ``run_streaming_near_dup_dedup``; reports docs/s end-to-end.
+
+    State growth: the signature store holds one k=32-long row per
+    ACCEPTED doc — bounded by distinct content, not stream length —
+    reported as rows + on-disk bytes.
+
+    Parity (off the clock): the streaming acceptance policy is
+    deterministic given the batch slicing — a doc is suppressed iff it
+    band-collides at est_jaccard >= 0.7 with an earlier-batch ACCEPTED
+    doc or a lower-id doc in its own batch. Replaying exactly that
+    policy over the BATCH ``dedup_minhash`` pair graph (same hash
+    family, identical signatures) must reproduce the streaming accepted
+    set EXACTLY; any drift means the stream's store join or replay
+    guard diverged from the batch operator. Asserted, not reported."""
+    import pandas as pd
+
+    from gcp_map_reduce_spark.operators.dedup import dedup_minhash
+    from gcp_map_reduce_spark.sources.tables import load_table
+    from gcp_map_reduce_spark.streaming.near_dup import (
+        run_streaming_near_dup_dedup,
+    )
+
+    docs = load_table(spark, args.dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    work = tempfile.mkdtemp(prefix="stream_nd_")
+    try:
+        src = os.path.join(work, "docs")
+        os.makedirs(src)
+        pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+        batch_of = {}
+        per = (len(pdf) + args.batches - 1) // args.batches
+        for b in range(args.batches):
+            sl = pdf.iloc[b * per : (b + 1) * per]
+            if sl.empty:
+                continue
+            sl.to_parquet(os.path.join(src, f"f{b:03d}.parquet"), index=False)
+            for did in sl["doc_id"]:
+                batch_of[int(did)] = b
+
+        t0 = time.perf_counter()
+        q = run_streaming_near_dup_dedup(
+            spark,
+            src,
+            os.path.join(work, "ckpt"),
+            os.path.join(work, "store"),
+            os.path.join(work, "out"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(3600)
+        sec = round(time.perf_counter() - t0, 2)
+
+        accepted = {
+            int(r["doc_id"])
+            for r in spark.read.parquet(os.path.join(work, "out", "*")).collect()
+        }
+        store_path = os.path.join(work, "store")
+        store_rows = spark.read.parquet(os.path.join(store_path, "*")).count()
+        store_mb = round(dir_bytes(store_path) / 2**20, 1)
+
+        # ---- in-run parity vs the batch minhash pair graph ----------
+        pairs = (
+            dedup_minhash(spark, args.dir, fast_hash=True)
+            .select("doc_a", "doc_b")
+            .collect()
+        )
+        nbr: dict[int, set] = {}
+        for r in pairs:
+            a, b = int(r["doc_a"]), int(r["doc_b"])
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+        sim_accepted: set = set()
+        for b in range(args.batches):
+            ids = sorted(d for d, bb in batch_of.items() if bb == b)
+            in_batch = set(ids)
+            for d in ids:
+                hits = nbr.get(d, set())
+                if any(h in sim_accepted and batch_of[h] < b for h in hits):
+                    continue  # near-dup of an earlier ACCEPTED doc
+                if any(h in in_batch and h < d for h in hits):
+                    continue  # lower-id near-dup inside the same batch
+                sim_accepted.add(d)
+        assert accepted == sim_accepted, (
+            f"stream/batch divergence: stream-only="
+            f"{sorted(accepted - sim_accepted)[:5]} batch-only="
+            f"{sorted(sim_accepted - accepted)[:5]}"
+        )
+
+        print(json.dumps({
+            "metric": "streaming_near_dup_dedup",
+            "dir": args.dir,
+            "docs": n_docs,
+            "batches": args.batches,
+            "sec": sec,
+            "docs_per_sec": round(n_docs / sec),
+            "accepted": len(accepted),
+            "suppressed": n_docs - len(accepted),
+            "store_rows": store_rows,
+            "store_mb": store_mb,
+            "batch_parity": "asserted-exact",
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["cdc", "sessionize"], default="cdc")
+    ap.add_argument(
+        "--mode", choices=["cdc", "sessionize", "neardup"], default="cdc"
+    )
     ap.add_argument("--dir", default="/root/repo/stress/sf1")
     ap.add_argument("--batches", type=int, default=None)
     ap.add_argument("--keys-per-batch", type=int, default=50)
@@ -196,6 +308,9 @@ def main() -> None:
 
     if args.mode == "sessionize":
         bench_sessionize(spark, args)
+        return
+    if args.mode == "neardup":
+        bench_neardup(spark, args)
         return
 
     ev = load_table(spark, args.dir, "events").withColumn(
