@@ -72,7 +72,10 @@ def main() -> None:
     def plan(name):
         return overrides.get(name) or registry.QUERIES[name]
 
-    spark = get_spark(app_name="scale_exponents")
+    # UI on: run_timed pulls max-task stats from the UI REST API
+    spark = get_spark(
+        app_name="scale_exponents", extra_conf={"spark.ui.enabled": "true"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     out: dict[str, dict] = {}
