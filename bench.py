@@ -186,19 +186,26 @@ def merge_best(
 # Session-vs-bank regression gate (r9 verdict: merge-only banking can
 # never SURFACE a bench-scale regression — a genuine slide only shows as
 # a silently widening session-vs-banked gap). Mirrors stress_ci's 1.5x
-# rule; 3+ offenders distinguishes a real plan regression from the
-# documented shared-box noise (single queries swing 2-4x under load, but
-# contention inflates the whole suite roughly uniformly — see
-# perf-history: a post-pytest contended run read +10-15% across the
-# board, which 3 queries at +50% is not).
+# rule, with one twist the first live firing taught (r10): the bank is a
+# per-query MINIMUM over all quiet sessions — an idealized floor no
+# single run achieves — so raw session/banked ratios run 1.3-1.7x on any
+# loaded box and a raw threshold cries wolf on ordinary contention
+# (observed: 9 untouched queries "regressed" together on a load-5 box).
+# Contention inflates the whole suite roughly uniformly, so each ratio
+# is normalized by the SESSION MEDIAN ratio first: a uniform slowdown
+# cancels out, and what flags is a query that slid RELATIVE to its
+# peers — the plan-regression signature. (A global slide — a bad session
+# config — still shows as value >> banked_value on the compact line; the
+# gate targets per-query plan changes.) 3+ offenders for the gate field.
 REGRESSION_FACTOR = 1.5
 REGRESSION_MIN_QUERIES = 3
 
 
 def bank_regressions(full: dict, bank_path: str = BANK_PATH) -> list[dict]:
-    """Per-query rows where this session exceeds the banked sec by more
-    than ``REGRESSION_FACTOR``. The caller decides whether enough of
-    them constitute a gate failure (``REGRESSION_MIN_QUERIES``)."""
+    """Per-query rows whose session/banked ratio exceeds
+    ``REGRESSION_FACTOR`` x the session's median ratio. The caller
+    decides whether enough of them constitute a gate failure
+    (``REGRESSION_MIN_QUERIES``)."""
     if not os.path.isfile(bank_path):
         return []
     with open(bank_path) as fh:
@@ -208,17 +215,29 @@ def bank_regressions(full: dict, bank_path: str = BANK_PATH) -> list[dict]:
     ):
         return []
     errors = full.get("errors") or {}
-    out = []
+    ratios = {}
     for name, sec in (full.get("queries") or {}).items():
         cur = bank.get("queries", {}).get(name)
-        if name in errors or not cur:
+        if name in errors or not cur or cur["sec"] <= 0:
             continue
-        if sec > REGRESSION_FACTOR * cur["sec"]:
+        ratios[name] = (sec, cur, sec / cur["sec"])
+    if not ratios:
+        return []
+    srt = sorted(r for _, _, r in ratios.values())
+    median = srt[len(srt) // 2]
+    # the bank floor is never beaten mid-session, so median >= 1 in
+    # practice; clamp anyway so a half-banked file can't shrink the bar
+    bar = REGRESSION_FACTOR * max(1.0, median)
+    out = []
+    for name, (sec, cur, ratio) in ratios.items():
+        if ratio > bar:
             out.append(
                 {
                     "query": name,
                     "sec": sec,
                     "banked": cur["sec"],
+                    "ratio": round(ratio, 2),
+                    "session_median_ratio": round(median, 2),
                     "banked_at": cur.get("banked_at"),
                 }
             )

@@ -220,7 +220,6 @@ def test_bench_bank_regression_gate_trips_on_synthetic_slowdown(tmp_path):
     )
 
     bank = str(tmp_path / "BENCH_BEST.json")
-    names = ["q1", "q2", "q3", "q4"]
     mk = lambda secs: {  # noqa: E731
         "metric": "headline_queries_total_wall_sec",
         "unit": "sec",
@@ -228,16 +227,31 @@ def test_bench_bank_regression_gate_trips_on_synthetic_slowdown(tmp_path):
         "errors": {},
         "sf": 0.1,
     }
+    names = ["q1", "q2", "q3", "q4", "q5", "q6", "q7"]
     merge_best(mk({n: 1.0 for n in names}), bank, universe=names)
-    # uniform shared-box contention (+20%): no rows flagged
-    assert bank_regressions(mk({n: 1.2 for n in names}), bank) == []
-    # synthetic regression: three queries at 2x banked
-    slow = mk({"q1": 2.0, "q2": 2.0, "q3": 2.0, "q4": 1.1})
+    # uniform shared-box contention — even a heavy +70% across the board
+    # (the bank is an idealized per-query floor, so loaded sessions run
+    # 1.3-1.7x it routinely; r10's first live firing) — flags NOTHING:
+    # ratios are normalized by the session median
+    assert bank_regressions(mk({n: 1.7 for n in names}), bank) == []
+    # real plan regression: three queries at 2x while peers sit at ~1x
+    slow = mk(
+        {"q1": 2.0, "q2": 2.0, "q3": 2.0, "q4": 1.1, "q5": 1.0, "q6": 1.0, "q7": 1.0}
+    )
     regs = bank_regressions(slow, bank)
     assert sorted(r["query"] for r in regs) == ["q1", "q2", "q3"]
     assert len(regs) >= REGRESSION_MIN_QUERIES
     for r in regs:
-        assert r["banked"] == 1.0 and r["banked_at"]
+        assert r["banked"] == 1.0 and r["banked_at"] and r["ratio"] == 2.0
+    # the same 3 regressions UNDER contention still flag: a uniform 1.4x
+    # on top of everything shifts the median too, so the relative
+    # outliers survive normalization
+    contended = mk({n: round(s * 1.4, 3) for n, s in slow["queries"].items()})
+    assert sorted(r["query"] for r in bank_regressions(contended, bank)) == [
+        "q1",
+        "q2",
+        "q3",
+    ]
     # errored queries don't count as regressions (they're already loud)
     slow["errors"] = {"q1": "boom"}
     assert sorted(r["query"] for r in bank_regressions(slow, bank)) == [
