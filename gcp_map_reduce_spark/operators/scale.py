@@ -191,8 +191,14 @@ def _sweep_stale_table_location(spark: SparkSession, table: str) -> None:
         spark.sql(f"DROP TABLE {table}")
         return
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    # managed-table layout: <warehouse>/<table> for the default database,
+    # <warehouse>/<db>.db/<table> otherwise (names lowercased)
+    parts = table.lower().split(".")
+    rel = parts[-1] if len(parts) == 1 or parts[-2] == "default" else (
+        f"{parts[-2]}.db/{parts[-1]}"
+    )
     jvm = spark._jvm
-    loc = jvm.org.apache.hadoop.fs.Path(warehouse, table.split(".")[-1].lower())
+    loc = jvm.org.apache.hadoop.fs.Path(warehouse, rel)
     fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(loc):
         fs.delete(loc, True)
