@@ -196,9 +196,13 @@ def merge_best(
 # cancels out, and what flags is a query that slid RELATIVE to its
 # peers — the plan-regression signature. (A global slide — a bad session
 # config — still shows as value >> banked_value on the compact line; the
-# gate targets per-query plan changes.) 3+ offenders for the gate field.
+# gate targets per-query plan changes.) ONE offender suffices: with
+# median normalization and best-of-3 minima a lone >1.5x-relative query
+# is already signal, and requiring 3 would hide exactly the
+# single-query plan regression the gate exists to surface (review
+# catch); adjudication (quiet re-run) remains the documented next step.
 REGRESSION_FACTOR = 1.5
-REGRESSION_MIN_QUERIES = 3
+REGRESSION_MIN_QUERIES = 1
 
 
 def bank_regressions(full: dict, bank_path: str = BANK_PATH) -> list[dict]:
@@ -353,14 +357,19 @@ def main() -> None:
     regs = bank_regressions(full)
     if len(regs) >= REGRESSION_MIN_QUERIES:
         compact["bank_regression_gate"] = sorted(r["query"] for r in regs)
+        med = regs[0]["session_median_ratio"]
         print(
-            f"BANK REGRESSION GATE: {len(regs)} queries exceed banked sec "
-            f"by >{REGRESSION_FACTOR}x: "
+            f"BANK REGRESSION GATE: {len(regs)} queries exceed "
+            f"{REGRESSION_FACTOR}x the session-median banked ratio "
+            f"({med}): "
             + ", ".join(
-                f"{r['query']} {r['sec']}s vs {r['banked']}s" for r in regs
+                f"{r['query']} {r['sec']}s vs {r['banked']}s banked "
+                f"(ratio {r['ratio']})"
+                for r in regs
             )
-            + " — adjudicate (quiet-box re-run) before trusting this "
-            "session's totals; prune BENCH_BEST.json rows only for "
+            + " — these slid RELATIVE to the rest of this session, which "
+            "uniform box contention cannot explain; adjudicate with a "
+            "quiet-box re-run, and prune BENCH_BEST.json rows only for "
             "intentional plan trades",
             file=sys.stderr,
         )

@@ -116,6 +116,13 @@ def ensure_parallelism(df: DataFrame, min_partitions: int) -> DataFrame:
             groups += pq.ParquetFile(path).num_row_groups
             if groups >= min_partitions:
                 return df
+        # row-group starvation only afflicts SCAN-stage partitioning; a
+        # plan that already shuffles (join/groupBy/repartition upstream)
+        # has its rows spread by the exchange regardless of how few row
+        # groups the leaf files carry — repartitioning again would add a
+        # pointless full shuffle (review catch).
+        if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+            return df
     except Exception:
         return df
     return df.repartition(min_partitions)
@@ -192,11 +199,14 @@ def _sweep_stale_table_location(spark: SparkSession, table: str) -> None:
         return
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     # managed-table layout: <warehouse>/<table> for the default database,
-    # <warehouse>/<db>.db/<table> otherwise (names lowercased)
+    # <warehouse>/<db>.db/<table> otherwise (names lowercased). An
+    # unqualified name resolves against the session's CURRENT database —
+    # the same resolution tableExists used above — never a hardcoded
+    # "default" (review catch: a mismatch here would sweep the wrong
+    # db's directory).
     parts = table.lower().split(".")
-    rel = parts[-1] if len(parts) == 1 or parts[-2] == "default" else (
-        f"{parts[-2]}.db/{parts[-1]}"
-    )
+    db = parts[-2] if len(parts) > 1 else spark.catalog.currentDatabase().lower()
+    rel = parts[-1] if db == "default" else f"{db}.db/{parts[-1]}"
     jvm = spark._jvm
     loc = jvm.org.apache.hadoop.fs.Path(warehouse, rel)
     fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -290,7 +300,16 @@ def compact_parquet(
     would lose the source; write to a sibling and swap (or wrap with
     ``sinks.writers.publish_atomic``).
     """
-    if os.path.abspath(src_path) == os.path.abspath(dest_path):
+    def _canon(p: str) -> str:
+        # strip a local-scheme prefix and resolve symlinks so aliased
+        # spellings of the same location can't sneak past the guard
+        for scheme in ("file://", "file:"):
+            if p.startswith(scheme):
+                p = p[len(scheme) :]
+                break
+        return os.path.realpath(p)
+
+    if _canon(src_path) == _canon(dest_path):
         raise ValueError(
             "compact_parquet refuses dest_path == src_path: a crash "
             "mid-write would destroy the only copy; compact to a "

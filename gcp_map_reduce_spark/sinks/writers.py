@@ -469,9 +469,16 @@ def publish_atomic(path: str, write_fn) -> None:
     READER-safe: between the committer's delete and the job commit a
     concurrent reader sees a missing or partially-committed dataset
     (FileOutputCommitter v1 renames task files one by one at job
-    commit). Wrapping the write in ``publish_atomic`` closes that
-    window: readers see the complete old dataset until one ``rename``
-    flips in the complete new one.
+    commit). Wrapping the write in ``publish_atomic`` shrinks that
+    window from the whole job commit to the instants between two
+    ``rename`` calls: readers see the complete old dataset until the
+    swap, and the complete new one after. The window is NARROW, not
+    zero — a reader landing exactly between the two renames sees a
+    missing path (retryable), never a PARTIAL dataset, which is the
+    corruption class this helper eliminates. A true zero-window swap
+    needs an atomic exchange primitive (renameat2 RENAME_EXCHANGE / a
+    symlink flip / a catalog pointer) that plain portable Python and
+    object stores don't offer.
 
     Crash windows, swept on the NEXT call (the ``migrate_snapshot_to_
     bucketed`` pattern):

@@ -252,6 +252,13 @@ def test_bench_bank_regression_gate_trips_on_synthetic_slowdown(tmp_path):
         "q2",
         "q3",
     ]
+    # a SINGLE-query plan regression flags too (REGRESSION_MIN_QUERIES
+    # is 1: with median normalization a lone relative outlier is signal,
+    # and requiring more would hide exactly the per-query slide the gate
+    # exists to surface)
+    assert REGRESSION_MIN_QUERIES == 1
+    one = mk({"q1": 2.0, **{n: 1.05 for n in names if n != "q1"}})
+    assert [r["query"] for r in bank_regressions(one, bank)] == ["q1"]
     # errored queries don't count as regressions (they're already loud)
     slow["errors"] = {"q1": "boom"}
     assert sorted(r["query"] for r in bank_regressions(slow, bank)) == [

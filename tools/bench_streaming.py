@@ -105,7 +105,9 @@ def bench_sessionize(spark, args) -> None:
             query_name="sessions_bench",
             max_files_per_trigger=1,
         )
-        q.awaitTermination(1800)
+        if not q.awaitTermination(1800):
+            q.stop()
+            raise RuntimeError("sessionize drain exceeded 1800 s; results void")
         sec = round(time.perf_counter() - t0, 2)
 
         got = spark.sql(
@@ -229,7 +231,11 @@ def bench_neardup(spark, args) -> None:
             os.path.join(work, "out"),
             max_files_per_trigger=1,
         )
-        q.awaitTermination(3600)
+        finished = q.awaitTermination(3600)
+        if not finished:  # timeout returns False, no exception — fail
+            # loudly instead of reading half-written outputs
+            q.stop()
+            raise RuntimeError("near-dup drain exceeded 3600 s; results void")
         sec = round(time.perf_counter() - t0, 2)
 
         accepted = {

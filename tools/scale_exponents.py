@@ -93,7 +93,14 @@ def main() -> None:
                       file=sys.stderr)
         results: dict[str, dict] = {}
         for name in args.queries:
-            run_timed(spark, name, plan(name), sf_dir, args.runs, results)
+            # fault-isolated: one query failing at one scale point must
+            # not discard every other measurement (the 'if not b or not
+            # g' guard below handles its partial row)
+            try:
+                run_timed(spark, name, plan(name), sf_dir, args.runs, results)
+            except Exception as exc:
+                print(f"timed run failed for {name}@{tag}: {exc!r}",
+                      file=sys.stderr)
         for name, r in results.items():
             out.setdefault(name, {})[tag] = r
         _release_cluster_state(spark)
