@@ -47,6 +47,8 @@ def __getattr__(name):
         "estimate_candidate_pairs_per_doc": "gcp_map_reduce_spark.operators.dedup",
         "choose_embedding_payload": "gcp_map_reduce_spark.operators.similarity",
         "estimate_band_candidates_per_vec": "gcp_map_reduce_spark.operators.similarity",
+        "embedding_near_dup_pairs_ivf": "gcp_map_reduce_spark.operators.similarity",
+        "publish_atomic": "gcp_map_reduce_spark.sinks.writers",
     }
     if name in lazy:
         import importlib
@@ -80,6 +82,8 @@ __all__ = [
     "choose_edge_source",
     "estimate_candidate_pairs_per_doc",
     "choose_embedding_payload",
+    "embedding_near_dup_pairs_ivf",
+    "publish_atomic",
     "estimate_band_candidates_per_vec",
 ]
 __version__ = "0.1.0"

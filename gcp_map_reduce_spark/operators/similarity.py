@@ -303,6 +303,15 @@ def dedup_embedding_cosine(
       ``"corpus"`` when candidates are orders of magnitude fewer than
       corpus rows.
 
+    All three plans share the banded-recall OUTPUT semantics, and all
+    three do O(N²·d) work when banding is degenerate (the sf1→sf3
+    exponent measured 1.67 on tiles). For corpora where that is too
+    much, :func:`embedding_near_dup_pairs_ivf` (r10) is the
+    sub-quadratic LIBRARY path: cell-pruned GEMM at
+    ~(n_probe²/n_cells)·N²·d with measured recall 1.0 on true
+    near-dups (cosine >= 0.8) and a documented wide-angle recall trade
+    — 2.9x faster at sf1, 4.9x at sf3.
+
     ``payload="auto"`` runs that decision in place:
     :func:`choose_embedding_payload` probes the sampled band-bucket
     candidate density (sum n*(n-1)/2 per bucket, 1/p^2-scaled — the
@@ -653,6 +662,187 @@ def _dedup_embedding_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return rep.groupBy("ti", "tj").applyInPandas(tile_kernel, schema=out_schema)
+
+
+IVF_DEDUP_CELLS = 64
+IVF_DEDUP_NPROBE = 2
+
+
+def embedding_near_dup_pairs_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = IVF_DEDUP_CELLS,
+    n_probe: int = IVF_DEDUP_NPROBE,
+    tile_target: int = DEDUP_TILE_TARGET,
+) -> DataFrame:
+    """IVF-pruned embedding near-dup pairs — the SUB-QUADRATIC library
+    path for the regime where the registered plan is quadratic by
+    design (r10, motivated by the measured sf1→sf3 exponent of 1.67 on
+    the tiles payload).
+
+    Why: at the wide-angle threshold (cosine 0.45 on near-orthogonal
+    vectors) the sign-sketch bands pass ~89% of ALL pairs, so every
+    banding-based plan — including the blocked-GEMM tiles — does
+    O(N²·d) work. Cell pruning attacks the CANDIDATE set geometrically
+    instead: assign each vector to its ``n_probe`` nearest codebook
+    cells (the ``similarity_ivf_ann`` machinery: one-row broadcast
+    codebook, per-row ``array_sort`` argmin — zero corpus shuffle for
+    assignment) and GEMM only WITHIN cells. Compute drops from N²·d to
+    Σ_cells |cell|²·d ≈ (n_probe²/n_cells)·N²·d — 16x less at the
+    defaults — and keeps falling as n_cells grows with the corpus
+    (n_cells ~ N/tile_target keeps per-cell work constant, making the
+    whole pass ~linear per appended shard at 100 TB).
+
+    Semantics: output is (vec_a, vec_b, cosine >= NEAR_DUP_COSINE) for
+    pairs sharing >= 1 probed cell — CELL recall, a different (and for
+    true near-dups usually better) candidate generator than the
+    registered plan's band recall; precision is exact by construction
+    (every emitted cosine is the full d-sequential fold, bit-identical
+    to ``_cosine_arrow``). Recall vs the exact all-pairs verifier
+    (``embedding_near_dup_pairs_exact``) is MEASURED and pinned in
+    ``tests/test_similarity.py``: scaled/perturbed true duplicates are
+    near-parallel, so they share a nearest cell essentially always;
+    borderline wide-angle pairs can straddle cells — the documented
+    trade, same class as the minhash edge-source recall caveat.
+
+    Skew posture: within a cell, vectors are hash-sub-blocked to
+    ~``tile_target`` rows and each (cell, block_i <= block_j) pair is
+    ONE ``applyInPandas`` task (the tiles fan-out, applied per cell) —
+    a hot cell becomes many bounded tasks, not one straggler. A pair
+    sharing both probed cells emits twice with bit-identical cosines;
+    ``dropDuplicates`` collapses them safely.
+    """
+    import math
+
+    from pyspark.sql.types import (
+        DoubleType as _D,
+        LongType as _L,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    n_vec = _emb(spark, sf_dir).count()
+    feats = embed_features_arrow(_emb(spark, sf_dir), sketch=False).select(
+        "vec_id", "e", "n2"
+    )
+    seeds = (
+        _with_norm2(_emb(spark, sf_dir).filter(F.col("vec_id") < n_cells))
+        .select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("e").alias("ce"),
+            F.col("n2").alias("cn2"),
+        )
+    )
+    cb = seeds.agg(F.collect_list(F.struct("cell_id", "ce", "cn2")).alias("cb"))
+
+    def cells(col_e: Column, col_n2: Column) -> Column:
+        return F.transform(
+            F.col("cb"),
+            lambda c: F.struct(
+                (col_n2 - 2 * _dot(col_e, c["ce"]) + c["cn2"]).alias("d"),
+                c["cell_id"].alias("cell_id"),
+            ),
+        )
+
+    assigned = (
+        feats.crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id",
+            "e",
+            "n2",
+            F.explode(
+                F.slice(
+                    F.array_sort(cells(F.col("e"), F.col("n2"))), 1, n_probe
+                )
+            ).alias("probe"),
+        )
+        .select("vec_id", "e", "n2", F.col("probe")["cell_id"].alias("cell_id"))
+    )
+
+    # two-level blocking inside each cell: expected cell population is
+    # n_vec * n_probe / n_cells; sub-block so one task never exceeds
+    # ~tile_target rows per side even when a cell runs hot
+    n_sub = max(1, math.ceil(n_vec * n_probe / (n_cells * tile_target)))
+    rep = (
+        assigned.withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_sub)))
+        .select(
+            "vec_id",
+            "e",
+            "n2",
+            "cell_id",
+            "blk",
+            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("other"),
+        )
+        .select(
+            "vec_id",
+            "e",
+            "n2",
+            "cell_id",
+            F.least("blk", "other").alias("ti"),
+            F.greatest("blk", "other").alias("tj"),
+            (F.col("blk") <= F.col("other")).alias("is_a"),
+        )
+    )
+
+    out_schema = _ST(
+        [_SF("vec_a", _L()), _SF("vec_b", _L()), _SF("cosine", _D())]
+    )
+    threshold = NEAR_DUP_COSINE
+
+    def cell_kernel(key: tuple, pdf) -> "pd.DataFrame":
+        import pandas as pd
+
+        _cell, ti, tj = key
+        if ti == tj:
+            a = b = pdf
+        else:
+            a = pdf[pdf["is_a"]]
+            b = pdf[~pdf["is_a"]]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        A = np.stack(a["e"].to_numpy())
+        B = np.stack(b["e"].to_numpy())
+        # same d-sequential chunked fold as the tiles kernel — an
+        # emitted cosine is bit-identical in whichever cell computes it,
+        # which is what makes the cross-probe dropDuplicates safe
+        acc = np.empty((len(a), len(b)), dtype=np.float64)
+        _CH = 256
+        for lo in range(0, len(a), _CH):
+            hi = min(lo + _CH, len(a))
+            Ach = A[lo:hi]
+            sub = np.zeros((hi - lo, len(b)), dtype=np.float64)
+            for d in range(A.shape[1]):
+                sub += Ach[:, d][:, None] * B[:, d][None, :]
+            acc[lo:hi] = sub
+        an2 = a["n2"].to_numpy(dtype=np.float64)
+        bn2 = b["n2"].to_numpy(dtype=np.float64)
+        cos = acc / np.sqrt(an2[:, None] * bn2[None, :])
+        ia = a["vec_id"].to_numpy(dtype=np.int64)
+        ib = b["vec_id"].to_numpy(dtype=np.int64)
+        ia_m = np.broadcast_to(ia[:, None], cos.shape)
+        ib_m = np.broadcast_to(ib[None, :], cos.shape)
+        keep = cos >= threshold
+        if ti == tj:
+            # both sides are the same rows: strict upper triangle so each
+            # unordered pair (and no self-pair) emits once per cell
+            keep &= ia_m < ib_m
+        # ti != tj: sides are disjoint hash blocks, every unordered pair
+        # appears exactly once in this task — emit canonical (min, max);
+        # cross-CELL repeats (a pair sharing both probed cells) are
+        # collapsed by the outer dropDuplicates
+        va = np.minimum(ia_m, ib_m)[keep]
+        vb = np.maximum(ia_m, ib_m)[keep]
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cosine": cos[keep]})
+
+    return (
+        rep.groupBy("cell_id", "ti", "tj")
+        .applyInPandas(cell_kernel, schema=out_schema)
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
 
 
 _SEMANTIC_SEARCH_ORACLE = f"""

@@ -379,3 +379,64 @@ def test_cosine_arrow_bit_identical_to_expression_form(spark):
     udf = _cosine_arrow(F.col("ae"), F.col("be"), F.col("an2"), F.col("bn2"))
     rows = pairs.select(expr.alias("c1"), udf.alias("c2")).collect()
     assert rows and all(r.c1 == r.c2 for r in rows)
+
+
+def test_ivf_near_dup_pairs_exact_precision_and_true_dup_recall(spark, tmp_path):
+    """r10: the IVF-pruned near-dup variant (the sub-quadratic path for
+    the wide-angle regime where every banding plan is O(N^2)) must be
+    (a) EXACT on precision — every emitted pair is a true >= threshold
+    pair with a bit-identical cosine, (b) recall 1.0 on TRUE near-dups
+    (high-cosine copies share a nearest cell essentially always; the
+    measured stress number is 90,000/90,000 at cosine >= 0.8), and
+    (c) honest about the wide-angle trade (recall < 1 there is the
+    documented cost; 0.39-0.69 measured at sf0.1 for cosine 0.45-0.6)."""
+    import os
+    import shutil
+
+    import duckdb
+
+    from gcp_map_reduce_spark.operators.similarity import (
+        embedding_near_dup_pairs_exact,
+        embedding_near_dup_pairs_ivf,
+    )
+
+    # corpus = sf0.001 embeddings + SCALED copies (cosine exactly 1.0
+    # with their originals — direction unchanged) under offset ids
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    duckdb.sql(
+        "COPY (SELECT vec_id, embedding, label"
+        " FROM '/root/testdata/sf0.001/embeddings.parquet'"
+        " UNION ALL"
+        " SELECT vec_id + 1000,"
+        "   list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT)), label"
+        " FROM '/root/testdata/sf0.001/embeddings.parquet')"
+        f" TO '{corpus}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_near_dup_pairs_exact(spark, corpus).collect()
+    }
+    ivf = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_near_dup_pairs_ivf(spark, corpus).collect()
+    }
+    # precision: subset with bit-identical cosines
+    assert set(ivf) <= set(exact)
+    assert all(ivf[k] == exact[k] for k in ivf)
+    # recall 1.0 on the true-dup pairs (original, scaled copy)
+    true_dups = {(v, v + 1000) for v in range(500)}
+    assert true_dups <= set(exact)  # sanity: the verifier sees them
+    assert true_dups <= set(ivf), (
+        f"missing true dups: {sorted(true_dups - set(ivf))[:5]}"
+    )
+
+    # sub-blocking path (n_sub > 1): identical output, by construction
+    blocked = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_near_dup_pairs_ivf(
+            spark, corpus, tile_target=16
+        ).collect()
+    }
+    assert blocked == ivf
