@@ -171,6 +171,7 @@ def main() -> None:
         wanted = set(args.queries)
         unknown = wanted - set(headline) - {
             "dedup_clusters_minhash", "curated_corpus_minhash",
+            "dedup_embedding_ivf",
             "topk_naive_window", "topk_salted",
         }
         if unknown:
@@ -208,6 +209,9 @@ def main() -> None:
     # crossover shows.
     from gcp_map_reduce_spark.operators.dedup import dedup_clusters
     from gcp_map_reduce_spark.operators.pipeline import curated_corpus
+    from gcp_map_reduce_spark.operators.similarity import (
+        embedding_near_dup_pairs_ivf,
+    )
 
     selected = set(args.queries) if args.queries is not None else None
     for name, fn in [
@@ -217,6 +221,10 @@ def main() -> None:
         ("curated_corpus_minhash",
          lambda s, dd: curated_corpus(s, dd, near_dup_source="minhash",
                                       fast_hash=True)),
+        # the sub-quadratic cell-pruned pairs (r10) vs the registered
+        # banded plan's dedup_embedding_cosine row above — the scale
+        # head-to-head for the wide-angle regime
+        ("dedup_embedding_ivf", embedding_near_dup_pairs_ivf),
     ]:
         if selected is not None and name not in selected:
             continue
