@@ -225,10 +225,23 @@ def bank_regressions(full: dict, bank_path: str = BANK_PATH) -> list[dict]:
         if name in errors or not cur or cur["sec"] <= 0:
             continue
         ratios[name] = (sec, cur, sec / cur["sec"])
-    if not ratios:
+    if len(ratios) < 3:
+        # a 1-2 query subset has no meaningful peer median — the upper
+        # element IS the worst ratio, so the bar would be 1.5x the worst
+        # ratio and a genuine regression could never flag (r10 ADVICE).
+        # Warn instead of silently self-disabling.
+        if ratios:
+            print(
+                f"bank_regressions: only {len(ratios)} comparable "
+                "queries — regression gate needs >= 3, skipping",
+                file=sys.stderr,
+            )
         return []
     srt = sorted(r for _, _, r in ratios.values())
-    median = srt[len(srt) // 2]
+    # true median: average the two middle elements for even counts (the
+    # upper-median shortcut inflated the bar on small even sets)
+    mid = len(srt) // 2
+    median = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2.0
     # the bank floor is never beaten mid-session, so median >= 1 in
     # practice; clamp anyway so a half-banked file can't shrink the bar
     bar = REGRESSION_FACTOR * max(1.0, median)

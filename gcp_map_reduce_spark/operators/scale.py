@@ -20,10 +20,13 @@ cover the two situations that still need explicit treatment at 100 TB:
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 DEFAULT_SALTS = 16
 
@@ -110,7 +113,17 @@ def ensure_parallelism(df: DataFrame, min_partitions: int) -> DataFrame:
 
         groups = 0
         for f in files:
-            path = f[len("file:") :] if f.startswith("file:") else f
+            # inputFiles() returns URIs — percent-decode before opening
+            # the footer (a path with spaces/%-escapes otherwise fails
+            # pq.ParquetFile, the broad except swallows it, and the
+            # starvation guard silently disables for exactly the corpus
+            # it protects; r10 ADVICE)
+            if f.startswith("file:"):
+                from urllib.parse import unquote, urlparse
+
+                path = unquote(urlparse(f).path)
+            else:
+                path = f
             if not path.endswith(".parquet"):
                 return df
             groups += pq.ParquetFile(path).num_row_groups
@@ -124,6 +137,11 @@ def ensure_parallelism(df: DataFrame, min_partitions: int) -> DataFrame:
         if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
             return df
     except Exception:
+        log.debug(
+            "ensure_parallelism: row-group probe bailed, guard disabled "
+            "for this plan",
+            exc_info=True,
+        )
         return df
     return df.repartition(min_partitions)
 

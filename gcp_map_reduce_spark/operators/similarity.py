@@ -193,6 +193,9 @@ def _hyperplanes(dim: int = 64) -> list[list[float]]:
     return rng.standard_normal((N_PLANES, dim)).tolist()
 
 
+IVF_DEDUP_CELLS = 64
+IVF_DEDUP_NPROBE = 2
+
 DEDUP_BANDS = 8  # 8 bands x 2 bits over the 16-plane sketch. Wide angles
 # (cosine 0.45 ~ 63 deg) need narrow bands for recall: measured 14/14
 # qualifying pairs captured at sf0.01 (the oracle gate), 7/7 at sf0.001,
@@ -268,71 +271,120 @@ SELECT * FROM (
 """
 
 
-@query("dedup_embedding_cosine", oracle=_embedding_dedup_oracle())
+def _embedding_dedup_ivf_oracle(
+    n_cells: int = IVF_DEDUP_CELLS, n_probe: int = IVF_DEDUP_NPROBE
+) -> str:
+    """Full SQL replica of the IVF cell-pruned near-dup plan (the
+    ``_lsh_oracle`` embed-the-plan pattern applied to cell recall):
+    codebook = the ``n_cells`` lowest vec_ids (deterministic rank-based
+    seeds, same TakeOrderedAndProject convention as the Spark plan),
+    every vector probes its ``n_probe`` nearest cells by squared L2
+    distance (``n2 - 2*dot + cn2`` — identical expression and fold
+    order to the Spark assignment), candidates are pairs sharing >= 1
+    probed cell, and the exact cosine threshold decides. FP parity
+    holds term-by-term: the assignment distance and the pair cosine are
+    the same strict left folds the green ``similarity_ann_suite`` /
+    tiles oracles already rely on, and tie-breaks mirror the plan's
+    ``array_sort(struct(d, cell_id))`` via ``ORDER BY d, cell_id``.
+    Cell RECALL (which qualifying pairs straddle cells) is therefore
+    shared exactly between plan and oracle; the recall-vs-exact trade
+    is measured separately in ``tests/test_similarity.py``."""
+    dot_vv = _SQL_DOT.format(a="embedding", b="embedding")
+    dot_vs = _SQL_DOT.format(a="v.embedding", b="s.ce")
+    dot_ab = _SQL_DOT.format(a="ae.embedding", b="be.embedding")
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding, {dot_vv} AS n2 FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS cell_id, embedding AS ce, n2 AS cn2 FROM emb
+  ORDER BY cell_id LIMIT {n_cells}
+),
+probes AS (
+  SELECT v.vec_id, s.cell_id
+  FROM emb v CROSS JOIN seeds s
+  QUALIFY row_number() OVER (PARTITION BY v.vec_id
+    ORDER BY v.n2 - 2 * {dot_vs} + s.cn2, s.cell_id) <= {n_probe}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM probes a JOIN probes b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT c.vec_a, c.vec_b, {dot_ab} / sqrt(ae.n2 * be.n2) AS cosine
+  FROM cand c JOIN emb ae ON c.vec_a = ae.vec_id
+              JOIN emb be ON c.vec_b = be.vec_id
+) WHERE cosine >= {NEAR_DUP_COSINE}
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_embedding_dedup_ivf_oracle())
 def dedup_embedding_cosine(
     spark: SparkSession, sf_dir: str, payload: str = "auto"
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (semantic dedup): band
-    agreement on the 16-plane sign sketch gates candidates, the exact
-    cosine threshold decides. Three value-identical plans (pytest-gated),
-    picked by ``payload`` — default ``"auto"`` (r9): the sampled density
-    probe picks, and its estimate is cached per sf_dir for the session
-    so repeated calls pay a dict lookup, not a Spark job. Which plan
-    scales depends on how selective the banding is for the
-    corpus/threshold at hand:
+    """Embedding-cosine near-duplicate pairs (semantic dedup): an
+    approximate candidate generator gates pairs, the exact cosine
+    threshold decides — every emitted cosine is the full bit-exact
+    fold, so precision is always exact and only RECALL depends on the
+    generator. ``payload`` picks the plan; default ``"auto"`` (r9/r11)
+    lets the sampled band-density probe choose (estimate cached per
+    sf_dir for the session):
 
-    - ``"tiles"`` (r8): blocked GEMM — hash-assign vectors to
-      ~DEDUP_TILE_TARGET-row blocks, one ``applyInPandas`` task per
-      unordered block pair, band mask + cosine evaluated vectorized on
-      the tile; per-pair rows never materialize. The right plan when
-      banding is UNSELECTIVE — here the wide-angle threshold (0.45 on a
-      near-orthogonal corpus) lets ~89% of all pairs through the 2-bit
-      bands (probed at sf0.1), so the id-join plans degenerate to
-      all-pairs gathers. Measured: 1.71 -> 0.79 s at sf0.01,
-      2.70 -> 1.59 s at sf0.1, 69.3 -> 6.6 s at the 10x stress set.
-      Replication is x n_blocks, so this is the mid-scale /
-      degenerate-banding shape, not the 100 TB default.
-    - ``"corpus"``: the banded id-join — band buckets generate candidate
-      pairs via equi-join carrying IDS ONLY (hash join, never
-      BroadcastNestedLoop), with a SKINNY (vec_id, sketch) checkpoint;
-      payload vectors re-join from the source scan per leg. The right
-      shape when banding actually prunes (selective thresholds,
+    - ``"ivf"`` (r11, the registered default on this corpus): cell
+      pruning via :func:`embedding_near_dup_pairs_ivf` — assign each
+      vector to its ``IVF_DEDUP_NPROBE`` nearest of
+      ``IVF_DEDUP_CELLS`` rank-seeded codebook cells (broadcast
+      codebook, zero corpus shuffle) and GEMM only within cells:
+      ~(n_probe²/n_cells)·N²·d work, the SUB-QUADRATIC shape (measured
+      sf1→sf3 exponent 0.53 vs 1.67 for tiles; 2.9x faster at sf1,
+      4.9x at sf3). CELL recall: true near-dups (cosine >= 0.8) share
+      a nearest cell essentially always (measured 1.0); borderline
+      wide-angle pairs can straddle cells (0.39–0.69 measured at
+      0.45–0.6) — the documented trade, same class as the minhash
+      edge-source caveat, pinned in ``tests/test_similarity.py``.
+    - ``"tiles"`` (r8): blocked GEMM over the band mask — hash-assign
+      vectors to ~DEDUP_TILE_TARGET-row blocks, one ``applyInPandas``
+      task per unordered block pair; per-pair rows never materialize.
+      BAND recall (8x2-bit sign-sketch agreement), but O(N²·d) work
+      when banding is degenerate — the mid-scale explicit option the
+      auto chooser replaced with ivf (r11).
+    - ``"corpus"``: the banded id-join — band buckets generate
+      candidate pairs via equi-join carrying IDS ONLY (hash join,
+      never BroadcastNestedLoop), with a SKINNY (vec_id, sketch)
+      checkpoint; payload vectors re-join from the source scan. The
+      right shape when banding actually prunes (selective thresholds,
       cosine ~0.9+ near-dup hunting at 100 TB).
-    - ``"candidates"``: as ``"corpus"`` but the re-rank kernel runs over
-      the broadcast-semi-joined candidate rows only — wins over
-      ``"corpus"`` when candidates are orders of magnitude fewer than
-      corpus rows.
+    - ``"candidates"``: as ``"corpus"`` but the re-rank kernel runs
+      over the broadcast-semi-joined candidate rows only — wins when
+      candidates are orders of magnitude fewer than corpus rows.
 
-    All three plans share the banded-recall OUTPUT semantics, and all
-    three do O(N²·d) work when banding is degenerate (the sf1→sf3
-    exponent measured 1.67 on tiles). For corpora where that is too
-    much, :func:`embedding_near_dup_pairs_ivf` (r10) is the
-    sub-quadratic LIBRARY path: cell-pruned GEMM at
-    ~(n_probe²/n_cells)·N²·d with measured recall 1.0 on true
-    near-dups (cosine >= 0.8) and a documented wide-angle recall trade
-    — 2.9x faster at sf1, 4.9x at sf3.
+    ``"tiles"``/``"corpus"``/``"candidates"`` share band-recall output
+    bit-identically (pytest-gated); ``"ivf"`` is a different (cell)
+    candidate generator — ``"auto"`` therefore switches RECALL CLASS,
+    not just the physical plan, and it does so on the probe's density
+    reading: degenerate banding (>= EMBEDDING_PAYLOAD_CPV_THRESHOLD
+    candidates/vec — where every band plan is quadratic AND band
+    recall is already approximate) routes to ivf; selective banding
+    routes to the id-join, whose band recall is near-exact there.
 
-    ``payload="auto"`` runs that decision in place:
-    :func:`choose_embedding_payload` probes the sampled band-bucket
-    candidate density (sum n*(n-1)/2 per bucket, 1/p^2-scaled — the
-    same sampled plan choice as ``choose_edge_source``) and picks tiles
-    when banding is degenerate for this corpus/threshold, the id-join
-    when it prunes.
-
-    The oracle mirrors the BANDING itself (``_embedding_dedup_oracle``:
-    same plane literals, same sign sketches, same 8x2-bit band
-    agreement), so parity holds at every scale — banding recall is the
-    separately-measured property (14/14 qualifying pairs at sf0.01,
-    140/144 at sf0.1; ``embedding_near_dup_pairs_exact`` is the library
-    verifier, recall floor asserted in ``tests/test_similarity.py``;
-    checkpoint width plan-asserted in ``tests/test_plans.py``)."""
-    if payload not in ("corpus", "candidates", "tiles", "auto"):
+    The oracle mirrors the IVF plan itself
+    (``_embedding_dedup_ivf_oracle``: same rank-based seeds, same
+    probe distances and tie-breaks, same exact-cosine gate), so parity
+    holds at every scale the auto probe picks ivf — which it does at
+    every driver scale of this corpus (density ~0.9·N >> threshold 64).
+    Recall vs the exact verifier (``embedding_near_dup_pairs_exact``)
+    is the separately-measured property in ``tests/test_similarity.py``;
+    the corpus plan's skinny checkpoint stays plan-asserted in
+    ``tests/test_plans.py``."""
+    if payload not in ("corpus", "candidates", "tiles", "ivf", "auto"):
         raise ValueError(
-            "payload must be 'corpus', 'candidates', 'tiles' or 'auto', "
-            f"got {payload!r}"
+            "payload must be 'corpus', 'candidates', 'tiles', 'ivf' or "
+            f"'auto', got {payload!r}"
         )
     if payload == "auto":
         payload = choose_embedding_payload(spark, sf_dir)
+    if payload == "ivf":
+        return embedding_near_dup_pairs_ivf(spark, sf_dir)
     if payload == "tiles":
         return _dedup_embedding_tiles(spark, sf_dir)
     sk = materialize(
@@ -485,18 +537,25 @@ def choose_embedding_payload(
     sample_target: int = 2000,
     seed: int = 42,
 ) -> str:
-    """Cost-based tiles-vs-id-join decision for embedding near-dup (the
-    density probe the tiles docstring promises — the same sampled
-    plan-choice pattern as ``choose_edge_source``): above ``threshold``
-    candidate pairs per vector the banding is degenerate for this
-    corpus/threshold and the blocked-GEMM ``"tiles"`` plan wins; below
-    it the bands genuinely prune and the id-only band join
-    (``"corpus"``) is the scale shape. Pass ``payload="auto"`` to
-    :func:`dedup_embedding_cosine` to apply in place."""
+    """Cost-based candidate-generator decision for embedding near-dup
+    (the same sampled plan-choice pattern as ``choose_edge_source``):
+    above ``threshold`` candidate pairs per vector the banding is
+    degenerate for this corpus/threshold — every band-based plan
+    (including blocked-GEMM tiles) does O(N²·d) work AND band recall
+    is already approximate — so the sub-quadratic cell-pruned
+    ``"ivf"`` generator wins (r11; it replaced ``"tiles"`` as the
+    degenerate-regime choice after the measured sf1→sf3 exponents:
+    ivf 0.53 vs tiles 1.67). Below the threshold the bands genuinely
+    prune and the id-only band join (``"corpus"``) is the scale shape
+    with near-exact band recall. NOTE the two arms differ in RECALL
+    CLASS (cell vs band), not just plan — see
+    :func:`dedup_embedding_cosine`. Pass ``payload="auto"`` to apply
+    in place; ``"tiles"`` remains the explicit band-recall option for
+    the degenerate regime at mid scale."""
     cpv = estimate_band_candidates_per_vec(
         spark, sf_dir, sample_target=sample_target, seed=seed
     )
-    choice = "tiles" if cpv >= threshold else "corpus"
+    choice = "ivf" if cpv >= threshold else "corpus"
     log.info(
         "choose_embedding_payload: est candidates/vec %.1f (threshold %.0f) -> %s",
         cpv,
@@ -664,10 +723,6 @@ def _dedup_embedding_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.groupBy("ti", "tj").applyInPandas(tile_kernel, schema=out_schema)
 
 
-IVF_DEDUP_CELLS = 64
-IVF_DEDUP_NPROBE = 2
-
-
 def embedding_near_dup_pairs_ivf(
     spark: SparkSession,
     sf_dir: str,
@@ -675,10 +730,13 @@ def embedding_near_dup_pairs_ivf(
     n_probe: int = IVF_DEDUP_NPROBE,
     tile_target: int = DEDUP_TILE_TARGET,
 ) -> DataFrame:
-    """IVF-pruned embedding near-dup pairs — the SUB-QUADRATIC library
-    path for the regime where the registered plan is quadratic by
-    design (r10, motivated by the measured sf1→sf3 exponent of 1.67 on
-    the tiles payload).
+    """IVF-pruned embedding near-dup pairs — the SUB-QUADRATIC shape
+    for the degenerate-banding regime, and since r11 the plan the
+    registered ``dedup_embedding_cosine`` routes to on this corpus
+    (``payload="auto"`` → ``"ivf"``; the SQL oracle
+    ``_embedding_dedup_ivf_oracle`` mirrors this function literally).
+    Added in r10 after the tiles payload measured a 1.67 sf1→sf3
+    exponent; this plan measured 0.53 on the same points.
 
     Why: at the wide-angle threshold (cosine 0.45 on near-orthogonal
     vectors) the sign-sketch bands pass ~89% of ALL pairs, so every
@@ -686,12 +744,14 @@ def embedding_near_dup_pairs_ivf(
     O(N²·d) work. Cell pruning attacks the CANDIDATE set geometrically
     instead: assign each vector to its ``n_probe`` nearest codebook
     cells (the ``similarity_ivf_ann`` machinery: one-row broadcast
-    codebook, per-row ``array_sort`` argmin — zero corpus shuffle for
-    assignment) and GEMM only WITHIN cells. Compute drops from N²·d to
-    Σ_cells |cell|²·d ≈ (n_probe²/n_cells)·N²·d — 16x less at the
-    defaults — and keeps falling as n_cells grows with the corpus
-    (n_cells ~ N/tile_target keeps per-cell work constant, making the
-    whole pass ~linear per appended shard at 100 TB).
+    codebook built from the ``n_cells`` lowest vec_ids (rank-based —
+    deterministic on any id space), per-row ``array_sort`` argmin —
+    zero corpus shuffle for assignment) and GEMM only WITHIN cells.
+    Compute drops from N²·d to Σ_cells |cell|²·d ≈
+    (n_probe²/n_cells)·N²·d — 16x less at the defaults — and keeps
+    falling as n_cells grows with the corpus (n_cells ~ N/tile_target
+    keeps per-cell work constant, making the whole pass ~linear per
+    appended shard at 100 TB).
 
     Semantics: output is (vec_a, vec_b, cosine >= NEAR_DUP_COSINE) for
     pairs sharing >= 1 probed cell — CELL recall, a different (and for
@@ -725,8 +785,16 @@ def embedding_near_dup_pairs_ivf(
     feats = embed_features_arrow(_emb(spark, sf_dir), sketch=False).select(
         "vec_id", "e", "n2"
     )
+    # Codebook seeds = the n_cells LOWEST vec_ids (rank-based, r11): a
+    # TakeOrderedAndProject of n_cells rows, deterministic for ANY id
+    # space. The previous `vec_id < n_cells` filter silently built an
+    # empty codebook on corpora whose ids don't start near 0 (sparse or
+    # offset id spaces) and then emitted ZERO pairs; rank-based seeds
+    # give every non-empty corpus a full (or corpus-sized) codebook. On
+    # dense-from-0 ids the two conventions coincide, which keeps the
+    # registered SQL oracle's seed CTE exact.
     seeds = (
-        _with_norm2(_emb(spark, sf_dir).filter(F.col("vec_id") < n_cells))
+        _with_norm2(_emb(spark, sf_dir).orderBy("vec_id").limit(n_cells))
         .select(
             F.col("vec_id").alias("cell_id"),
             F.col("e").alias("ce"),

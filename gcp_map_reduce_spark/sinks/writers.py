@@ -488,31 +488,49 @@ def publish_atomic(path: str, write_fn) -> None:
     - died between the two renames: live dir absent, ``.old-publish``
       holds the data — rolled back;
     - died before the final cleanup: both dirs present and the live one
-      carries Spark's ``_SUCCESS`` commit marker — the leftover is
-      dropped; a live dir WITHOUT the marker alongside ``.old-publish``
-      is foreign interference and raises rather than guessing (r9
-      advice on the migration sweep applies here identically).
+      carries this function's OWN ``.publish-complete`` marker (written
+      into the staging dir after ``write_fn`` returns, so it rides the
+      rename) — the leftover is dropped. The marker makes recovery
+      independent of the writer: Spark's ``_SUCCESS`` is still accepted
+      for datasets published before the marker existed, but a non-Spark
+      ``write_fn`` or a session with
+      ``mapreduce.fileoutputcommitter.marksuccessfuljobs=false`` no
+      longer strands a healthy live dir behind the RuntimeError (r10
+      ADVICE). A live dir with NEITHER marker alongside
+      ``.old-publish`` is foreign interference and raises rather than
+      guessing (r9 advice on the migration sweep applies identically).
+
+    The marker is a dotfile, so Spark/Hadoop readers (which skip paths
+    starting with ``.`` or ``_``) never see it as data.
     """
     staging = path + ".staging-publish"
     old = path + ".old-publish"
+    marker = ".publish-complete"
     shutil.rmtree(staging, ignore_errors=True)
     if os.path.isdir(old):
         if not os.path.isdir(path):
             os.rename(old, path)
-        elif os.path.isfile(os.path.join(path, "_SUCCESS")):
+        elif os.path.isfile(os.path.join(path, marker)) or os.path.isfile(
+            os.path.join(path, "_SUCCESS")
+        ):
             shutil.rmtree(old)
         else:
             raise RuntimeError(
                 f"both {path} and {old} exist but the live dir has no "
-                "_SUCCESS commit marker — refusing to delete the "
-                "rollback copy. Keep whichever dir you trust, remove "
-                "the other, and rerun."
+                f"{marker} (or _SUCCESS) commit marker — refusing to "
+                "delete the rollback copy. Keep whichever dir you "
+                "trust, remove the other, and rerun."
             )
     write_fn(staging)
     if not os.path.isdir(staging):
         raise RuntimeError(
             f"write_fn completed but produced no directory at {staging}"
         )
+    # our own completion marker: written only after write_fn fully
+    # returned, inside the staging dir, so post-swap its presence in the
+    # live dir PROVES the swap completed regardless of committer config
+    with open(os.path.join(staging, marker), "w") as fh:
+        fh.write("publish_atomic\n")
     if os.path.isdir(path):
         os.rename(path, old)
     os.rename(staging, path)

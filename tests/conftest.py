@@ -20,8 +20,15 @@ def _sweep_stale_warehouse() -> None:
     (``operators/scale.py:_sweep_stale_table_location``); this belt-and-
     braces sweep keeps OTHER leftovers (aborted mid-write temp dirs,
     renamed test tables) from reddening the suite. Only ``t_*`` — the
-    test-table naming convention — is touched."""
-    for d in glob.glob(os.path.join("spark-warehouse", "t_*")):
+    test-table naming convention — is touched. Anchored to the REPO
+    ROOT (not the cwd): the session config leaves
+    ``spark.sql.warehouse.dir`` at its default cwd-relative
+    ``spark-warehouse``, and pytest is run from the repo root in every
+    documented flow, so that is where stale state lands — a cwd-relative
+    glob made this sweep a silent no-op when pytest ran from anywhere
+    else (r10 ADVICE)."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for d in glob.glob(os.path.join(repo_root, "spark-warehouse", "t_*")):
         shutil.rmtree(d, ignore_errors=True)
 
 

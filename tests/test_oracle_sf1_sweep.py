@@ -11,8 +11,11 @@ scale, as recorded in SCALING.md "sf1 oracle sweep" note:
 
 - ``dedup_clusters``: the recursive-CTE transitive closure spilled
   >80 GB of DuckDB temp and died at 635 s;
-- ``dedup_embedding_cosine``: the banded-embedding oracle is a ~200M
-  pair-evaluation inequality join, ran past 16 min;
+- ``dedup_embedding_cosine``: the embedding oracle's candidate set is
+  quadratic-with-a-constant in DuckDB list-fold ops — the r10 banded
+  mirror was a ~200M pair-evaluation inequality join (ran past 16
+  min), and the r11 IVF mirror still folds ~(n_probe²/n_cells)·N²
+  ≈ tens of millions of 64-element list dots at this scale;
 - ``dedup_pair_scores``: the exact n-gram Jaccard oracle is an
   all-pairs shingle self-join, quadratic in the hottest shingle's doc
   frequency (the dup-heavy stress corpus is its worst case).

@@ -92,6 +92,7 @@ def test_topk_uses_limit_not_global_sort_materialization(spark):
 # accidental all-pairs plan and fails the sweep below.
 _INTENTIONAL_BNLJ = {
     "corpus_shards",  # one-row max(doc_id) bound for range grouping
+    "dedup_embedding_cosine",  # one-row collected IVF codebook (r11)
     "kmeans_embeddings",  # one-row collected codebook per iteration
     "q8_q22_shares",  # q22 branch: one-row scalar AVG threshold broadcast
     "similarity_ann_suite",  # N_QUERIES(=10)-row broadcast query side +
@@ -149,11 +150,27 @@ def test_decontamination_streams_train_side(spark):
         assert "text" in schema and "lang" not in schema
 
 
-def test_embedding_dedup_is_banded_not_allpairs(spark):
-    # the registered near-dup plan must generate candidates via the band
+def test_embedding_dedup_registered_plan_is_cell_pruned(spark):
+    # the registered near-dup plan (auto → ivf, r11): candidates come
+    # from the cell-pruned grouped GEMM — the only join is the ONE-ROW
+    # broadcast codebook crossJoin (a map-side constant lookup), never
+    # a corpus-sized nested loop or cartesian, and the pair work runs
+    # inside the grouped-kernel stage
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    if "BroadcastNestedLoopJoin" in plan:
+        assert "BroadcastExchange" in plan  # the 1-row codebook, broadcast
+
+
+def test_embedding_dedup_corpus_payload_is_banded_not_allpairs(spark):
+    # the band id-join option must generate candidates via the band
     # equi-join (hash join) — an all-pairs non-equi self-join would show
     # up as BroadcastNestedLoopJoin / CartesianProduct and die at scale
-    plan = _plan(spark, "dedup_embedding_cosine")
+    from gcp_map_reduce_spark.operators.similarity import dedup_embedding_cosine
+
+    df = dedup_embedding_cosine(spark, "/root/testdata/sf0.001", payload="corpus")
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
@@ -214,13 +231,13 @@ def test_embedding_dedup_checkpoint_is_skinny(spark):
 
 
 def test_embedding_dedup_tiles_has_no_checkpoint_and_no_join(spark):
-    # tiles shape (the default): a single parquet scan fans out to block
-    # pairs — no checkpoint (nothing fat pinned to executor storage), no
-    # join of any kind (per-pair rows never materialize), one exchange
-    # (the tile groupBy)
+    # tiles shape (explicit band-recall option): a single parquet scan
+    # fans out to block pairs — no checkpoint (nothing fat pinned to
+    # executor storage), no join of any kind (per-pair rows never
+    # materialize), one exchange (the tile groupBy)
     from gcp_map_reduce_spark.operators.similarity import dedup_embedding_cosine
 
-    df = dedup_embedding_cosine(spark, "/root/testdata/sf0.001")
+    df = dedup_embedding_cosine(spark, "/root/testdata/sf0.001", payload="tiles")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" not in plan, plan
     assert "Join" not in plan, plan

@@ -267,3 +267,12 @@ def test_bench_bank_regression_gate_trips_on_synthetic_slowdown(tmp_path):
     ]
     # sf mismatch: silent (the bank is an sf0.1 series)
     assert bank_regressions(dict(slow, sf=0.01), bank) == []
+    # 1-2 comparable queries: no peer median exists — the gate SKIPS
+    # (with a stderr warning) instead of silently self-disabling behind
+    # a bar set at 1.5x the worst ratio (r10 ADVICE)
+    assert bank_regressions(mk({"q1": 9.0, "q2": 1.0}), bank) == []
+    assert bank_regressions(mk({"q1": 9.0}), bank) == []
+    # even-count subset (4): true median = mean of the two middle
+    # ratios, so one real outlier over clean peers still flags
+    four = mk({"q1": 2.0, "q2": 1.0, "q3": 1.0, "q4": 1.05})
+    assert [r["query"] for r in bank_regressions(four, bank)] == ["q1"]

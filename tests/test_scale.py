@@ -321,6 +321,17 @@ def test_ensure_parallelism_sees_through_empty_byte_range_splits(spark, tmp_path
         ).parquet(many)
         df2 = spark.read.parquet(many)
         assert ensure_parallelism(df2, want) is df2
+        # URI-escaped paths (spaces etc): inputFiles() percent-encodes,
+        # and an undecoded path made pq.ParquetFile fail into the broad
+        # except — silently disabling the guard for exactly the corpus
+        # it protects (r10 ADVICE). The guard must decode and still fire.
+        esc = str(tmp_path / "dir with space" / "one group.parquet")
+        spark.read.parquet(path).coalesce(1).write.parquet(esc)
+        df3 = spark.read.parquet(esc)
+        assert any("%20" in f for f in df3.inputFiles()), df3.inputFiles()
+        guarded3 = ensure_parallelism(df3, want)
+        assert guarded3 is not df3
+        assert guarded3.rdd.getNumPartitions() >= want
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
         spark.conf.set("spark.sql.files.openCostInBytes", prev_open)

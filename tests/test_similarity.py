@@ -93,13 +93,16 @@ def test_banded_embedding_dedup_matches_exact_allpairs(spark):
     }
     banded = {
         (r["vec_a"], r["vec_b"]): r["cosine"]
-        for r in dedup_embedding_cosine(spark, SF_ORACLE).collect()
+        for r in dedup_embedding_cosine(
+            spark, SF_ORACLE, payload="corpus"
+        ).collect()
     }
     assert exact, "fixture should contain qualifying near-dup pairs"
     # the 8x2 banding captures EVERY qualifying pair at oracle scale, and
     # the exact cosine filter on candidates reproduces identical values
-    # (the SQL oracle mirrors the banding itself, so parity is by
-    # construction; THIS test is where recall is measured)
+    # (THIS test is where band recall is measured; the registered
+    # default routes to the ivf generator since r11, whose cell recall
+    # is pinned separately below)
     assert banded == exact, (
         set(exact) - set(banded),
         set(banded) - set(exact),
@@ -108,9 +111,10 @@ def test_banded_embedding_dedup_matches_exact_allpairs(spark):
 
 def test_banded_embedding_dedup_recall_floor_at_sf01(spark):
     """At sf0.1 the banding is NOT complete (140/144 measured, r8 sweep) —
-    pin the recall floor and the no-false-positive/equal-values side, so
-    a band-layout change that silently craters recall fails here (the
-    oracle can no longer catch it: it mirrors the banding)."""
+    pin the band plan's recall floor and the no-false-positive/
+    equal-values side, so a band-layout change that silently craters
+    recall fails here (the oracle can no longer catch it: it mirrors
+    the plan's own candidate generator)."""
     from gcp_map_reduce_spark.operators.similarity import (
         dedup_embedding_cosine,
         embedding_near_dup_pairs_exact,
@@ -123,12 +127,39 @@ def test_banded_embedding_dedup_recall_floor_at_sf01(spark):
     }
     banded = {
         (r["vec_a"], r["vec_b"]): r["cosine"]
-        for r in dedup_embedding_cosine(spark, d).collect()
+        for r in dedup_embedding_cosine(spark, d, payload="corpus").collect()
     }
     assert set(banded) <= set(exact)  # candidates are exactly verified
     assert all(banded[k] == exact[k] for k in banded)  # identical cosines
     recall = len(banded) / len(exact)
     assert recall >= 0.95, (len(banded), len(exact))
+
+
+def test_registered_embedding_dedup_default_recall_at_sf01(spark):
+    """The REGISTERED default (payload='auto' → ivf on this corpus,
+    r11) trades wide-angle recall for the sub-quadratic shape — pin the
+    trade's floor (0.389 measured at the 0.45 threshold, sf0.1) plus
+    exact precision, so a codebook/probe change that silently craters
+    either fails here. True-near-dup recall (cosine >= 0.8) is pinned
+    at 1.0 by test_ivf_near_dup_pairs_exact_precision_and_true_dup_recall."""
+    from gcp_map_reduce_spark.operators.similarity import (
+        dedup_embedding_cosine,
+        embedding_near_dup_pairs_exact,
+    )
+
+    d = "/root/testdata/sf0.1"
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs_exact(spark, d).collect()
+    }
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in dedup_embedding_cosine(spark, d).collect()
+    }
+    assert set(got) <= set(exact)  # precision: every pair truly qualifies
+    assert all(got[k] == exact[k] for k in got)  # bit-identical cosines
+    recall = len(got) / len(exact)
+    assert recall >= 0.35, (len(got), len(exact))
 
 
 def test_quantize_error_bounded_by_scale(spark):
@@ -235,9 +266,11 @@ def test_choose_embedding_payload_probe_and_decision(spark):
 
     n_vec = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").count()
     cpv = estimate_band_candidates_per_vec(spark, SF_ORACLE)
-    # degenerate banding: a large fraction of all pairs collide
+    # degenerate banding: a large fraction of all pairs collide — every
+    # band plan is quadratic here, so the chooser routes to the
+    # cell-pruned ivf generator (r11; tiles stays the explicit option)
     assert cpv > 0.5 * n_vec, (cpv, n_vec)
-    assert choose_embedding_payload(spark, SF_ORACLE) == "tiles"
+    assert choose_embedding_payload(spark, SF_ORACLE) == "ivf"
 
     # 4 vectors whose sketches disagree on EVERY 2-bit band: band b of
     # row i gets value (i) — all four values distinct per band, so the
@@ -250,11 +283,25 @@ def test_choose_embedding_payload_probe_and_decision(spark):
     sk = spark.createDataFrame(rows, "vec_id long, sketch long")
     assert estimate_band_candidates_per_vec(spark, SF_ORACLE, sketches=sk) == 0.0
 
-    # auto mode returns the tiles result here (bit-identical anyway)
-    auto = dedup_embedding_cosine(spark, SF_ORACLE, payload="auto")
-    base = dedup_embedding_cosine(spark, SF_ORACLE, payload="corpus")
-    assert auto.exceptAll(base).count() == 0
-    assert base.exceptAll(auto).count() == 0
+    # auto mode returns the ivf result here (cell recall — a DIFFERENT
+    # candidate generator from the band plans, so compare against ivf).
+    # Collected-set compare: exceptAll over two FlatMapGroupsInPandas +
+    # dropDuplicates plans trips a Spark attribute-rewrite internal
+    # error (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND), and the result is
+    # tiny at oracle scale anyway.
+    auto = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup_embedding_cosine(
+            spark, SF_ORACLE, payload="auto"
+        ).collect()
+    }
+    base = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup_embedding_cosine(
+            spark, SF_ORACLE, payload="ivf"
+        ).collect()
+    }
+    assert auto == base
 
 
 def test_ivf_rerank_forms_identical(spark):

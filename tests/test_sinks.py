@@ -638,16 +638,44 @@ def test_publish_atomic_swaps_and_sweeps_every_crash_window(spark, tmp_path):
     assert spark.read.parquet(live).count() == 40
     assert not os.path.isdir(old)
 
-    # window 3: died before final cleanup (live has _SUCCESS) -> drop .old
+    # window 3: died before final cleanup (live has our own marker,
+    # written by the publish above) -> drop .old
+    assert os.path.isfile(os.path.join(live, ".publish-complete"))
     spark.range(5).write.parquet(old)
     publish_atomic(live, write_v(50))
     assert spark.read.parquet(live).count() == 50
     assert not os.path.isdir(old)
 
-    # foreign live dir without the commit marker + rollback present:
+    # window 3 with a NON-Spark write_fn (no _SUCCESS anywhere): our own
+    # marker alone must drive the recovery (r10 ADVICE — previously the
+    # recovery keyed on the committer's _SUCCESS and a healthy live dir
+    # could strand behind the RuntimeError)
+    def write_plain(p):
+        os.makedirs(p)
+        with open(os.path.join(p, "data.txt"), "w") as fh:
+            fh.write("v55\n")
+
+    publish_atomic(live, write_plain)
+    assert not os.path.isfile(os.path.join(live, "_SUCCESS"))
+    assert os.path.isfile(os.path.join(live, ".publish-complete"))
+    os.makedirs(old)  # simulate a leftover rollback dir
+    publish_atomic(live, write_plain)  # recovery sweeps it, no raise
+    assert not os.path.isdir(old)
+
+    # pre-marker datasets (Spark's _SUCCESS only) still recover
+    publish_atomic(live, write_v(50))
+    os.remove(os.path.join(live, ".publish-complete"))
+    assert os.path.isfile(os.path.join(live, "_SUCCESS"))
+    spark.range(5).write.parquet(old)
+    publish_atomic(live, write_v(51))
+    assert spark.read.parquet(live).count() == 51
+    assert not os.path.isdir(old)
+
+    # foreign live dir without either commit marker + rollback present:
     # refuse rather than guess which copy is the real one
     spark.range(5).write.parquet(old)
     os.remove(os.path.join(live, "_SUCCESS"))
-    with pytest.raises(RuntimeError, match="no _SUCCESS commit marker"):
+    os.remove(os.path.join(live, ".publish-complete"))
+    with pytest.raises(RuntimeError, match="commit marker"):
         publish_atomic(live, write_v(60))
     assert os.path.isdir(old)  # rollback copy survived the refusal

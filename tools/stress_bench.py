@@ -171,7 +171,7 @@ def main() -> None:
         wanted = set(args.queries)
         unknown = wanted - set(headline) - {
             "dedup_clusters_minhash", "curated_corpus_minhash",
-            "dedup_embedding_ivf",
+            "dedup_embedding_ivf", "dedup_embedding_tiles",
             "topk_naive_window", "topk_salted",
         }
         if unknown:
@@ -210,6 +210,7 @@ def main() -> None:
     from gcp_map_reduce_spark.operators.dedup import dedup_clusters
     from gcp_map_reduce_spark.operators.pipeline import curated_corpus
     from gcp_map_reduce_spark.operators.similarity import (
+        dedup_embedding_cosine,
         embedding_near_dup_pairs_ivf,
     )
 
@@ -221,10 +222,15 @@ def main() -> None:
         ("curated_corpus_minhash",
          lambda s, dd: curated_corpus(s, dd, near_dup_source="minhash",
                                       fast_hash=True)),
-        # the sub-quadratic cell-pruned pairs (r10) vs the registered
-        # banded plan's dedup_embedding_cosine row above — the scale
-        # head-to-head for the wide-angle regime
+        # the sub-quadratic cell-pruned pairs — since r11 this IS the
+        # registered dedup_embedding_cosine plan (auto → ivf); kept as
+        # its own row for continuity with the r10 head-to-head bank
         ("dedup_embedding_ivf", embedding_near_dup_pairs_ivf),
+        # the band-recall blocked-GEMM option (the pre-r11 registered
+        # plan) — gated so the explicit payload="tiles" path can't
+        # silently regress, and as the scale head-to-head vs ivf
+        ("dedup_embedding_tiles",
+         lambda s, dd: dedup_embedding_cosine(s, dd, payload="tiles")),
     ]:
         if selected is not None and name not in selected:
             continue
