@@ -569,7 +569,18 @@ def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution functions (ntile / percent_rank / cume_dist). All specs
     share the user_id partitioning, so one hash shuffle feeds every
     window; decimal-exact sums and the (ts, event_id) total order make
-    each column bit-deterministic."""
+    each column bit-deterministic.
+
+    Hot-key posture (r11): a window partition is ONE task, so a
+    pathologically hot user makes this plan's worst task scale with the
+    hot key's share (measured e=1.29 sf1→sf3 on the 10%-hot-user stress
+    set). None of the legs is irreducibly holistic — see
+    :func:`window_suite_two_pass`, the bit-identical two-pass
+    decomposition (chunked prefix sums, per-second range-frame
+    reduction, rank/ntile from exact integer offsets) whose worst task
+    is bounded by chunk size instead; it pays ~3 shuffles + two joins,
+    so this single-shuffle form remains the right default at uniform
+    key cardinality."""
     ev = _t(spark, sf_dir, "events")
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrows = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -591,6 +602,149 @@ def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(wo).alias("value_quartile"),
         F.percent_rank().over(wo).alias("pct_rank"),
         F.cume_dist().over(wo).alias("cume"),
+    )
+
+
+def window_suite_two_pass(
+    spark: SparkSession, sf_dir: str, chunk_sec: int = 3600
+) -> DataFrame:
+    """Hot-key-safe two-pass decomposition of :func:`window_suite` —
+    identical output (pytest-gated equality, including bit-equal
+    doubles), different worst-task bound.
+
+    Why: a window partition is one task — Spark cannot split it, AQE
+    cannot help, and a Zipfian hot user turns the registered plan's
+    per-user windows into a straggler that scales with the hot key's
+    share (window_suite measured e=1.29 sf1→sf3 with max task 0.72→4.2 s
+    on the 10%-hot-user stress set). Every column in the suite is in
+    fact ALGEBRAIC given the strict (ts, event_id) total order, so each
+    decomposes into bounded-size pieces:
+
+    - ``running_value`` (ROWS unbounded-preceding sum): classic parallel
+      prefix — per-(user, time-chunk) partial sums (decimal addition is
+      exact integer arithmetic, so regrouping is bit-safe), a tiny
+      window over the per-chunk rows for the chunk offsets, then a
+      within-chunk prefix. Max task = rows per (user, chunk), not per
+      user.
+    - ``delta`` (lag): within-chunk lag; each chunk's first row takes
+      the PREVIOUS non-empty chunk's last value from the per-chunk
+      relation (lag over chunk rows skips empty chunks by construction).
+    - ``value_30min`` (RANGE 1800 preceding on floor-seconds): RANGE
+      frames include all ties of the current ORDER value, so the sum is
+      a pure function of (user, second) — computed once per distinct
+      second over per-second partials and joined back. The per-second
+      window partition is bounded by distinct seconds per user, not
+      rows.
+    - ``ntile / percent_rank / cume_dist``: pure functions of
+      (rank, n) under a strict total order — rank = chunk offset count
+      + within-chunk row_number, n = per-user total; ntile's
+      uneven-bucket rule reproduced in exact integer arithmetic,
+      percent_rank = (rank-1)/(n-1), cume_dist = rank/n (ties are
+      impossible: event_id is unique).
+
+    NOTHING in the suite is irreducibly holistic; what the registered
+    plan buys instead is ONE shuffle and one window pass (this form
+    pays ~3 shuffles + two joins), so it wins whenever partitions fit a
+    task — the right default at uniform key cardinality. Use this form
+    when one key's row count makes the single-task window the
+    bottleneck. ``chunk_sec`` (>= 1800 so the range frame never spans
+    more than one chunk boundary... actually the range leg is
+    chunk-independent; the bound only sizes prefix chunks) trades
+    per-task row bound against per-chunk bookkeeping rows.
+
+    Residual bound: a hot key concentrated in ONE time chunk still
+    yields a chunk-sized task — shrink ``chunk_sec`` to match; the
+    per-second reduction of the range leg is likewise bounded by a hot
+    second's row count only in the per-second AGGREGATE (a groupBy,
+    which AQE/salting can split), never in a window task.
+    """
+    if chunk_sec < 1:
+        raise ValueError(f"chunk_sec must be positive, got {chunk_sec}")
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    um = F.unix_micros(F.col("ts").cast("timestamp"))
+    ep = F.col("ts").cast("timestamp").cast("long")  # floor seconds
+    val = dec("value", precision=12)
+    ev = (
+        ev.withColumn("um", um)
+        .withColumn("ep", ep)
+        .withColumn("chunk", F.floor(F.col("ep") / chunk_sec).cast("long"))
+    )
+
+    # ---- pass 1: per-(user, chunk) partials (bounded groupBy tasks) --
+    parts = ev.groupBy("user_id", "chunk").agg(
+        F.count("*").alias("cnt"),
+        F.sum(val).alias("sumv"),
+        # last row's value in (um, event_id) order: struct max is
+        # lexicographic and (um, event_id) is strictly increasing
+        F.max(F.struct("um", "event_id", "value")).alias("last_row"),
+    )
+    wchunk = Window.partitionBy("user_id").orderBy("chunk")
+    wprev = wchunk.rowsBetween(Window.unboundedPreceding, -1)
+    offsets = parts.select(
+        "user_id",
+        "chunk",
+        F.coalesce(
+            F.sum("sumv").over(wprev), F.lit(0).cast("decimal(22,2)")
+        ).alias("sum_off"),
+        F.coalesce(F.sum("cnt").over(wprev), F.lit(0)).alias("cnt_off"),
+        F.lag(F.col("last_row")["value"]).over(wchunk).alias("prev_chunk_val"),
+    )
+    totals = parts.groupBy("user_id").agg(
+        F.sum("cnt").alias("n_total"), F.sum("sumv").alias("sum_total")
+    )
+
+    # ---- range leg: per-(user, second) partials, tiny sliding window -
+    secs = ev.groupBy("user_id", "ep").agg(F.sum(val).alias("sec_sum"))
+    wsec = (
+        Window.partitionBy("user_id")
+        .orderBy("ep")
+        .rangeBetween(-1800, Window.currentRow)
+    )
+    sec_win = secs.select(
+        "user_id", "ep", F.sum("sec_sum").over(wsec).alias("win_sum")
+    )
+
+    # ---- pass 2: within-chunk windows (bounded partitions) + stitch --
+    win = Window.partitionBy("user_id", "chunk").orderBy("um", "event_id")
+    wrun = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    enriched = (
+        ev.join(offsets, ["user_id", "chunk"])
+        .join(F.broadcast(totals), "user_id")
+        .join(sec_win, ["user_id", "ep"])
+    )
+    rn = F.row_number().over(win)
+    rank = (F.col("cnt_off") + rn).cast("long")
+    n = F.col("n_total").cast("long")
+    # ntile(k): first n%k buckets get ceil(n/k) rows, the rest floor
+    k = F.lit(4).cast("long")
+    base = (n / k).cast("long")
+    rem = n % k
+    big = base + 1
+    in_big = rank <= rem * big
+    ntile = F.when(in_big, ((rank - 1) / big).cast("long") + 1).otherwise(
+        rem
+        + ((rank - 1 - rem * big) / F.greatest(base, F.lit(1).cast("long")))
+        .cast("long")
+        + 1
+    )
+    prev_val = F.coalesce(
+        F.lag("value").over(win),
+        F.when(rn == 1, F.col("prev_chunk_val")),
+    )
+    return enriched.select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.col("value") - prev_val).alias("delta"),
+        (F.col("sum_off") + F.sum(val).over(wrun))
+        .cast("double")
+        .alias("running_value"),
+        F.col("win_sum").cast("double").alias("value_30min"),
+        ntile.cast("int").alias("value_quartile"),
+        F.when(n > 1, (rank - 1).cast("double") / (n - 1).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
+        (rank.cast("double") / n.cast("double")).alias("cume"),
     )
 
 

@@ -335,3 +335,34 @@ def test_ensure_parallelism_sees_through_empty_byte_range_splits(spark, tmp_path
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
         spark.conf.set("spark.sql.files.openCostInBytes", prev_open)
+
+
+def test_window_suite_two_pass_bit_identical(spark):
+    """The hot-key-safe two-pass decomposition (r11, verdict task #6)
+    must reproduce the registered window_suite BIT-IDENTICALLY — every
+    column, including the double-valued distribution functions — at the
+    default chunking AND at a tiny chunk_sec that forces many chunk
+    boundaries (cross-chunk lag, offset stitching, empty chunks between
+    sparse users)."""
+    from gcp_map_reduce_spark.operators.relational import (
+        window_suite,
+        window_suite_two_pass,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    base = {
+        (r.user_id, r.event_id): tuple(r)[2:]
+        for r in window_suite(spark, sf).collect()
+    }
+    assert base
+    for chunk_sec in (3600, 600):
+        got = {
+            (r.user_id, r.event_id): tuple(r)[2:]
+            for r in window_suite_two_pass(spark, sf, chunk_sec=chunk_sec).collect()
+        }
+        assert got == base, chunk_sec
+
+    import pytest
+
+    with pytest.raises(ValueError, match="chunk_sec"):
+        window_suite_two_pass(spark, sf, chunk_sec=0)

@@ -101,18 +101,54 @@ def gen_events(con, src: str, out: str, copies: int) -> None:
     )
 
 
-def gen_documents(con, src: str, out: str, copies: int) -> None:
-    """10x documents; copy 1 = exact dup of copy 0, copies 2+ mutate."""
+def gen_documents(con, src: str, out: str, copies: int,
+                  clique_size: int = 0) -> None:
+    """10x documents; copy 1 = exact dup of copy 0, copies 2+ mutate.
+
+    ``clique_size`` (r11, verdict task #4) decouples near-dup CLIQUE
+    size from the copy factor: with the legacy 0 every copy of a base
+    doc is a near-dup of every other copy, so the pair graph grows
+    QUADRATICALLY in ``--copies`` (sf1→sf3 measured 9.6x pairs for 3x
+    volume) and any pair-emitting operator's measured exponent
+    conflates engine scaling with output growth. With ``clique_size=K``
+    copies are partitioned into groups of K (group = copy_i // K) and
+    every token in group g > 0 is prefixed with a group tag
+    (``g<g><token>``), so shingle overlap ACROSS groups is zero while
+    near-dup structure WITHIN a group is exactly the legacy one (local
+    copy j = copy_i %% K: j<=1 exact dup, j>=2 tail marker). Pair
+    output then grows ~linearly with copies at fixed K — the honest
+    volume axis for exponent measurement. K>=2 required for any
+    near-dup pairs to exist."""
+    if clique_size <= 0:
+        text = (
+            "CASE WHEN copy_i <= 1 THEN d.text "
+            "ELSE d.text || ' rev' || CAST(copy_i AS VARCHAR) END"
+        )
+        n_chars = (
+            "CASE WHEN copy_i <= 1 THEN d.n_chars ELSE d.n_chars + 5 END"
+        )
+    else:
+        k = clique_size
+        # group tag on every token kills cross-group shingle overlap;
+        # within-group mutation mirrors the legacy scheme
+        base = (
+            f"CASE WHEN copy_i // {k} = 0 THEN d.text "
+            f"ELSE regexp_replace(d.text, '([A-Za-z0-9]+)', "
+            f"'g' || CAST(copy_i // {k} AS VARCHAR) || '\\1', 'g') END"
+        )
+        text = (
+            f"CASE WHEN copy_i % {k} <= 1 THEN ({base}) "
+            f"ELSE ({base}) || ' rev' || CAST(copy_i AS VARCHAR) END"
+        )
+        n_chars = f"length({text})"
     con.execute(
         f"""
         COPY (
           SELECT
             d.doc_id + copy_i * (SELECT max(doc_id) + 1 FROM src) AS doc_id,
-            CASE WHEN copy_i <= 1 THEN d.text
-                 ELSE d.text || ' rev' || CAST(copy_i AS VARCHAR) END AS text,
+            {text} AS text,
             d.lang, d.source,
-            CASE WHEN copy_i <= 1 THEN d.n_chars
-                 ELSE d.n_chars + 5 END AS n_chars
+            {n_chars} AS n_chars
           FROM src d CROSS JOIN copies
         ) TO '{out}' (FORMAT PARQUET)
         """
@@ -156,6 +192,11 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/root/repo/stress/sf1")
     ap.add_argument("--copies", type=int, default=COPIES)
+    ap.add_argument("--clique-size", type=int, default=0,
+                    help="near-dup clique size for documents (0 = legacy: "
+                    "one clique per base doc spanning ALL copies, pair "
+                    "output quadratic in --copies; K>=2 = cliques of K "
+                    "copies, pair output ~linear in --copies)")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -173,7 +214,10 @@ def main() -> None:
         con.execute(
             f"CREATE OR REPLACE TEMP TABLE src AS SELECT * FROM '{src}'"
         )
-        fn(con, src, out, args.copies)
+        if fn is gen_documents:
+            fn(con, src, out, args.copies, clique_size=args.clique_size)
+        else:
+            fn(con, src, out, args.copies)
         print(f"{table}: wrote {out}")
 
     li_src = os.path.join(args.src, "lineitem.parquet")

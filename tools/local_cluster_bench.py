@@ -1,0 +1,211 @@
+"""Multi-process execution smoke bench: run the join/exchange-heavy
+bench rows under ``local-cluster[W,C,M]`` — REAL separate executor JVMs
+with real network/serialization boundaries — and compare against a
+``local[32]`` run of the same subset taken back-to-back on the same box.
+
+Why (r10 verdict task #2): every perf number in this repo's history is
+single-JVM ``local[32]``, where "broadcast", "shuffle" and "Arrow
+exchange" are memcpys inside one address space. Several design
+arguments rest on claims that only a process boundary can falsify:
+
+- the q3 ShuffledHashJoin BuildLeft choice (a build map on the
+  cust⋈orders side must FIT in one executor's memory — 4 GiB here,
+  not the shared 128 GiB heap);
+- the raised 64 MB autoBroadcastJoinThreshold (driver -> N executors
+  real copies, not a pointer share);
+- Arrow pandas-UDF exchange costs (socket serialization per executor
+  python worker, not same-process pipes).
+
+The default ``local-cluster[4,8,4096]`` keeps total cores at 32 (4
+workers x 8 cores) so the comparison against ``local[32]`` isolates the
+PROCESS-BOUNDARY cost at equal parallelism and ~8x tighter per-executor
+memory.
+
+Method: same discipline as bench.py — per-query warm-up (JIT + AQE plan
+at the target volume), best-of-N noop-sink runs, fault-isolated per
+query. With ``--compare`` (the default mode for the committed artifact)
+the script re-runs the identical subset in a fresh subprocess on
+``local[32]`` immediately after, so both sides see the same box load,
+and writes LOCAL_CLUSTER_BENCH.json with per-query ratios. Queries
+slower than ``--flag-ratio`` (default 1.5x) are listed in ``flagged``
+for diagnosis — the artifact is the evidence either way.
+
+Run:
+    python tools/local_cluster_bench.py                # full artifact
+    python tools/local_cluster_bench.py --runs 2       # quicker
+    python tools/local_cluster_bench.py --master 'local-cluster[2,4,2048]'
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+OUT_PATH = os.path.join(REPO, "LOCAL_CLUSTER_BENCH.json")
+
+# The join/exchange-heavy headline rows (every shuffle/broadcast/Arrow
+# boundary class is represented) — the subset where a process boundary
+# could plausibly change the verdict.
+DEFAULT_QUERIES = [
+    "q3_shipping_priority",     # SHJ BuildLeft memory claim
+    "q5_local_supplier_volume", # hand-ordered dim-broadcast join chain
+    "join_outer_broadcast",     # broadcast + shuffle-hash outer joins
+    "q21_waiting_suppliers",    # semi/anti self-joins + top-k
+    "window_suite",             # wide shuffle + holistic window fns
+    "user_event_profile",       # sessionize: window + groupBy chain
+    "agg_multidim",             # grouping-sets multi-shuffle
+    "dedup_minhash",            # Arrow kernel + band equi-join
+    "dedup_embedding_cosine",   # broadcast codebook + grouped GEMM
+    "similarity_ivf_ann",       # 1-row codebook BNLJ + probe joins
+    "text_tfidf",               # explode shuffle + broadcast IDF term
+    "curated_corpus",           # flagship multi-stage composition
+]
+
+
+def _wait_for_executors(spark, want_cores: int, timeout_s: float = 60.0):
+    """Block until the cluster registers ``want_cores`` (executors come
+    up asynchronously in local-cluster mode; defaultParallelism reads 2
+    until they do, which would mis-size every ensure_parallelism fanout)."""
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        if spark.sparkContext.defaultParallelism >= want_cores:
+            return
+        time.sleep(0.5)
+    raise RuntimeError(
+        f"executors did not register {want_cores} cores within "
+        f"{timeout_s}s (got {spark.sparkContext.defaultParallelism})"
+    )
+
+
+def run_subset(master: str, sf_dir: str, queries: list[str], runs: int) -> dict:
+    from gcp_map_reduce_spark.plans import registry
+    from gcp_map_reduce_spark.session import get_spark
+
+    registry.load_catalog()
+    from bench import build_overrides
+
+    overrides = build_overrides()
+
+    def plan(name):
+        return overrides.get(name) or registry.QUERIES[name]
+
+    extra = {}
+    want_cores = 32
+    if master.startswith("local-cluster"):
+        # executor python workers must import this repo's modules (the
+        # Arrow kernels are closures over module globals)
+        extra["spark.executorEnv.PYTHONPATH"] = REPO
+        w, c, _m = master.split("[")[1].rstrip("]").split(",")
+        want_cores = int(w) * int(c)
+    spark = get_spark(app_name="local_cluster_bench", master=master,
+                      extra_conf=extra)
+    spark.sparkContext.setLogLevel("ERROR")
+    if master.startswith("local-cluster"):
+        _wait_for_executors(spark, want_cores)
+
+    timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
+    errors: dict[str, str] = {}
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    for name in queries:
+        try:
+            plan(name)(spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+        except Exception as exc:
+            print(f"warm-up failed for {name}: {exc!r}", file=sys.stderr)
+    for name in queries:
+        q = plan(name)
+        samples: list[float] = []
+        gc.collect()
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(round(time.perf_counter() - t0, 3))
+        except Exception as exc:
+            errors[name] = repr(exc)[:500]
+            print(f"timed run failed for {name}: {exc!r}", file=sys.stderr)
+            continue
+        srt = sorted(samples)
+        timings[name] = srt[0]
+        detail[name] = {"runs": samples, "min": srt[0],
+                        "spread": round(srt[-1] - srt[0], 3)}
+        print(f"{master} {name}: {srt[0]:.3f}s {samples}", flush=True)
+    spark.stop()
+    return {"master": master, "queries": timings, "detail": detail,
+            "errors": errors}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--master", default="local-cluster[4,8,4096]")
+    ap.add_argument("--dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--queries", nargs="*", default=None)
+    ap.add_argument("--flag-ratio", type=float, default=1.5)
+    ap.add_argument("--no-compare", action="store_true",
+                    help="skip the back-to-back local[32] reference run")
+    ap.add_argument("--_emit-json", action="store_true",
+                    help="(internal) print result JSON to stdout (used "
+                    "by the comparison subprocess)")
+    args = ap.parse_args()
+    queries = args.queries or DEFAULT_QUERIES
+
+    result = run_subset(args.master, args.dir, queries, args.runs)
+    if args._emit_json:
+        print("RESULT_JSON:" + json.dumps(result), flush=True)
+        return
+
+    artifact = {"cluster": result, "sf_dir": args.dir, "runs": args.runs}
+    if not args.no_compare:
+        # fresh subprocess: a clean JVM on local[32], same box, same
+        # minute — the honest same-load reference
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--master", "local[32]", "--dir", args.dir,
+               "--runs", str(args.runs), "--_emit-json",
+               "--queries", *queries]
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              cwd=REPO, timeout=1800)
+        ref = None
+        for line in proc.stdout.splitlines():
+            if line.startswith("RESULT_JSON:"):
+                ref = json.loads(line[len("RESULT_JSON:"):])
+        if ref is None:
+            print(proc.stdout[-2000:], file=sys.stderr)
+            print(proc.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError("local[32] reference run produced no result")
+        artifact["local32"] = ref
+        ratios = {}
+        flagged = []
+        for name in queries:
+            a = result["queries"].get(name)
+            b = ref["queries"].get(name)
+            if a is None or b is None or b <= 0:
+                continue
+            r = round(a / b, 3)
+            ratios[name] = r
+            if r > args.flag_ratio:
+                flagged.append(name)
+        artifact["ratio_cluster_over_local32"] = ratios
+        artifact["flagged_over_%.2fx" % args.flag_ratio] = flagged
+        artifact["flagged"] = flagged
+
+    with open(OUT_PATH, "w") as fh:
+        json.dump(artifact, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"artifact written to {OUT_PATH}")
+    if artifact.get("flagged"):
+        print("FLAGGED (needs diagnosis):", artifact["flagged"])
+
+
+if __name__ == "__main__":
+    main()
