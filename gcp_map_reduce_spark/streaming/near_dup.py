@@ -143,7 +143,18 @@ def run_streaming_near_dup_dedup(
             .select("doc_b")
         )
         dups = vs_store.union(within).distinct()
-        accepted = sigs.join(dups, sigs.doc_id == dups.doc_b, "left_anti")
+        # materialize ONCE: `accepted` feeds two writes, and without the
+        # checkpoint each write re-executes the whole band-join DAG (the
+        # multi-consumer recompute cost class — r11 trigger-cost profile:
+        # this plus the small-file store were most of the ~3 s/trigger
+        # fixed floor). coalesce(1) first: the per-batch store/output is
+        # a few thousand skinny rows, and 32-file batch dirs made every
+        # LATER trigger's store re-read pay 32x the listing + footer work.
+        accepted = (
+            sigs.join(dups, sigs.doc_id == dups.doc_b, "left_anti")
+            .localCheckpoint(eager=True)  # parallel DAG run, ONCE
+            .coalesce(1)  # post-checkpoint: no recompute, 1-file writes
+        )
 
         accepted.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
         accepted.select("doc_id").write.mode("overwrite").parquet(
