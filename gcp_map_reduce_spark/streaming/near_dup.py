@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
+from gcp_map_reduce_spark.operators.scale import ensure_parallelism
 from gcp_map_reduce_spark.operators.dedup import (
     NUM_HASHES,
     _token_hash_expr,
@@ -56,6 +57,7 @@ def run_streaming_near_dup_dedup(
     output_dir: str,
     max_files_per_trigger: int | None = None,
     fast_hash: bool = True,
+    spread_batch: bool = False,
 ):
     """Start the stream (availableNow trigger: drains pending files and
     stops). ``output_dir`` accumulates accepted (doc_id) rows;
@@ -73,8 +75,21 @@ def run_streaming_near_dup_dedup(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         ss = batch_df.sparkSession
+        # spread_batch: one file per trigger = ONE split, so the whole
+        # tokenize+minhash kernel runs in a single task. MEASURED A/B at
+        # 3k-doc batches (r11, 2 rounds each, same session): fanout
+        # 1203/1628 docs/s vs no-fanout 1716/1756 — the exchange plus
+        # its extra stage costs MORE than the ~0.4 s single-task kernel
+        # saves, so the default is off. Turn it on when triggers carry
+        # large batches (many files or big files per trigger), where the
+        # serialized kernel, not the per-trigger fixed cost, dominates.
+        spread = (
+            ensure_parallelism(batch_df, ss.sparkContext.defaultParallelism)
+            if spread_batch
+            else batch_df
+        )
         sigs = minhash_signatures_arrow(
-            batch_df.select(
+            spread.select(
                 "doc_id", _token_hash_expr(fast_hash).alias("th_arr")
             )
         ).localCheckpoint(eager=True)
@@ -91,58 +106,73 @@ def run_streaming_near_dup_dedup(
         except AnalysisException:  # first batch: no store yet
             store = ss.createDataFrame([], sig_schema)
 
+        # ONE candidate pass for both match classes (r11 trigger-cost
+        # rewrite: the two-leg form paid ~10 tiny shuffle stages per
+        # trigger — both band joins shuffled BOTH sides, including the
+        # GROWING store). The batch side is micro-batch-bounded, so it
+        # is explicitly broadcast everywhere and the store is only ever
+        # touched MAP-SIDE (scan -> broadcast hash join), which is also
+        # the 100 TB shape: per-trigger cost stays O(store scan) with
+        # zero store shuffle. Match classes, encoded in one filter:
+        #   - vs an earlier ACCEPTED doc (store row, any id): suppress
+        #   - within the batch: keep the lower doc_id of each pair
         batch_bands = minhash_band_rows(sigs)
-        store_bands = minhash_band_rows(store)
-
-        # vs earlier batches: any store doc (id-only band join, signatures
-        # re-join for the estimate)
-        vs_store = (
-            batch_bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+        all_bands = minhash_band_rows(store).withColumn(
+            "in_batch", F.lit(False)
+        ).unionByName(batch_bands.withColumn("in_batch", F.lit(True)))
+        cand = (
+            all_bands.select(
+                F.col("doc_id").alias("doc_a"), "band_id", "band_key", "in_batch"
+            )
             .join(
-                store_bands.select(
-                    F.col("doc_id").alias("doc_a"), "band_id", "band_key"
+                F.broadcast(
+                    batch_bands.select(
+                        F.col("doc_id").alias("doc_b"), "band_id", "band_key"
+                    )
                 ),
                 ["band_id", "band_key"],
             )
-            .filter(F.col("doc_a") != F.col("doc_b"))
+            .filter(
+                (~F.col("in_batch") & (F.col("doc_a") != F.col("doc_b")))
+                | (F.col("in_batch") & (F.col("doc_a") < F.col("doc_b")))
+            )
+            # no distinct: a pair repeats once per colliding band (<= 8),
+            # each repeat costs one more tiny est_jaccard row map-side,
+            # while the distinct was the last SHUFFLE left in this DAG —
+            # the left_anti consumer is multiplicity-blind anyway
             .select("doc_a", "doc_b")
-            .distinct()
+        )
+        all_sigs = store.select("doc_id", "sig").unionByName(
+            sigs.select("doc_id", "sig")
+        )
+        # sig payload joins: batch sigs broadcast onto the candidate
+        # list, then the (tiny) candidate list broadcast onto the
+        # store-sized sig relation — again map-only over the store. No
+        # distinct on dups: the left_anti below is multiplicity-blind.
+        dups = (
+            all_sigs.select(
+                F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+            )
             .join(
-                store.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+                F.broadcast(
+                    cand.join(
+                        F.broadcast(
+                            sigs.select(
+                                F.col("doc_id").alias("doc_b"),
+                                F.col("sig").alias("sig_b"),
+                            )
+                        ),
+                        "doc_b",
+                    )
+                ),
                 "doc_a",
             )
-            .join(
-                sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
-                "doc_b",
+            .filter(
+                _est_jaccard(F.col("sig_a"), F.col("sig_b"))
+                >= NEAR_DUP_EST_JACCARD
             )
-            .filter(_est_jaccard(F.col("sig_a"), F.col("sig_b")) >= NEAR_DUP_EST_JACCARD)
             .select("doc_b")
         )
-        # within the batch: keep the lower doc_id of each near-dup pair
-        a, b = batch_bands.alias("a"), batch_bands.alias("b")
-        within = (
-            a.join(
-                b,
-                (F.col("a.band_id") == F.col("b.band_id"))
-                & (F.col("a.band_key") == F.col("b.band_key"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-            )
-            .distinct()
-            .join(
-                sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
-                "doc_a",
-            )
-            .join(
-                sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
-                "doc_b",
-            )
-            .filter(_est_jaccard(F.col("sig_a"), F.col("sig_b")) >= NEAR_DUP_EST_JACCARD)
-            .select("doc_b")
-        )
-        dups = vs_store.union(within).distinct()
         # materialize ONCE: `accepted` feeds two writes, and without the
         # checkpoint each write re-executes the whole band-join DAG (the
         # multi-consumer recompute cost class — r11 trigger-cost profile:
@@ -151,7 +181,7 @@ def run_streaming_near_dup_dedup(
         # a few thousand skinny rows, and 32-file batch dirs made every
         # LATER trigger's store re-read pay 32x the listing + footer work.
         accepted = (
-            sigs.join(dups, sigs.doc_id == dups.doc_b, "left_anti")
+            sigs.join(F.broadcast(dups), sigs.doc_id == dups.doc_b, "left_anti")
             .localCheckpoint(eager=True)  # parallel DAG run, ONCE
             .coalesce(1)  # post-checkpoint: no recompute, 1-file writes
         )
