@@ -7,7 +7,10 @@ from gcp_map_reduce_spark.streaming.file_trigger import (
     run_streaming_dedup,
     run_streaming_upsert,
 )
-from gcp_map_reduce_spark.streaming.near_dup import run_streaming_near_dup_dedup
+from gcp_map_reduce_spark.streaming.near_dup import (
+    compact_signature_store,
+    run_streaming_near_dup_dedup,
+)
 from gcp_map_reduce_spark.streaming.stateful import run_stateful_sessionize
 
 __all__ = [
@@ -18,6 +21,7 @@ __all__ = [
     "run_stream_static_enrich",
     "run_stream_stream_join",
     "run_streaming_dedup",
+    "compact_signature_store",
     "run_streaming_near_dup_dedup",
     "run_streaming_upsert",
 ]

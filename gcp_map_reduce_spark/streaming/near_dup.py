@@ -12,10 +12,15 @@ Accepted docs' signatures append to the store.
 State is the store itself — one k-long signature row per accepted doc,
 partitioned by the batch that accepted it. That is bounded by DISTINCT
 content (not stream length), lives in parquet (not executor memory, so
-restarts and scale-out are free), and the band join reads it with
-ordinary predicate pushdown. At 100 TB/day you compact the store
-periodically and partition it by band prefix so each micro-batch's join
-prunes to colliding buckets.
+restarts and scale-out are free), and since r11 the per-trigger join
+touches it MAP-SIDE only (batch side broadcast — zero store shuffle).
+At 100 TB/day, run :func:`compact_signature_store` between stream runs
+so per-trigger listing/open cost stays O(1) in stream age instead of
+O(batches); at band-join selectivity pressure beyond that, the next
+step is a band-exploded store layout partitioned by band prefix so the
+probe prunes to colliding buckets (the `write_partitioned` layout tool
+applies; not needed at the measured store sizes — 4,761 rows for the
+50k-doc stress drain).
 
 Replay safety (foreachBatch is at-least-once): both the store and the
 output are written to ``batch_id=N`` subdirectories with overwrite — a
@@ -97,10 +102,17 @@ def run_streaming_near_dup_dedup(
         try:
             store = ss.read.schema(sig_schema).parquet(f"{store_dir}/*")
             # a replayed batch must not match against its own prior write
+            # rows from compacted=K dirs carry no batch_id in their path;
+            # regexp_extract then yields '' -> NULL after the cast, and a
+            # bare `_bid != batch_id` would silently DROP them (NULL
+            # comparison) — default to -1 so compacted rows always pass
             store = store.withColumn(
                 "_bid",
-                F.regexp_extract(F.input_file_name(), r"batch_id=(\d+)", 1).cast(
-                    "long"
+                F.coalesce(
+                    F.regexp_extract(
+                        F.input_file_name(), r"batch_id=(\d+)", 1
+                    ).try_cast("long"),  # '' under ANSI: NULL, not throw
+                    F.lit(-1),
                 ),
             ).filter(F.col("_bid") != batch_id).drop("_bid")
         except AnalysisException:  # first batch: no store yet
@@ -198,3 +210,84 @@ def run_streaming_near_dup_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_signature_store(
+    spark: SparkSession, store_dir: str, keep_last: int = 1
+) -> int:
+    """Compact the per-batch signature store between stream runs: merge
+    the `batch_id=N` dirs (and any prior `compacted=K` dir) into ONE
+    `compacted=<max merged N>` dir, then drop the merged inputs. Returns
+    the number of input dirs merged (0 = nothing to do).
+
+    Why: every trigger re-lists and re-scans the whole store, so a
+    long-running ingest accumulating one dir (one file since r11) per
+    batch pays O(batches) listing + open cost per trigger — the exact
+    small-files decay `compact_parquet` exists for, applied to this
+    store's layout. Run it between stream runs (the stream holds no
+    lock; but compaction must not race a LIVE stream, whose replayed
+    batch could rewrite a dir mid-merge).
+
+    Correctness under the stream's replay guard: compacted rows carry no
+    `batch_id=` in their path, so the store read assigns them _bid=-1
+    and they are never excluded — safe, because the store holds only
+    ACCEPTED docs: a replayed doc's own row is excluded by
+    `doc_a != doc_b`, and two same-batch accepted docs are by
+    construction NOT near-dups (one would have been suppressed), so
+    their est_jaccard fails the threshold anyway. `keep_last` batch
+    dirs are left uncompacted so an uncommitted-final-batch replay
+    rewrites its own dir rather than duplicating into the merged file
+    (a duplicate would ALSO be harmless — the consumer anti-join is
+    multiplicity-blind — just wasteful).
+
+    Crash posture (the kill-audit pattern): the merged dir is written to
+    a `.compact-staging` sibling and renamed into place BEFORE any
+    input is deleted — a kill mid-way leaves duplicate rows, never lost
+    ones, and the next call self-heals: inputs subsumed by an existing
+    `compacted=K` (batch ids <= K, or older compacted dirs) are re-merged
+    and dropped."""
+    import glob
+    import os
+    import re
+    import shutil
+
+    sig_schema = "doc_id bigint, sig array<bigint>"
+    staging = os.path.join(store_dir, ".compact-staging")
+    shutil.rmtree(staging, ignore_errors=True)
+
+    batch_dirs = {
+        int(m.group(1)): p
+        for p in glob.glob(os.path.join(store_dir, "batch_id=*"))
+        if (m := re.search(r"batch_id=(\d+)$", p))
+    }
+    old_compacted = sorted(glob.glob(os.path.join(store_dir, "compacted=*")))
+    merge_batches = sorted(batch_dirs)[: max(0, len(batch_dirs) - keep_last)]
+    inputs = [batch_dirs[b] for b in merge_batches] + old_compacted
+    if len(inputs) < 2:
+        return 0
+    hi = max(
+        merge_batches
+        + [
+            int(m.group(1))
+            for p in old_compacted
+            if (m := re.search(r"compacted=(\d+)$", p))
+        ]
+    )
+    (
+        spark.read.schema(sig_schema)
+        .parquet(*inputs)
+        # crash-window duplicates (an input dir that survived a kill
+        # after the merged dir was renamed in) collapse here: a doc_id
+        # appears in one accepting batch, so its sig rows are identical
+        .dropDuplicates(["doc_id"])
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    dest = os.path.join(store_dir, f"compacted={hi}")
+    shutil.rmtree(dest, ignore_errors=True)  # re-compaction of same hi
+    os.rename(staging, dest)
+    for p in inputs:
+        if p != dest:
+            shutil.rmtree(p, ignore_errors=True)
+    return len(inputs)

@@ -620,3 +620,109 @@ def test_streaming_upsert_bucketed_rewrites_only_affected_buckets(
     assert not any(e.endswith(".old") for e in _os.listdir(snapshot))
     keys = {r.k for r in read_snapshot_bucketed(spark, snapshot).collect()}
     assert keys == set(range(40)) | {41, 42}
+
+
+def test_signature_store_compaction_preserves_acceptance(spark, tmp_path):
+    """r11: `compact_signature_store` must (a) reduce the store to one
+    compacted dir + `keep_last` batch dirs with identical row content,
+    (b) leave the STREAM's acceptance decisions unchanged when ingest
+    continues over the compacted store (the _bid=-1 default keeps
+    compacted rows in the join), and (c) self-heal the
+    crash-between-write-and-delete window (duplicate rows are merged
+    away on the next call, never lost)."""
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from gcp_map_reduce_spark.sources.tables import load_table
+    from gcp_map_reduce_spark.streaming.near_dup import (
+        compact_signature_store,
+        run_streaming_near_dup_dedup,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    per = (len(pdf) + 3) // 4
+
+    def drain(root, files):
+        src = root / "docs"
+        src.mkdir(exist_ok=True)
+        for name, sl in files:
+            sl.to_parquet(str(src / name), index=False)
+        q = run_streaming_near_dup_dedup(
+            spark, str(src), str(root / "ckpt"), str(root / "store"),
+            str(root / "out"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(300)
+        return {
+            r["doc_id"]
+            for r in spark.read.parquet(str(root / "out" / "*")).collect()
+        }
+
+    slices = [
+        (f"f{b}.parquet", pdf.iloc[b * per : (b + 1) * per]) for b in range(4)
+    ]
+    # follow-up batch: perturbed copies of early docs + one novel doc
+    dup = pdf.iloc[:15].copy()
+    dup["doc_id"] += 900000
+    dup["text"] += " tail tweak"
+    novel = dup.iloc[:1].copy()
+    novel["doc_id"] = 990009
+    novel["text"] = "utterly novel walrus cadenza " * 40
+    follow = ("g.parquet", pd.concat([dup, novel]))
+
+    # reference: no compaction anywhere
+    ref_root = tmp_path / "ref"
+    ref_root.mkdir()
+    drain(ref_root, slices)
+    ref = drain(ref_root, [follow])
+
+    # compacted: drain 4 batches, compact, then the same follow-up batch
+    c_root = tmp_path / "cmp"
+    c_root.mkdir()
+    drain(c_root, slices)
+    store = str(c_root / "store")
+    before = {
+        (r["doc_id"], tuple(r["sig"]))
+        for r in spark.read.parquet(f"{store}/*").collect()
+    }
+    merged = compact_signature_store(spark, store, keep_last=1)
+    assert merged == 3  # 4 batch dirs - keep_last
+    assert len(glob.glob(f"{store}/compacted=*")) == 1
+    assert len(glob.glob(f"{store}/batch_id=*")) == 1
+    after = {
+        (r["doc_id"], tuple(r["sig"]))
+        for r in spark.read.parquet(f"{store}/*").collect()
+    }
+    assert after == before  # content-identical store
+    got = drain(c_root, [follow])
+    assert got == ref  # acceptance decisions unchanged over compacted store
+
+    # crash window: compacted dir written but an input survived the kill
+    # -> duplicate rows; the next call merges everything and self-heals
+    leftover = glob.glob(f"{store}/compacted=*")[0]
+    dup_dir = f"{store}/batch_id=0"
+    shutil.copytree(leftover, dup_dir)  # plant subsumed duplicate input
+    n_dup = spark.read.parquet(f"{store}/*").count()
+    assert n_dup > len(after)  # duplicates really present
+    expected_rows = {
+        (r["doc_id"], tuple(r["sig"]))
+        for r in spark.read.parquet(f"{store}/compacted=*").collect()
+    } | {
+        (r["doc_id"], tuple(r["sig"]))
+        for r in spark.read.parquet(f"{store}/batch_id=[1-9]*").collect()
+    }
+    compact_signature_store(spark, store, keep_last=0)
+    healed_rows = [
+        (r["doc_id"], tuple(r["sig"]))
+        for r in spark.read.parquet(f"{store}/*").collect()
+    ]
+    assert not glob.glob(f"{store}/batch_id=*")
+    # nothing lost, duplicates collapsed (row COUNT equals the set size)
+    assert set(healed_rows) == expected_rows
+    assert len(healed_rows) == len(expected_rows)
