@@ -487,3 +487,25 @@ def test_ivf_near_dup_pairs_exact_precision_and_true_dup_recall(spark, tmp_path)
         ).collect()
     }
     assert blocked == ivf
+
+
+def test_band_payloads_keep_their_own_sql_mirror(spark):
+    """The registered oracle moved to cell recall when auto began routing
+    to the ivf generator (r11), so the band-recall payloads would
+    otherwise lose their SQL-mirror evidence. Keep it: payload='corpus'
+    must still value-match the banded DuckDB mirror
+    (_embedding_dedup_oracle — plane literals, sign sketches, 8x2-bit
+    band agreement) at oracle scale, exactly as the driver gate checked
+    it through r10. tiles/candidates equality to 'corpus' is pinned by
+    test_embedding_dedup_payload_shapes_agree, so this transitively
+    covers all three band plans."""
+    from gcp_map_reduce_spark.operators.similarity import (
+        _embedding_dedup_oracle,
+        dedup_embedding_cosine,
+    )
+    from tests.oracle_harness import _canon, duckdb_conn
+
+    sdf = dedup_embedding_cosine(spark, SF_ORACLE, payload="corpus").toPandas()
+    ddf = duckdb_conn(SF_ORACLE).execute(_embedding_dedup_oracle()).fetchdf()
+    assert len(sdf) == len(ddf) > 0
+    assert _canon(sdf).equals(_canon(ddf))
