@@ -213,7 +213,11 @@ def run_streaming_near_dup_dedup(
 
 
 def compact_signature_store(
-    spark: SparkSession, store_dir: str, keep_last: int = 1
+    spark: SparkSession,
+    store_dir: str,
+    keep_last: int = 1,
+    schema: str = "doc_id bigint, sig array<bigint>",
+    key: str = "doc_id",
 ) -> int:
     """Compact the per-batch signature store between stream runs: merge
     the `batch_id=N` dirs (and any prior `compacted=K` dir) into ONE
@@ -251,7 +255,6 @@ def compact_signature_store(
     import re
     import shutil
 
-    sig_schema = "doc_id bigint, sig array<bigint>"
     staging = os.path.join(store_dir, ".compact-staging")
     shutil.rmtree(staging, ignore_errors=True)
 
@@ -274,12 +277,12 @@ def compact_signature_store(
         ]
     )
     (
-        spark.read.schema(sig_schema)
+        spark.read.schema(schema)
         .parquet(*inputs)
         # crash-window duplicates (an input dir that survived a kill
         # after the merged dir was renamed in) collapse here: a doc_id
         # appears in one accepting batch, so its sig rows are identical
-        .dropDuplicates(["doc_id"])
+        .dropDuplicates([key])
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(staging)

@@ -726,3 +726,130 @@ def test_signature_store_compaction_preserves_acceptance(spark, tmp_path):
     # nothing lost, duplicates collapsed (row COUNT equals the set size)
     assert set(healed_rows) == expected_rows
     assert len(healed_rows) == len(expected_rows)
+
+
+def test_streaming_embedding_near_dup_parity_with_batch_ivf(spark, tmp_path):
+    """r11: the streaming embedding near-dup's acceptance policy must
+    replay EXACTLY over the batch IVF pair graph (same codebook — the
+    stream persists first-batch rank seeds, and id-ordered slicing makes
+    them the corpus rank seeds the batch op uses): a vector is suppressed
+    iff it cell-collides at cosine >= threshold with an earlier-batch
+    ACCEPTED vector or a lower-id same-batch vector. Also checks restart
+    + replay-guard behavior (second drain continues from checkpoint) and
+    the store compactor generalization."""
+    import glob
+    import os
+
+    import duckdb
+
+    from gcp_map_reduce_spark.operators.similarity import (
+        embedding_near_dup_pairs_ivf,
+    )
+    from gcp_map_reduce_spark.streaming.embedding_near_dup import (
+        EMB_STORE_SCHEMA,
+        run_streaming_embedding_near_dup,
+    )
+    from gcp_map_reduce_spark.streaming.near_dup import (
+        compact_signature_store,
+    )
+
+    # corpus: base + scaled copies (cosine exactly 1.0 with originals)
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    duckdb.sql(
+        "COPY (SELECT vec_id, embedding"
+        " FROM '/root/testdata/sf0.001/embeddings.parquet'"
+        " UNION ALL"
+        " SELECT vec_id + 1000,"
+        "   list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT))"
+        " FROM '/root/testdata/sf0.001/embeddings.parquet')"
+        f" TO '{corpus}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+
+    # id-ordered 4-batch slicing
+    pdf = (
+        spark.read.parquet(f"{corpus}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    per = (len(pdf) + 3) // 4
+    batch_of = {}
+    for b in range(4):
+        sl = pdf.iloc[b * per : (b + 1) * per]
+        sl.to_parquet(str(src / f"f{b}.parquet"), index=False)
+        for v in sl["vec_id"]:
+            batch_of[int(v)] = b
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    q = run_streaming_embedding_near_dup(
+        spark, str(src), str(tmp_path / "ckpt"), store, out,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    accepted = {
+        int(r["vec_id"]) for r in spark.read.parquet(f"{out}/*").collect()
+    }
+
+    # replay the acceptance policy over the batch IVF pair graph
+    nbr: dict[int, set] = {}
+    for r in embedding_near_dup_pairs_ivf(spark, corpus).collect():
+        a, b = int(r["vec_a"]), int(r["vec_b"])
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    sim: set = set()
+    for b in range(4):
+        ids = sorted(v for v, bb in batch_of.items() if bb == b)
+        in_batch = set(ids)
+        for v in ids:
+            hits = nbr.get(v, set())
+            if any(h in sim and batch_of[h] < b for h in hits):
+                continue
+            if any(h in in_batch and h < v for h in hits):
+                continue
+            sim.add(v)
+    assert accepted == sim, (
+        sorted(accepted - sim)[:5],
+        sorted(sim - accepted)[:5],
+    )
+    # the scaled copies arrive after their originals -> suppressed
+    assert accepted and not any(v >= 1000 for v in accepted if v - 1000 in accepted)
+
+    # compactor generalization: merge the embedding store, content intact
+    before = {
+        int(r["vec_id"])
+        for r in spark.read.parquet(f"{store}/batch_id=*").collect()
+    }
+    merged = compact_signature_store(
+        spark, store, keep_last=1, schema=EMB_STORE_SCHEMA, key="vec_id"
+    )
+    assert merged == 3
+    paths = sorted(glob.glob(f"{store}/batch_id=*")) + sorted(
+        glob.glob(f"{store}/compacted=*")
+    )
+    after = {
+        int(r["vec_id"])
+        for r in spark.read.schema(EMB_STORE_SCHEMA).parquet(*paths).collect()
+    }
+    assert after == before
+    # and a post-compaction batch still dedups against the merged store:
+    # replay the SAME stream dir into a new checkpoint/out — every doc is
+    # now a store near-dup of itself's twin? No: same ids are excluded;
+    # instead append one more batch of fresh scaled copies (ids +5000)
+    extra = pdf.iloc[:40].copy()
+    extra["vec_id"] = extra["vec_id"] + 5000
+    extra.to_parquet(str(src / "g.parquet"), index=False)
+    q2 = run_streaming_embedding_near_dup(
+        spark, str(src), str(tmp_path / "ckpt"), store, out,
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(300)
+    accepted2 = {
+        int(r["vec_id"]) for r in spark.read.parquet(f"{out}/*").collect()
+    }
+    new_ids = accepted2 - accepted
+    # the fresh copies are parallel to stored originals -> all suppressed
+    assert not (new_ids & set(int(v) for v in extra["vec_id"])), sorted(new_ids)[:5]
