@@ -291,10 +291,112 @@ def bench_neardup(spark, args) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_embdedup(spark, args) -> None:
+    """Streaming EMBEDDING near-dup throughput (r11) + exact in-run
+    parity: the stress embeddings sliced into id-ordered batch files and
+    drained one file per trigger; the acceptance set must replay exactly
+    from the batch `embedding_near_dup_pairs_ivf` pair graph (the stream
+    persists first-batch rank seeds, and id-ordered slicing makes them
+    the corpus rank seeds the batch op uses)."""
+    from gcp_map_reduce_spark.operators.similarity import (
+        embedding_near_dup_pairs_ivf,
+    )
+    from gcp_map_reduce_spark.sources.tables import load_table
+    from gcp_map_reduce_spark.streaming.embedding_near_dup import (
+        run_streaming_embedding_near_dup,
+    )
+
+    vecs = load_table(spark, args.dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    n_vecs = vecs.count()
+    work = tempfile.mkdtemp(prefix="stream_emb_")
+    try:
+        src = os.path.join(work, "vecs")
+        os.makedirs(src)
+        pdf = vecs.toPandas().sort_values("vec_id").reset_index(drop=True)
+        batch_of = {}
+        per = (len(pdf) + args.batches - 1) // args.batches
+        for b in range(args.batches):
+            sl = pdf.iloc[b * per : (b + 1) * per]
+            if sl.empty:
+                continue
+            sl.to_parquet(os.path.join(src, f"f{b:03d}.parquet"), index=False)
+            for v in sl["vec_id"]:
+                batch_of[int(v)] = b
+
+        t0 = time.perf_counter()
+        q = run_streaming_embedding_near_dup(
+            spark,
+            src,
+            os.path.join(work, "ckpt"),
+            os.path.join(work, "store"),
+            os.path.join(work, "out"),
+            max_files_per_trigger=1,
+        )
+        if not q.awaitTermination(3600):
+            q.stop()
+            raise RuntimeError("embedding drain exceeded 3600 s; results void")
+        sec = round(time.perf_counter() - t0, 2)
+
+        accepted = {
+            int(r["vec_id"])
+            for r in spark.read.parquet(os.path.join(work, "out", "*")).collect()
+        }
+        store_rows = spark.read.parquet(
+            os.path.join(work, "store", "batch_id=*")
+        ).count()
+        store_mb = round(dir_bytes(os.path.join(work, "store")) / 2**20, 1)
+
+        nbr: dict[int, set] = {}
+        for r in (
+            embedding_near_dup_pairs_ivf(spark, args.dir)
+            .select("vec_a", "vec_b")
+            .collect()
+        ):
+            a, b = int(r["vec_a"]), int(r["vec_b"])
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+        sim: set = set()
+        for b in range(args.batches):
+            ids = sorted(v for v, bb in batch_of.items() if bb == b)
+            in_batch = set(ids)
+            for v in ids:
+                hits = nbr.get(v, set())
+                if any(h in sim and batch_of[h] < b for h in hits):
+                    continue
+                if any(h in in_batch and h < v for h in hits):
+                    continue
+                sim.add(v)
+        assert accepted == sim, (
+            f"stream/batch divergence: stream-only="
+            f"{sorted(accepted - sim)[:5]} batch-only="
+            f"{sorted(sim - accepted)[:5]}"
+        )
+
+        print(json.dumps({
+            "metric": "streaming_embedding_near_dup",
+            "dir": args.dir,
+            "vectors": n_vecs,
+            "batches": args.batches,
+            "sec": sec,
+            "vecs_per_sec": round(n_vecs / sec),
+            "accepted": len(accepted),
+            "suppressed": n_vecs - len(accepted),
+            "store_rows": store_rows,
+            "store_mb": store_mb,
+            "batch_parity": "asserted-exact",
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--mode", choices=["cdc", "sessionize", "neardup"], default="cdc"
+        "--mode",
+        choices=["cdc", "sessionize", "neardup", "embdedup"],
+        default="cdc",
     )
     ap.add_argument("--dir", default="/root/repo/stress/sf1")
     ap.add_argument("--batches", type=int, default=None)
@@ -317,6 +419,9 @@ def main() -> None:
         return
     if args.mode == "neardup":
         bench_neardup(spark, args)
+        return
+    if args.mode == "embdedup":
+        bench_embdedup(spark, args)
         return
 
     ev = load_table(spark, args.dir, "events").withColumn(
