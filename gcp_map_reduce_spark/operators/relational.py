@@ -647,10 +647,10 @@ def window_suite_two_pass(
     pays ~3 shuffles + two joins), so it wins whenever partitions fit a
     task — the right default at uniform key cardinality. Use this form
     when one key's row count makes the single-task window the
-    bottleneck. ``chunk_sec`` (>= 1800 so the range frame never spans
-    more than one chunk boundary... actually the range leg is
-    chunk-independent; the bound only sizes prefix chunks) trades
-    per-task row bound against per-chunk bookkeeping rows.
+    bottleneck. ``chunk_sec`` may be any positive value (the range leg
+    is chunk-independent — it reduces over seconds, not chunks):
+    smaller chunks bound the prefix-pass worst task tighter at the
+    cost of more per-chunk bookkeeping rows.
 
     Residual bound: a hot key concentrated in ONE time chunk still
     yields a chunk-sized task — shrink ``chunk_sec`` to match; the
@@ -668,49 +668,58 @@ def window_suite_two_pass(
         ev.withColumn("um", um)
         .withColumn("ep", ep)
         .withColumn("chunk", F.floor(F.col("ep") / chunk_sec).cast("long"))
+        # struct-wrapped key: struct equality is null-safe, so a NULL
+        # user_id — its own partition in the registered window plan —
+        # survives every equi-join below instead of silently vanishing
+        .withColumn("_uk", F.struct(F.col("user_id")))
     )
 
     # ---- pass 1: per-(user, chunk) partials (bounded groupBy tasks) --
-    parts = ev.groupBy("user_id", "chunk").agg(
+    parts = ev.groupBy("_uk", "chunk").agg(
         F.count("*").alias("cnt"),
         F.sum(val).alias("sumv"),
+        # non-null value count: the running sum must be NULL exactly
+        # when zero non-null values precede (SQL SUM semantics), which
+        # an unconditional `offset + within` cannot reproduce
+        F.count(val).alias("cntv"),
         # last row's value in (um, event_id) order: struct max is
         # lexicographic and (um, event_id) is strictly increasing
         F.max(F.struct("um", "event_id", "value")).alias("last_row"),
     )
-    wchunk = Window.partitionBy("user_id").orderBy("chunk")
+    wchunk = Window.partitionBy("_uk").orderBy("chunk")
     wprev = wchunk.rowsBetween(Window.unboundedPreceding, -1)
     offsets = parts.select(
-        "user_id",
+        "_uk",
         "chunk",
         F.coalesce(
             F.sum("sumv").over(wprev), F.lit(0).cast("decimal(22,2)")
         ).alias("sum_off"),
         F.coalesce(F.sum("cnt").over(wprev), F.lit(0)).alias("cnt_off"),
+        F.coalesce(F.sum("cntv").over(wprev), F.lit(0)).alias("cntv_off"),
         F.lag(F.col("last_row")["value"]).over(wchunk).alias("prev_chunk_val"),
     )
-    totals = parts.groupBy("user_id").agg(
+    totals = parts.groupBy("_uk").agg(
         F.sum("cnt").alias("n_total"), F.sum("sumv").alias("sum_total")
     )
 
     # ---- range leg: per-(user, second) partials, tiny sliding window -
-    secs = ev.groupBy("user_id", "ep").agg(F.sum(val).alias("sec_sum"))
+    secs = ev.groupBy("_uk", "ep").agg(F.sum(val).alias("sec_sum"))
     wsec = (
-        Window.partitionBy("user_id")
+        Window.partitionBy("_uk")
         .orderBy("ep")
         .rangeBetween(-1800, Window.currentRow)
     )
     sec_win = secs.select(
-        "user_id", "ep", F.sum("sec_sum").over(wsec).alias("win_sum")
+        "_uk", "ep", F.sum("sec_sum").over(wsec).alias("win_sum")
     )
 
     # ---- pass 2: within-chunk windows (bounded partitions) + stitch --
-    win = Window.partitionBy("user_id", "chunk").orderBy("um", "event_id")
+    win = Window.partitionBy("_uk", "chunk").orderBy("um", "event_id")
     wrun = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     enriched = (
-        ev.join(offsets, ["user_id", "chunk"])
-        .join(F.broadcast(totals), "user_id")
-        .join(sec_win, ["user_id", "ep"])
+        ev.join(offsets, ["_uk", "chunk"])
+        .join(F.broadcast(totals), "_uk")
+        .join(sec_win, ["_uk", "ep"])
     )
     rn = F.row_number().over(win)
     rank = (F.col("cnt_off") + rn).cast("long")
@@ -731,14 +740,24 @@ def window_suite_two_pass(
         F.lag("value").over(win),
         F.when(rn == 1, F.col("prev_chunk_val")),
     )
+    # running sum with exact SQL NULL semantics: NULL while zero
+    # non-null values precede, else the exact decimal sum (within-chunk
+    # prefix may be all-NULL while earlier chunks carried values — an
+    # unconditional sum_off + NULL would wrongly null the total)
+    within_sum = F.coalesce(
+        F.sum(val).over(wrun), F.lit(0).cast("decimal(22,2)")
+    )
+    within_cntv = F.count(val).over(wrun)
+    running = F.when(
+        F.col("cntv_off") + within_cntv > 0,
+        (F.col("sum_off") + within_sum).cast("double"),
+    )
     return enriched.select(
         "user_id",
         "event_id",
         "value",
         (F.col("value") - prev_val).alias("delta"),
-        (F.col("sum_off") + F.sum(val).over(wrun))
-        .cast("double")
-        .alias("running_value"),
+        running.alias("running_value"),
         F.col("win_sum").cast("double").alias("value_30min"),
         ntile.cast("int").alias("value_quartile"),
         F.when(n > 1, (rank - 1).cast("double") / (n - 1).cast("double"))

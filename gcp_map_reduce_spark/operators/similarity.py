@@ -723,6 +723,28 @@ def _dedup_embedding_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.groupBy("ti", "tj").applyInPandas(tile_kernel, schema=out_schema)
 
 
+def ivf_probe_cells(n_probe: int) -> Column:
+    """The ``n_probe`` nearest codebook cell_ids (array<long>) for a row
+    carrying ``e`` (array<double>), ``n2`` (double) and the one-row
+    collected codebook column ``cb`` (array<struct<cell_id, ce, cn2>>):
+    squared-L2 distances ``n2 - 2*dot(e, ce) + cn2`` sorted with
+    ``array_sort(struct(d, cell_id))`` (ties break on cell_id, matching
+    the SQL oracle's ``ORDER BY d, cell_id``). SHARED by the batch IVF
+    near-dup plan and the streaming ingest filter
+    (``streaming/embedding_near_dup.py``) so their cell assignment stays
+    bit-identical BY CONSTRUCTION, not by two copies staying in sync."""
+    dists = F.transform(
+        F.col("cb"),
+        lambda c: F.struct(
+            (F.col("n2") - 2 * _dot(F.col("e"), c["ce"]) + c["cn2"]).alias("d"),
+            c["cell_id"].alias("cell_id"),
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(dists), 1, n_probe), lambda p: p["cell_id"]
+    )
+
+
 def embedding_near_dup_pairs_ivf(
     spark: SparkSession,
     sf_dir: str,
@@ -803,28 +825,11 @@ def embedding_near_dup_pairs_ivf(
     )
     cb = seeds.agg(F.collect_list(F.struct("cell_id", "ce", "cn2")).alias("cb"))
 
-    def cells(col_e: Column, col_n2: Column) -> Column:
-        return F.transform(
-            F.col("cb"),
-            lambda c: F.struct(
-                (col_n2 - 2 * _dot(col_e, c["ce"]) + c["cn2"]).alias("d"),
-                c["cell_id"].alias("cell_id"),
-            ),
-        )
-
-    assigned = (
-        feats.crossJoin(F.broadcast(cb))
-        .select(
-            "vec_id",
-            "e",
-            "n2",
-            F.explode(
-                F.slice(
-                    F.array_sort(cells(F.col("e"), F.col("n2"))), 1, n_probe
-                )
-            ).alias("probe"),
-        )
-        .select("vec_id", "e", "n2", F.col("probe")["cell_id"].alias("cell_id"))
+    assigned = feats.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "e",
+        "n2",
+        F.explode(ivf_probe_cells(n_probe)).alias("cell_id"),
     )
 
     # two-level blocking inside each cell: expected cell population is

@@ -37,7 +37,7 @@ key="vec_id")`` applies unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
@@ -46,9 +46,10 @@ from gcp_map_reduce_spark.operators.similarity import (
     IVF_DEDUP_NPROBE,
     NEAR_DUP_COSINE,
     _cosine_arrow,
-    _dot,
     embed_features_arrow,
+    ivf_probe_cells,
 )
+from gcp_map_reduce_spark.streaming.near_dup import read_store
 
 EMB_STORE_SCHEMA = (
     "vec_id bigint, e array<double>, n2 double, cells array<bigint>"
@@ -58,40 +59,42 @@ EMB_STORE_SCHEMA = (
 def _codebook(ss: SparkSession, store_dir: str, batch_feats: DataFrame,
               n_cells: int) -> DataFrame:
     """Read the persisted codebook, creating it from this batch's
-    ``n_cells`` lowest vec_ids if absent (first batch / replayed first
-    batch — deterministic either way). One row per cell:
-    (cell_id, ce, cn2)."""
+    ``n_cells`` lowest vec_ids if absent or UNCOMMITTED (first batch /
+    replayed first batch — deterministic either way). One row per cell:
+    (cell_id, ce, cn2).
+
+    Dir existence is NOT commitment: a first trigger killed mid-write
+    leaves ``_codebook/_temporary`` only, which an explicit-schema read
+    returns as ZERO rows — treating that as a codebook would silently
+    assign every later vector an empty probe list and disable dedup
+    forever (r11 review catch). A committed-but-empty codebook is
+    impossible: an empty first batch raises instead of seeding."""
     path = f"{store_dir}/_codebook"
     schema = "cell_id bigint, ce array<double>, cn2 double"
     try:
-        return ss.read.schema(schema).parquet(path)
+        cb = ss.read.schema(schema).parquet(path)
+        if cb.limit(1).count() > 0:
+            return cb
     except AnalysisException:
-        cb = (
-            batch_feats.orderBy("vec_id")
-            .limit(n_cells)
-            .select(
-                F.col("vec_id").alias("cell_id"),
-                F.col("e").alias("ce"),
-                F.col("n2").alias("cn2"),
-            )
+        pass
+    seeds = (
+        batch_feats.orderBy("vec_id")
+        .limit(n_cells)
+        .select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("e").alias("ce"),
+            F.col("n2").alias("cn2"),
         )
-        cb.coalesce(1).write.mode("overwrite").parquet(path)
-        return ss.read.schema(schema).parquet(path)
-
-
-def _cells_expr(n_probe: int) -> Column:
-    """n_probe nearest cell_ids by squared L2 — the identical expression
-    (and therefore bit-identical assignment) as the batch IVF plan."""
-    dists = F.transform(
-        F.col("cb"),
-        lambda c: F.struct(
-            (F.col("n2") - 2 * _dot(F.col("e"), c["ce"]) + c["cn2"]).alias("d"),
-            c["cell_id"].alias("cell_id"),
-        ),
+        .localCheckpoint(eager=True)
     )
-    return F.transform(
-        F.slice(F.array_sort(dists), 1, n_probe), lambda p: p["cell_id"]
-    )
+    if seeds.limit(1).count() == 0:
+        raise ValueError(
+            "run_streaming_embedding_near_dup: the first batch is empty — "
+            "cannot seed the IVF codebook"
+        )
+    # overwrite heals a killed prior write's _temporary debris
+    seeds.coalesce(1).write.mode("overwrite").parquet(path)
+    return ss.read.schema(schema).parquet(path)
 
 
 def run_streaming_embedding_near_dup(
@@ -125,26 +128,11 @@ def run_streaming_embedding_near_dup(
         )
         batch = (
             feats.crossJoin(F.broadcast(cb_row))
-            .select("vec_id", "e", "n2", _cells_expr(n_probe).alias("cells"))
+            .select("vec_id", "e", "n2", ivf_probe_cells(n_probe).alias("cells"))
             .localCheckpoint(eager=True)
         )
 
-        # explicit driver-side listing: `store_dir/*` would also match
-        # the `_codebook` dir (the hidden-file filter skips _-prefixed
-        # FILES, not a dir named on the glob), whose parquet schema
-        # differs — schema-on-read would quietly null the columns. A
-        # no-match glob passed to parquet() throws, so list first.
-        import glob as _glob
-        import os as _os
-
-        paths = sorted(
-            _glob.glob(_os.path.join(store_dir, "batch_id=*"))
-        ) + sorted(_glob.glob(_os.path.join(store_dir, "compacted=*")))
-        if paths:
-            store = ss.read.schema(EMB_STORE_SCHEMA).parquet(*paths)
-        else:  # first batch: no store yet
-            store = ss.createDataFrame([], EMB_STORE_SCHEMA)
-        store = store.withColumn(
+        store = read_store(ss, EMB_STORE_SCHEMA, store_dir).withColumn(
             "_bid",
             F.coalesce(
                 F.regexp_extract(

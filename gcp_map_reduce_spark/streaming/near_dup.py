@@ -47,6 +47,31 @@ from gcp_map_reduce_spark.operators.dedup import (
 NEAR_DUP_EST_JACCARD = 0.7  # same acceptance threshold as dedup_minhash
 
 
+def read_store(ss: SparkSession, schema: str, store_dir: str) -> DataFrame:
+    """Read a streaming signature/feature store: the `batch_id=*` dirs
+    plus any `compacted=*` dir, via Spark's Hadoop glob (works on any
+    filesystem scheme — a driver-local glob would silently return an
+    EMPTY store for hdfs://gs://s3a:// paths and disable cross-batch
+    dedup). Explicit patterns, not `store_dir/*`: the wildcard would
+    also match `_codebook` (wrong schema -> silent NULL columns) and a
+    `.compact-staging` dir a killed compaction left behind (a full
+    duplicate copy of the store scanned every trigger until the next
+    compact call). Missing patterns are skipped; no store at all yields
+    an empty relation."""
+    dfs = []
+    for pat in ("batch_id=*", "compacted=*"):
+        try:
+            dfs.append(ss.read.schema(schema).parquet(f"{store_dir}/{pat}"))
+        except AnalysisException:
+            continue
+    if not dfs:
+        return ss.createDataFrame([], schema)
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 def _est_jaccard(sig_a, sig_b):
     agree = F.size(
         F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda eq: eq)
@@ -99,24 +124,20 @@ def run_streaming_near_dup_dedup(
             )
         ).localCheckpoint(eager=True)
 
-        try:
-            store = ss.read.schema(sig_schema).parquet(f"{store_dir}/*")
-            # a replayed batch must not match against its own prior write
-            # rows from compacted=K dirs carry no batch_id in their path;
-            # regexp_extract then yields '' -> NULL after the cast, and a
-            # bare `_bid != batch_id` would silently DROP them (NULL
-            # comparison) — default to -1 so compacted rows always pass
-            store = store.withColumn(
-                "_bid",
-                F.coalesce(
-                    F.regexp_extract(
-                        F.input_file_name(), r"batch_id=(\d+)", 1
-                    ).try_cast("long"),  # '' under ANSI: NULL, not throw
-                    F.lit(-1),
-                ),
-            ).filter(F.col("_bid") != batch_id).drop("_bid")
-        except AnalysisException:  # first batch: no store yet
-            store = ss.createDataFrame([], sig_schema)
+        # a replayed batch must not match against its own prior write.
+        # Rows from compacted=K dirs carry no batch_id in their path;
+        # regexp_extract then yields '' -> NULL after the cast, and a
+        # bare `_bid != batch_id` would silently DROP them (NULL
+        # comparison) — default to -1 so compacted rows always pass
+        store = read_store(ss, sig_schema, store_dir).withColumn(
+            "_bid",
+            F.coalesce(
+                F.regexp_extract(
+                    F.input_file_name(), r"batch_id=(\d+)", 1
+                ).try_cast("long"),  # '' under ANSI: NULL, not throw
+                F.lit(-1),
+            ),
+        ).filter(F.col("_bid") != batch_id).drop("_bid")
 
         # ONE candidate pass for both match classes (r11 trigger-cost
         # rewrite: the two-leg form paid ~10 tiny shuffle stages per

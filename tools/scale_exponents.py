@@ -148,7 +148,17 @@ def adjudicate_row(row: dict, base: str, big: str, ratio: float,
         "--runs", str(max(3, runs)), "--queries", row["query"],
         "--no-adjudicate", "--emit-json",
     ]
-    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=3600
+        )
+    except subprocess.TimeoutExpired:
+        # a hung solo re-run must not discard the whole sweep's rows —
+        # record the sweep value with the error stamped (r11 review catch)
+        print(f"adjudication re-run timed out for {row['query']}",
+              file=sys.stderr)
+        return {**row, "adjudicated": False,
+                "adjudication_error": "solo re-run timed out"}
     solo = None
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT_JSON:"):
