@@ -118,7 +118,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword density, punctuation/digit ratios, plus a pass/fail gate.
     Integer counts + one double division each -> engine-exact.
     (Library form; registered via ``text_profile`` and the quality leg
-    of ``curated_corpus``.)"""
+    of ``curated_corpus``; :func:`text_quality_df` is the df-level core
+    the streaming curation pipeline applies per micro-batch.)"""
     # per-row regex CPU on a possibly single-row-group scan: without the
     # fan-out this leg was a ONE-task 4.2 s straggler inside
     # curated_corpus at the sf1 stress set (11-task stage, median 9 ms)
@@ -126,6 +127,14 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         spark.sparkContext.defaultParallelism,
     )
+    return text_quality_df(docs)
+
+
+def text_quality_df(docs: DataFrame) -> DataFrame:
+    """Df-level form of :func:`text_quality`: same expressions over any
+    (doc_id, text, ...) relation — shared verbatim by the batch operator
+    and the streaming curation gate so the pass/fail decision cannot
+    drift between them."""
     norm_words = F.split(normalize_text(F.col("text")), WS_SPLIT)
     low_words = F.split(F.lower(F.col("text")), WS_SPLIT)
     m = docs.select(

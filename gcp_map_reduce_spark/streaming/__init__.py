@@ -7,6 +7,9 @@ from gcp_map_reduce_spark.streaming.file_trigger import (
     run_streaming_dedup,
     run_streaming_upsert,
 )
+from gcp_map_reduce_spark.streaming.curated import (
+    run_streaming_curated_corpus,
+)
 from gcp_map_reduce_spark.streaming.embedding_near_dup import (
     run_streaming_embedding_near_dup,
 )
@@ -25,6 +28,7 @@ __all__ = [
     "run_stream_stream_join",
     "run_streaming_dedup",
     "compact_signature_store",
+    "run_streaming_curated_corpus",
     "run_streaming_embedding_near_dup",
     "run_streaming_near_dup_dedup",
     "run_streaming_upsert",

@@ -1,0 +1,232 @@
+"""Streaming curated corpus: the flagship batch composition
+(``operators/pipeline.py:curated_corpus`` — quality gate -> exact dedup
+-> near-dup removal -> token budget) applied AT INGEST, one micro-batch
+at a time against two durable stores.
+
+Why: the batch pipeline re-curates the whole corpus per run; at
+100 TB/day the economical shape is to admit documents once, as they
+arrive. Per trigger:
+
+1. **exact dedup** — md5(text) content hashes against the seen-hash
+   store: a doc survives iff it is the FIRST-EVER instance of its hash
+   (lowest doc_id within the batch). The store holds every seen hash —
+   one short row per distinct text — because the batch pipeline's
+   keeper rule is min-doc_id over ALL docs, not over quality survivors.
+2. **near-dup removal** — the fused :func:`minhash_features_arrow`
+   kernel computes (sig, gh_arr) for the WHOLE batch; band collisions
+   against the seen-feature store generate candidates (batch side
+   broadcast, store map-side — the shared stream posture) and the EXACT
+   shingle Jaccard on the gram arrays verifies each candidate, the
+   identical criterion ``near_dup_edges_minhash_verified`` applies in
+   batch. All batch features append to the store: the batch pipeline
+   drops doc_b of ANY verified edge with a lower-id doc, accepted or
+   not, so the stream must remember every seen signature+gram row to
+   reproduce that — the deliberate difference from the standalone
+   accepted-only stream (``run_streaming_near_dup_dedup``), whose store
+   stays bounded by distinct content. The gram arrays make this store
+   ~tokenized-corpus-sized; ``compact_signature_store(...,
+   schema=FEAT_STORE_SCHEMA)`` keeps its file count flat.
+3. **quality gate** — :func:`text_quality_df` (the batch operator's
+   df-level core, shared verbatim) decides the final emit and carries
+   the token budget.
+4. accepted docs emit (doc_id, lang, n_chars, n_tokens) — the batch
+   pipeline's output row — one coalesce(1) ``batch_id=N`` dir per
+   store/output (replay-safe overwrite).
+
+PARITY IS EXACT, not merely analogous: under id-ordered ingest every
+earlier-seen doc has a lower id, so the streaming policy reproduces the
+batch drop set verbatim and the test asserts the stream's cumulative
+output EQUALS ``curated_corpus(spark, dir, near_dup_source="minhash",
+fast_hash=True)`` row-for-row, regardless of how many batches the
+corpus arrives in. Under arbitrary arrival orders the policy degrades
+to first-arrival-wins (documented, same class as the standalone
+stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_map_reduce_spark.operators.dedup import (
+    _token_hash_expr,
+    minhash_band_rows,
+    minhash_features_arrow,
+)
+from gcp_map_reduce_spark.operators.text_analysis import text_quality_df
+from gcp_map_reduce_spark.streaming.near_dup import read_store
+
+HASH_STORE_SCHEMA = "text_hash string"
+FEAT_STORE_SCHEMA = (
+    "doc_id bigint, sig array<bigint>, gh_arr array<bigint>"
+)
+NEAR_DUP_JACCARD = 0.8  # near_dup_edges_minhash_verified's default
+
+
+def _exclude_own_batch(df: DataFrame, batch_id: int) -> DataFrame:
+    """Replay guard shared by both stores: drop rows a replayed batch
+    wrote itself; compacted rows (no batch_id in path) default to -1 and
+    always pass."""
+    return (
+        df.withColumn(
+            "_bid",
+            F.coalesce(
+                F.regexp_extract(
+                    F.input_file_name(), r"batch_id=(\d+)", 1
+                ).try_cast("long"),
+                F.lit(-1),
+            ),
+        )
+        .filter(F.col("_bid") != batch_id)
+        .drop("_bid")
+    )
+
+
+def _verified_dup_ids(
+    ss: SparkSession, feats: DataFrame, store_dir: str, batch_id: int
+) -> DataFrame:
+    """(doc_id) batch docs that ARE verified near-dups of an
+    earlier-seen doc or a lower-id same-batch doc: minhash band
+    collisions generate candidates (store map-side, batch broadcast —
+    the ``minhash_accept`` plan shape), then the exact gram-array
+    Jaccard >= NEAR_DUP_JACCARD verifies — the identical expression as
+    the batch ``near_dup_edges_minhash_verified``. Candidates are
+    deduped before verification: each repeat would re-run an
+    array_intersect over ~hundreds of gram hashes (unlike the est-path
+    repeats, which are near-free)."""
+    store = _exclude_own_batch(
+        read_store(ss, FEAT_STORE_SCHEMA, store_dir), batch_id
+    )
+    batch_bands = minhash_band_rows(feats.select("doc_id", "sig"))
+    all_bands = minhash_band_rows(store.select("doc_id", "sig")).withColumn(
+        "in_batch", F.lit(False)
+    ).unionByName(batch_bands.withColumn("in_batch", F.lit(True)))
+    cand = (
+        all_bands.select(
+            F.col("doc_id").alias("doc_a"), "band_id", "band_key", "in_batch"
+        )
+        .join(
+            F.broadcast(
+                batch_bands.select(
+                    F.col("doc_id").alias("doc_b"), "band_id", "band_key"
+                )
+            ),
+            ["band_id", "band_key"],
+        )
+        .filter(
+            (~F.col("in_batch") & (F.col("doc_a") != F.col("doc_b")))
+            | (F.col("in_batch") & (F.col("doc_a") < F.col("doc_b")))
+        )
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    all_grams = store.select("doc_id", "gh_arr").unionByName(
+        feats.select("doc_id", "gh_arr")
+    )
+    pairs = all_grams.select(
+        F.col("doc_id").alias("doc_a"), F.col("gh_arr").alias("sh_a")
+    ).join(
+        F.broadcast(
+            cand.join(
+                F.broadcast(
+                    feats.select(
+                        F.col("doc_id").alias("doc_b"),
+                        F.col("gh_arr").alias("sh_b"),
+                    )
+                ),
+                "doc_b",
+            )
+        ),
+        "doc_a",
+    )
+    isect = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = isect.cast("double") / (F.size("sh_a") + F.size("sh_b") - isect)
+    return (
+        pairs.filter(jac >= NEAR_DUP_JACCARD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+
+
+def run_streaming_curated_corpus(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    hash_store_dir: str,
+    sig_store_dir: str,
+    output_dir: str,
+    max_files_per_trigger: int | None = None,
+    fast_hash: bool = True,
+):
+    """Start the stream (availableNow trigger: drains pending files and
+    stops). ``output_dir`` accumulates accepted
+    (doc_id, lang, n_chars, n_tokens) rows; ``hash_store_dir`` /
+    ``sig_store_dir`` accumulate the seen-hash and seen-feature state
+    (one ``batch_id=N`` dir each per trigger). ``fast_hash=True``
+    (xxhash64) is the production default and what the parity test pins
+    against ``curated_corpus(..., near_dup_source="minhash",
+    fast_hash=True)``."""
+    reader = spark.readStream.schema(
+        "doc_id bigint, text string, lang string"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(docs_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        batch = batch_df.withColumn("text_hash", F.md5("text")).localCheckpoint(
+            eager=True
+        )
+
+        # 1. exact dedup: first-ever instance of each hash. The store is
+        # big, the batch tiny — probe the store with the broadcast batch
+        # hash set (map-side) and broadcast the (tiny) hit list back.
+        seen = _exclude_own_batch(
+            read_store(ss, HASH_STORE_SCHEMA, hash_store_dir), batch_id
+        )
+        batch_hashes = batch.select("text_hash").distinct()
+        seen_hits = seen.join(F.broadcast(batch_hashes), "text_hash")
+        first_in_batch = batch.groupBy("text_hash").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        exact_ids = first_in_batch.join(
+            F.broadcast(seen_hits), "text_hash", "left_anti"
+        ).select("doc_id")
+
+        # 2. near-dup features + verified drop set for the WHOLE batch
+        feats = minhash_features_arrow(
+            batch.select("doc_id", _token_hash_expr(fast_hash).alias("th_arr"))
+        ).localCheckpoint(eager=True)
+        dups = _verified_dup_ids(ss, feats, sig_store_dir, batch_id)
+
+        # 3+4. quality gate decides the emit; the stores persist ALL
+        # seen state for this batch
+        accepted = (
+            text_quality_df(batch)
+            .filter(F.col("passes_quality") == 1)
+            .select("doc_id", "n_tokens", "n_chars")
+            .join(batch.select("doc_id", "lang"), "doc_id")
+            .join(F.broadcast(exact_ids), "doc_id")
+            .join(F.broadcast(dups), "doc_id", "left_anti")
+            .select("doc_id", "lang", "n_chars", "n_tokens")
+            .localCheckpoint(eager=True)
+            .coalesce(1)
+        )
+        feats.coalesce(1).write.mode("overwrite").parquet(
+            f"{sig_store_dir}/batch_id={batch_id}"
+        )
+        batch_hashes.coalesce(1).write.mode("overwrite").parquet(
+            f"{hash_store_dir}/batch_id={batch_id}"
+        )
+        accepted.write.mode("overwrite").parquet(
+            f"{output_dir}/batch_id={batch_id}"
+        )  # columns = the batch pipeline's (doc_id, lang, n_chars, n_tokens)
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -79,6 +79,103 @@ def _est_jaccard(sig_a, sig_b):
     return agree / F.lit(float(NUM_HASHES))
 
 
+def minhash_accept(
+    ss: SparkSession, sigs: DataFrame, store_dir: str, batch_id: int
+) -> DataFrame:
+    """The micro-batch MinHash-LSH acceptance core, shared by the
+    standalone near-dup stream and the streaming curation pipeline:
+    given this batch's (doc_id, sig) rows, return the subset that is NOT
+    a near-dup of (a) an earlier-batch ACCEPTED doc in ``store_dir`` or
+    (b) a lower-id doc in the same batch. Pure plan builder — the caller
+    materializes and writes.
+
+    Plan shape (r11 trigger-cost rewrite): ONE candidate pass for both
+    match classes — the two-leg form paid ~10 tiny shuffle stages per
+    trigger, with both band joins shuffling BOTH sides including the
+    GROWING store. The batch side is micro-batch-bounded, so it is
+    explicitly broadcast everywhere and the store is only ever touched
+    MAP-SIDE (scan -> broadcast hash join), which is also the 100 TB
+    shape: per-trigger cost stays O(store scan) with zero store shuffle,
+    and the dups relation has NO shuffle at all (no distinct anywhere —
+    a pair repeats once per colliding band, each repeat one more tiny
+    est_jaccard row map-side, and the left_anti consumer is
+    multiplicity-blind)."""
+    sig_schema = "doc_id bigint, sig array<bigint>"
+    # a replayed batch must not match against its own prior write. Rows
+    # from compacted=K dirs carry no batch_id in their path;
+    # regexp_extract then yields '' -> NULL after the cast, and a bare
+    # `_bid != batch_id` would silently DROP them (NULL comparison) —
+    # default to -1 so compacted rows always pass
+    store = read_store(ss, sig_schema, store_dir).withColumn(
+        "_bid",
+        F.coalesce(
+            F.regexp_extract(
+                F.input_file_name(), r"batch_id=(\d+)", 1
+            ).try_cast("long"),  # '' under ANSI: NULL, not throw
+            F.lit(-1),
+        ),
+    ).filter(F.col("_bid") != batch_id).drop("_bid")
+
+    # match classes, encoded in one filter:
+    #   - vs an earlier ACCEPTED doc (store row, any id): suppress
+    #   - within the batch: keep the lower doc_id of each pair
+    batch_bands = minhash_band_rows(sigs)
+    all_bands = minhash_band_rows(store).withColumn(
+        "in_batch", F.lit(False)
+    ).unionByName(batch_bands.withColumn("in_batch", F.lit(True)))
+    cand = (
+        all_bands.select(
+            F.col("doc_id").alias("doc_a"), "band_id", "band_key", "in_batch"
+        )
+        .join(
+            F.broadcast(
+                batch_bands.select(
+                    F.col("doc_id").alias("doc_b"), "band_id", "band_key"
+                )
+            ),
+            ["band_id", "band_key"],
+        )
+        .filter(
+            (~F.col("in_batch") & (F.col("doc_a") != F.col("doc_b")))
+            | (F.col("in_batch") & (F.col("doc_a") < F.col("doc_b")))
+        )
+        .select("doc_a", "doc_b")
+    )
+    all_sigs = store.select("doc_id", "sig").unionByName(
+        sigs.select("doc_id", "sig")
+    )
+    # sig payload joins: batch sigs broadcast onto the candidate list,
+    # then the (tiny) candidate list broadcast onto the store-sized sig
+    # relation — again map-only over the store
+    dups = (
+        all_sigs.select(
+            F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+        )
+        .join(
+            F.broadcast(
+                cand.join(
+                    F.broadcast(
+                        sigs.select(
+                            F.col("doc_id").alias("doc_b"),
+                            F.col("sig").alias("sig_b"),
+                        )
+                    ),
+                    "doc_b",
+                )
+            ),
+            "doc_a",
+        )
+        .filter(
+            _est_jaccard(F.col("sig_a"), F.col("sig_b"))
+            >= NEAR_DUP_EST_JACCARD
+        )
+        .select("doc_b")
+    )
+    return sigs.join(
+        F.broadcast(dups), sigs.doc_id == dups.doc_b, "left_anti"
+    )
+
+
 def run_streaming_near_dup_dedup(
     spark: SparkSession,
     docs_dir: str,
@@ -124,88 +221,6 @@ def run_streaming_near_dup_dedup(
             )
         ).localCheckpoint(eager=True)
 
-        # a replayed batch must not match against its own prior write.
-        # Rows from compacted=K dirs carry no batch_id in their path;
-        # regexp_extract then yields '' -> NULL after the cast, and a
-        # bare `_bid != batch_id` would silently DROP them (NULL
-        # comparison) — default to -1 so compacted rows always pass
-        store = read_store(ss, sig_schema, store_dir).withColumn(
-            "_bid",
-            F.coalesce(
-                F.regexp_extract(
-                    F.input_file_name(), r"batch_id=(\d+)", 1
-                ).try_cast("long"),  # '' under ANSI: NULL, not throw
-                F.lit(-1),
-            ),
-        ).filter(F.col("_bid") != batch_id).drop("_bid")
-
-        # ONE candidate pass for both match classes (r11 trigger-cost
-        # rewrite: the two-leg form paid ~10 tiny shuffle stages per
-        # trigger — both band joins shuffled BOTH sides, including the
-        # GROWING store). The batch side is micro-batch-bounded, so it
-        # is explicitly broadcast everywhere and the store is only ever
-        # touched MAP-SIDE (scan -> broadcast hash join), which is also
-        # the 100 TB shape: per-trigger cost stays O(store scan) with
-        # zero store shuffle. Match classes, encoded in one filter:
-        #   - vs an earlier ACCEPTED doc (store row, any id): suppress
-        #   - within the batch: keep the lower doc_id of each pair
-        batch_bands = minhash_band_rows(sigs)
-        all_bands = minhash_band_rows(store).withColumn(
-            "in_batch", F.lit(False)
-        ).unionByName(batch_bands.withColumn("in_batch", F.lit(True)))
-        cand = (
-            all_bands.select(
-                F.col("doc_id").alias("doc_a"), "band_id", "band_key", "in_batch"
-            )
-            .join(
-                F.broadcast(
-                    batch_bands.select(
-                        F.col("doc_id").alias("doc_b"), "band_id", "band_key"
-                    )
-                ),
-                ["band_id", "band_key"],
-            )
-            .filter(
-                (~F.col("in_batch") & (F.col("doc_a") != F.col("doc_b")))
-                | (F.col("in_batch") & (F.col("doc_a") < F.col("doc_b")))
-            )
-            # no distinct: a pair repeats once per colliding band (<= 8),
-            # each repeat costs one more tiny est_jaccard row map-side,
-            # while the distinct was the last SHUFFLE left in this DAG —
-            # the left_anti consumer is multiplicity-blind anyway
-            .select("doc_a", "doc_b")
-        )
-        all_sigs = store.select("doc_id", "sig").unionByName(
-            sigs.select("doc_id", "sig")
-        )
-        # sig payload joins: batch sigs broadcast onto the candidate
-        # list, then the (tiny) candidate list broadcast onto the
-        # store-sized sig relation — again map-only over the store. No
-        # distinct on dups: the left_anti below is multiplicity-blind.
-        dups = (
-            all_sigs.select(
-                F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
-            )
-            .join(
-                F.broadcast(
-                    cand.join(
-                        F.broadcast(
-                            sigs.select(
-                                F.col("doc_id").alias("doc_b"),
-                                F.col("sig").alias("sig_b"),
-                            )
-                        ),
-                        "doc_b",
-                    )
-                ),
-                "doc_a",
-            )
-            .filter(
-                _est_jaccard(F.col("sig_a"), F.col("sig_b"))
-                >= NEAR_DUP_EST_JACCARD
-            )
-            .select("doc_b")
-        )
         # materialize ONCE: `accepted` feeds two writes, and without the
         # checkpoint each write re-executes the whole band-join DAG (the
         # multi-consumer recompute cost class — r11 trigger-cost profile:
@@ -214,7 +229,7 @@ def run_streaming_near_dup_dedup(
         # a few thousand skinny rows, and 32-file batch dirs made every
         # LATER trigger's store re-read pay 32x the listing + footer work.
         accepted = (
-            sigs.join(F.broadcast(dups), sigs.doc_id == dups.doc_b, "left_anti")
+            minhash_accept(ss, sigs, store_dir, batch_id)
             .localCheckpoint(eager=True)  # parallel DAG run, ONCE
             .coalesce(1)  # post-checkpoint: no recompute, 1-file writes
         )

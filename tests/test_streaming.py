@@ -853,3 +853,83 @@ def test_streaming_embedding_near_dup_parity_with_batch_ivf(spark, tmp_path):
     new_ids = accepted2 - accepted
     # the fresh copies are parallel to stored originals -> all suppressed
     assert not (new_ids & set(int(v) for v in extra["vec_id"])), sorted(new_ids)[:5]
+
+
+def test_streaming_curated_corpus_equals_batch_pipeline(spark, tmp_path):
+    """r11 flagship composition at ingest: the streaming curated corpus
+    (quality gate -> first-ever exact dedup -> verified near-dup removal)
+    must reproduce the BATCH curated_corpus output ROW-FOR-ROW under
+    id-ordered ingest — same hash family, same verified-edge criterion
+    (exact gram Jaccard >= 0.8 on band candidates), same quality gate —
+    regardless of how many micro-batches the corpus arrives in."""
+    from gcp_map_reduce_spark.operators.pipeline import curated_corpus
+    from gcp_map_reduce_spark.sources.tables import load_table
+    from gcp_map_reduce_spark.streaming.curated import (
+        run_streaming_curated_corpus,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    src = tmp_path / "docs"
+    src.mkdir()
+    per = (len(pdf) + 3) // 4
+    for b in range(4):
+        pdf.iloc[b * per : (b + 1) * per].to_parquet(
+            str(src / f"f{b}.parquet"), index=False
+        )
+
+    out = str(tmp_path / "out")
+    q = run_streaming_curated_corpus(
+        spark, str(src), str(tmp_path / "ckpt"),
+        str(tmp_path / "hashes"), str(tmp_path / "sigs"), out,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/*")
+        .select("doc_id", "lang", "n_chars", "n_tokens")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in curated_corpus(
+            spark, sf, near_dup_source="minhash", fast_hash=True
+        ).collect()
+    }
+    assert want  # the batch pipeline accepts documents on this corpus
+    assert got == want, (
+        sorted(got - want)[:5],
+        sorted(want - got)[:5],
+    )
+
+    # continuation: an exact dup, a near-dup revision, and a novel doc
+    import pandas as pd
+
+    survivors = sorted(r[0] for r in want)
+    base_row = pdf[pdf["doc_id"] == survivors[0]]
+    exact_dup = base_row.copy(); exact_dup["doc_id"] = 800001
+    near_dup = base_row.copy(); near_dup["doc_id"] = 800002
+    near_dup["text"] = near_dup["text"] + " tail"
+    novel = base_row.copy(); novel["doc_id"] = 800003
+    novel["text"] = (
+        "a genuinely novel document about walruses and the various "
+        "cadenzas they compose during the long polar night season " * 8
+    )
+    pd.concat([exact_dup, near_dup, novel]).to_parquet(
+        str(src / "g.parquet"), index=False
+    )
+    q2 = run_streaming_curated_corpus(
+        spark, str(src), str(tmp_path / "ckpt"),
+        str(tmp_path / "hashes"), str(tmp_path / "sigs"), out,
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(300)
+    after = {
+        r["doc_id"] for r in spark.read.parquet(f"{out}/*").collect()
+    }
+    assert 800001 not in after  # exact dup of an accepted doc
+    assert 800002 not in after  # verified near-dup (tail tweak)
+    assert 800003 in after      # novel content admitted
