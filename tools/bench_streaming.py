@@ -391,11 +391,88 @@ def bench_embdedup(spark, args) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_curated(spark, args) -> None:
+    """Streaming curated-corpus throughput (r11) + exact in-run parity:
+    the stress documents sliced into id-ordered batch files, drained one
+    file per trigger; the cumulative output must EQUAL the batch
+    curated_corpus(near_dup_source='minhash', fast_hash=True) rows."""
+    from gcp_map_reduce_spark.operators.pipeline import curated_corpus
+    from gcp_map_reduce_spark.sources.tables import load_table
+    from gcp_map_reduce_spark.streaming.curated import (
+        run_streaming_curated_corpus,
+    )
+
+    docs = load_table(spark, args.dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    n_docs = docs.count()
+    work = tempfile.mkdtemp(prefix="stream_cur_")
+    try:
+        src = os.path.join(work, "docs")
+        os.makedirs(src)
+        pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+        per = (len(pdf) + args.batches - 1) // args.batches
+        for b in range(args.batches):
+            sl = pdf.iloc[b * per : (b + 1) * per]
+            if not sl.empty:
+                sl.to_parquet(os.path.join(src, f"f{b:03d}.parquet"),
+                              index=False)
+
+        t0 = time.perf_counter()
+        q = run_streaming_curated_corpus(
+            spark, src,
+            os.path.join(work, "ckpt"),
+            os.path.join(work, "hashes"),
+            os.path.join(work, "sigs"),
+            os.path.join(work, "out"),
+            max_files_per_trigger=1,
+        )
+        if not q.awaitTermination(3600):
+            q.stop()
+            raise RuntimeError("curated drain exceeded 3600 s; results void")
+        sec = round(time.perf_counter() - t0, 2)
+
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(os.path.join(work, "out", "*"))
+            .select("doc_id", "lang", "n_chars", "n_tokens")
+            .collect()
+        }
+        want = {
+            tuple(r)
+            for r in curated_corpus(
+                spark, args.dir, near_dup_source="minhash", fast_hash=True
+            ).collect()
+        }
+        assert got == want, (
+            f"stream/batch divergence: stream-only={len(got - want)} "
+            f"batch-only={len(want - got)}"
+        )
+        sig_mb = round(dir_bytes(os.path.join(work, "sigs")) / 2**20, 1)
+        hash_mb = round(dir_bytes(os.path.join(work, "hashes")) / 2**20, 1)
+
+        print(json.dumps({
+            "metric": "streaming_curated_corpus",
+            "dir": args.dir,
+            "docs": n_docs,
+            "batches": args.batches,
+            "sec": sec,
+            "docs_per_sec": round(n_docs / sec),
+            "curated": len(got),
+            "rejected": n_docs - len(got),
+            "sig_store_mb": sig_mb,
+            "hash_store_mb": hash_mb,
+            "batch_parity": "asserted-row-for-row-equal",
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--mode",
-        choices=["cdc", "sessionize", "neardup", "embdedup"],
+        choices=["cdc", "sessionize", "neardup", "embdedup", "curated"],
         default="cdc",
     )
     ap.add_argument("--dir", default="/root/repo/stress/sf1")
@@ -422,6 +499,9 @@ def main() -> None:
         return
     if args.mode == "embdedup":
         bench_embdedup(spark, args)
+        return
+    if args.mode == "curated":
+        bench_curated(spark, args)
         return
 
     ev = load_table(spark, args.dir, "events").withColumn(
