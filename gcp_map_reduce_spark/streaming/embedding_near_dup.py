@@ -47,6 +47,7 @@ from gcp_map_reduce_spark.operators.similarity import (
     NEAR_DUP_COSINE,
     _cosine_arrow,
     embed_features_arrow,
+    ivf_dedup_n_cells,
     ivf_probe_cells,
 )
 from gcp_map_reduce_spark.streaming.near_dup import read_store
@@ -103,15 +104,34 @@ def run_streaming_embedding_near_dup(
     checkpoint_dir: str,
     store_dir: str,
     output_dir: str,
-    n_cells: int = IVF_DEDUP_CELLS,
+    n_cells: int | None = None,
     n_probe: int = IVF_DEDUP_NPROBE,
     threshold: float = NEAR_DUP_COSINE,
     max_files_per_trigger: int | None = None,
+    expected_corpus_size: int | None = None,
 ):
     """Start the stream (availableNow trigger: drains pending files and
     stops). ``output_dir`` accumulates accepted (vec_id) rows;
     ``store_dir`` accumulates accepted feature rows (EMB_STORE_SCHEMA)
-    plus the one-time ``_codebook``."""
+    plus the one-time ``_codebook``.
+
+    Codebook sizing (r12, threading the batch op's probe-scaled
+    ``ivf_dedup_n_cells``): a stream cannot observe the final corpus
+    size, and the codebook is pinned at the FIRST batch — so pass
+    ``expected_corpus_size`` (the planned ingest volume) and the stream
+    sizes its codebook exactly as the batch op would on that corpus
+    (``ceil(N·n_probe/IVF_DEDUP_CELL_TARGET)``, clamped) — what the
+    batch-parity test and the throughput bench do. An explicit
+    ``n_cells`` overrides; with neither, the legacy ``IVF_DEDUP_CELLS``
+    constant applies (documented mid-scale default — undersized
+    codebooks degrade throughput, never correctness: precision is the
+    exact cosine gate either way)."""
+    if n_cells is None:
+        n_cells = (
+            ivf_dedup_n_cells(expected_corpus_size, n_probe)
+            if expected_corpus_size is not None
+            else IVF_DEDUP_CELLS
+        )
     reader = spark.readStream.schema("vec_id bigint, embedding array<float>")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -785,9 +785,12 @@ def test_streaming_embedding_near_dup_parity_with_batch_ivf(spark, tmp_path):
 
     store = str(tmp_path / "store")
     out = str(tmp_path / "out")
+    # r12: the stream sizes its codebook from the planned ingest volume
+    # via the SAME probe-scaled formula as the batch op — that identity
+    # (not a shared constant) is what keeps the parity below exact
     q = run_streaming_embedding_near_dup(
         spark, str(src), str(tmp_path / "ckpt"), store, out,
-        max_files_per_trigger=1,
+        max_files_per_trigger=1, expected_corpus_size=len(pdf),
     )
     q.awaitTermination(300)
     accepted = {
@@ -844,7 +847,7 @@ def test_streaming_embedding_near_dup_parity_with_batch_ivf(spark, tmp_path):
     extra.to_parquet(str(src / "g.parquet"), index=False)
     q2 = run_streaming_embedding_near_dup(
         spark, str(src), str(tmp_path / "ckpt"), store, out,
-        max_files_per_trigger=1,
+        max_files_per_trigger=1, expected_corpus_size=len(pdf),
     )
     q2.awaitTermination(300)
     accepted2 = {

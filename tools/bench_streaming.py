@@ -333,6 +333,9 @@ def bench_embdedup(spark, args) -> None:
             os.path.join(work, "store"),
             os.path.join(work, "out"),
             max_files_per_trigger=1,
+            # size the codebook from the planned ingest volume — the same
+            # probe-scaled formula the batch op applies (r12)
+            expected_corpus_size=n_vecs,
         )
         if not q.awaitTermination(3600):
             q.stop()
