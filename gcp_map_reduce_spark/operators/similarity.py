@@ -371,15 +371,19 @@ SELECT vec_a, vec_b, cosine FROM (
 
 @query("dedup_embedding_cosine", oracle=_embedding_dedup_ivf_oracle())
 def dedup_embedding_cosine(
-    spark: SparkSession, sf_dir: str, payload: str = "auto"
+    spark: SparkSession, sf_dir: str, payload: str = "ivf"
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (semantic dedup): an
     approximate candidate generator gates pairs, the exact cosine
     threshold decides — every emitted cosine is the full bit-exact
     fold, so precision is always exact and only RECALL depends on the
-    generator. ``payload`` picks the plan; default ``"auto"`` (r9/r11)
-    lets the sampled band-density probe choose (estimate cached per
-    sf_dir for the session):
+    generator. ``payload`` picks the plan; the REGISTERED default is
+    ``"ivf"`` — pinned (r12, advice fix) because the registered SQL
+    oracle mirrors the IVF plan: a data-dependent default could route
+    a selective-banding corpus to ``"corpus"`` and mismatch the oracle
+    BY CONSTRUCTION. ``"auto"`` remains the library entry point for
+    picking the generator by measured band density (the sampled probe,
+    cached per sf_dir for the session):
 
     - ``"ivf"`` (r11, the registered default on this corpus): cell
       pruning via :func:`embedding_near_dup_pairs_ivf` — assign each
@@ -425,13 +429,14 @@ def dedup_embedding_cosine(
 
     The oracle mirrors the IVF plan itself
     (``_embedding_dedup_ivf_oracle``: same rank-based seeds, same
-    probe distances and tie-breaks, same exact-cosine gate), so parity
-    holds at every scale the auto probe picks ivf — which it does at
-    every driver scale of this corpus (density ~0.9·N >> threshold 64).
-    Recall vs the exact verifier (``embedding_near_dup_pairs_exact``)
-    is the separately-measured property in ``tests/test_similarity.py``;
-    the corpus plan's skinny checkpoint stays plan-asserted in
-    ``tests/test_plans.py``."""
+    probe-scaled n_cells formula, same probe distances and tie-breaks,
+    same exact-cosine gate), and the registered default is pinned to
+    ``"ivf"`` — so parity holds on EVERY corpus, not just ones where a
+    probe happens to route there (on this corpus ``"auto"`` agrees:
+    density ~0.9·N >> threshold 64). Recall vs the exact verifier
+    (``embedding_near_dup_pairs_exact``) is the separately-measured
+    property in ``tests/test_similarity.py``; the corpus plan's skinny
+    checkpoint stays plan-asserted in ``tests/test_plans.py``."""
     if payload not in ("corpus", "candidates", "tiles", "ivf", "auto"):
         raise ValueError(
             "payload must be 'corpus', 'candidates', 'tiles', 'ivf' or "

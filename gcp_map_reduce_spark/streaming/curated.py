@@ -186,7 +186,13 @@ def run_streaming_curated_corpus(
             read_store(ss, HASH_STORE_SCHEMA, hash_store_dir), batch_id
         )
         batch_hashes = batch.select("text_hash").distinct()
-        seen_hits = seen.join(F.broadcast(batch_hashes), "text_hash")
+        # two consumers since r12 (exact_ids anti-join + the new-hash
+        # store write) — checkpoint the tiny hit list so the full store
+        # scan behind it runs once per trigger, not once per consumer
+        seen_hits = (
+            seen.join(F.broadcast(batch_hashes), "text_hash")
+            .localCheckpoint(eager=True)
+        )
         first_in_batch = batch.groupBy("text_hash").agg(
             F.min("doc_id").alias("doc_id")
         )
@@ -216,7 +222,17 @@ def run_streaming_curated_corpus(
         feats.coalesce(1).write.mode("overwrite").parquet(
             f"{sig_store_dir}/batch_id={batch_id}"
         )
-        batch_hashes.coalesce(1).write.mode("overwrite").parquet(
+        # persist only hashes NOT already in the store (r11 advice fix):
+        # membership is all the exact-dedup probe needs, so appending a
+        # re-seen hash again only grows the store — and multiplies the
+        # seen_hits relation — with repeated content. seen_hits is
+        # exactly the already-present subset, so anti-joining it keeps
+        # the one-row-per-distinct-text bound the module docstring
+        # promises. Deterministic on replay: the own-batch exclusion
+        # makes seen_hits (and hence this difference) replay-stable.
+        batch_hashes.join(
+            F.broadcast(seen_hits), "text_hash", "left_anti"
+        ).coalesce(1).write.mode("overwrite").parquet(
             f"{hash_store_dir}/batch_id={batch_id}"
         )
         accepted.write.mode("overwrite").parquet(

@@ -270,15 +270,31 @@ def compact_signature_store(
 
     Correctness under the stream's replay guard: compacted rows carry no
     `batch_id=` in their path, so the store read assigns them _bid=-1
-    and they are never excluded — safe, because the store holds only
-    ACCEPTED docs: a replayed doc's own row is excluded by
-    `doc_a != doc_b`, and two same-batch accepted docs are by
-    construction NOT near-dups (one would have been suppressed), so
-    their est_jaccard fails the threshold anyway. `keep_last` batch
-    dirs are left uncompacted so an uncommitted-final-batch replay
-    rewrites its own dir rather than duplicating into the merged file
-    (a duplicate would ALSO be harmless — the consumer anti-join is
-    multiplicity-blind — just wasteful).
+    and they are never excluded. For ACCEPTED-only stores (the minhash
+    and embedding near-dup streams) that is safe for ANY batch: a
+    replayed doc's own row is excluded by `doc_a != doc_b`, and two
+    same-batch accepted docs are by construction not near-dups. For
+    ALL-DOCS stores (the curated stream's feature store, which holds
+    rejected higher-id near-dups too) the argument FAILS for exactly one
+    batch: the newest, possibly-uncommitted one — compact it and replay
+    it, and a doc's own-batch higher-id near-dup re-enters via the
+    store-side `doc_a != doc_b` filter with _bid=-1, suppressing a
+    previously-accepted doc (r11 advice). `keep_last >= 1` is therefore
+    ENFORCED (ValueError on 0): the newest batch dir always stays
+    uncompacted, so an uncommitted-final-batch replay rewrites its own
+    dir — which also keeps accepted-only compaction duplicate-free
+    rather than merely harmless (the consumer anti-join is
+    multiplicity-blind). Committed older batches are replay-dead under
+    availableNow checkpointing, so compacting THEM is safe for every
+    store kind.
+
+    Local filesystem ONLY: the listing/rename/delete steps are
+    driver-local (`glob`/`os.rename`/`shutil`). On an object-store or
+    HDFS scheme the glob would silently match nothing and the call
+    would no-op — exactly the failure mode `read_store` warns about —
+    so a non-local `store_dir` raises instead (port the listing to the
+    Hadoop FileSystem API, as `read_store` does for reads, before
+    lifting this).
 
     Crash posture (the kill-audit pattern): the merged dir is written to
     a `.compact-staging` sibling and renamed into place BEFORE any
@@ -290,6 +306,21 @@ def compact_signature_store(
     import os
     import re
     import shutil
+
+    if keep_last < 1:
+        raise ValueError(
+            "compact_signature_store: keep_last must be >= 1 — the newest "
+            "batch may be uncommitted, and for all-docs stores (the "
+            "curated feature store) compacting it breaks replay parity "
+            "(see docstring)"
+        )
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://", store_dir):
+        raise ValueError(
+            f"compact_signature_store: {store_dir!r} has a filesystem "
+            "scheme, but compaction is driver-local (glob/os.rename) and "
+            "would silently no-op on a remote store — run it against a "
+            "local mount, or port the listing to the Hadoop FileSystem API"
+        )
 
     staging = os.path.join(store_dir, ".compact-staging")
     shutil.rmtree(staging, ignore_errors=True)

@@ -717,12 +717,24 @@ def test_signature_store_compaction_preserves_acceptance(spark, tmp_path):
         (r["doc_id"], tuple(r["sig"]))
         for r in spark.read.parquet(f"{store}/batch_id=[1-9]*").collect()
     }
-    compact_signature_store(spark, store, keep_last=0)
+    # keep_last=0 is rejected outright (r12 advice fix: the newest batch
+    # may be uncommitted; compacting it breaks all-docs-store replay)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_last"):
+        compact_signature_store(spark, store, keep_last=0)
+    # ... and a remote-scheme store_dir is refused rather than no-opped
+    with _pytest.raises(ValueError, match="scheme"):
+        compact_signature_store(spark, "s3a://bucket/store")
+    compact_signature_store(spark, store, keep_last=1)
     healed_rows = [
         (r["doc_id"], tuple(r["sig"]))
         for r in spark.read.parquet(f"{store}/*").collect()
     ]
-    assert not glob.glob(f"{store}/batch_id=*")
+    # the newest batch dir stays uncompacted (keep_last=1); the planted
+    # subsumed duplicate and every older input merged into compacted=
+    remaining = glob.glob(f"{store}/batch_id=*")
+    assert [p.rsplit("=", 1)[1] for p in remaining] == ["4"], remaining
     # nothing lost, duplicates collapsed (row COUNT equals the set size)
     assert set(healed_rows) == expected_rows
     assert len(healed_rows) == len(expected_rows)
