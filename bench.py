@@ -2,7 +2,12 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "banked_value": ...,
-"unit": "sec", "queries": {name: sec}, "sf": ...}.
+"unit": "sec", "queries": {name: sec}, "cpu_sec": {name: executor_cpu_sec},
+"cpu_total": ..., "sf": ...}. cpu_sec (r12) is the load-insensitive
+secondary metric: executor task CPU for the min-wall run, read off the
+AppStatusStore after each timed run — box contention stretches wall but
+not CPU, so wall-vs-cpu disagreement separates noise from regression
+(see the gate's CPU_STEADY_FACTOR arbitration).
 
 Each query is forced with the no-op sink (full execution, zero driver
 collection) after a warm-up action that pays the JVM/codegen startup cost
@@ -35,9 +40,59 @@ import os
 import re
 import sys
 import time
+import urllib.request
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BANK_PATH = os.path.join(REPO, "BENCH_BEST.json")
+
+
+# --- executor CPU-time capture (r12 verdict task: the banked wall floor
+# sat frozen for two rounds of external box load — wall alone can no
+# longer arbitrate noise vs regression). Source = the Spark UI REST API
+# over the AppStatusStore, the same store the stress tools read. The
+# status listener populates the store whether or not the UI is enabled;
+# spark.ui.enabled=true only starts the jetty server, so serving these
+# reads costs the timed runs nothing. executorCpuTime is task CPU in
+# NANOSECONDS — it excludes scheduler wait, IO wait and GC pauses, so
+# external box contention inflates wall while leaving it ~flat: a query
+# whose wall ratio trips the gate but whose cpu ratio is steady is
+# contention, not a plan change.
+
+
+def _last_stage_id(spark) -> int:
+    ui = spark.sparkContext.uiWebUrl
+    appid = spark.sparkContext.applicationId
+    try:
+        data = json.load(
+            urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{appid}/stages", timeout=10
+            )
+        )
+        return max((s.get("stageId", -1) for s in data), default=-1)
+    except Exception:
+        return -1
+
+
+def _cpu_sec_since(spark, after_stage: int) -> float | None:
+    """Total executor CPU seconds over completed stages newer than the
+    marker (one timed query run — bench runs queries sequentially)."""
+    ui = spark.sparkContext.uiWebUrl
+    appid = spark.sparkContext.applicationId
+    try:
+        data = json.load(
+            urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{appid}/stages?status=complete",
+                timeout=10,
+            )
+        )
+    except Exception:
+        return None
+    ns = sum(
+        s.get("executorCpuTime", 0)
+        for s in data
+        if s.get("stageId", -1) > after_stage
+    )
+    return round(ns / 1e9, 3)
 
 HEADLINE = [
     # reference-parity text path
@@ -203,6 +258,26 @@ def merge_best(
 # catch); adjudication (quiet re-run) remains the documented next step.
 REGRESSION_FACTOR = 1.5
 REGRESSION_MIN_QUERIES = 1
+# r12: wall-vs-cpu arbitration. A row whose WALL ratio trips the gate
+# but whose executor-CPU ratio stayed within this factor of its banked
+# cpu did the same compute and merely waited longer — the external-load
+# signature that kept tripping manual adjudication in r8-r11. Such rows
+# are reported but do not count toward the gate. A real plan regression
+# (more rows through a kernel, a new shuffle's ser/de, a recompute)
+# burns CPU and still trips. Caveat: a pure wait-time regression (spill
+# IO, lock contention) is masked here — those surface in stress_ci's
+# max-task evidence instead.
+CPU_STEADY_FACTOR = 1.2
+
+
+def _banked_cpu(cur: dict) -> float | None:
+    """CPU seconds paired with the banked (min-wall) run, if recorded."""
+    det = cur.get("detail") or {}
+    runs, cpus = det.get("runs") or [], det.get("cpu_runs") or []
+    if not runs or len(cpus) != len(runs):
+        return None
+    best = cpus[runs.index(min(runs))]
+    return best if isinstance(best, (int, float)) else None
 
 
 def bank_regressions(full: dict, bank_path: str = BANK_PATH) -> list[dict]:
@@ -245,19 +320,26 @@ def bank_regressions(full: dict, bank_path: str = BANK_PATH) -> list[dict]:
     # the bank floor is never beaten mid-session, so median >= 1 in
     # practice; clamp anyway so a half-banked file can't shrink the bar
     bar = REGRESSION_FACTOR * max(1.0, median)
+    session_cpu = full.get("cpu_sec") or {}
     out = []
     for name, (sec, cur, ratio) in ratios.items():
         if ratio > bar:
-            out.append(
-                {
-                    "query": name,
-                    "sec": sec,
-                    "banked": cur["sec"],
-                    "ratio": round(ratio, 2),
-                    "session_median_ratio": round(median, 2),
-                    "banked_at": cur.get("banked_at"),
-                }
-            )
+            row = {
+                "query": name,
+                "sec": sec,
+                "banked": cur["sec"],
+                "ratio": round(ratio, 2),
+                "session_median_ratio": round(median, 2),
+                "banked_at": cur.get("banked_at"),
+            }
+            # wall-vs-cpu arbitration (r12): same compute + longer wait
+            # = contention, not a plan change
+            bcpu = _banked_cpu(cur)
+            scpu = session_cpu.get(name)
+            if bcpu and scpu is not None:
+                row["cpu_ratio"] = round(scpu / bcpu, 2)
+                row["cpu_steady"] = row["cpu_ratio"] <= CPU_STEADY_FACTOR
+            out.append(row)
     return out
 
 
@@ -274,7 +356,11 @@ def main() -> None:
 
     def plan(name):
         return overrides[name] if name in overrides else registry.QUERIES[name]
-    spark = get_spark(app_name="bench")
+    # UI on for the AppStatusStore REST reads (cpu_sec capture); the
+    # status listener runs either way, so this does not touch task cost
+    spark = get_spark(
+        app_name="bench", extra_conf={"spark.ui.enabled": "true"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up: JVM, parquet reader, and per-query whole-stage-codegen
@@ -300,6 +386,7 @@ def main() -> None:
     # it and keep timing the rest.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    cpu: dict[str, float] = {}
     detail: dict[str, dict] = {}
     errors: dict[str, str] = {}
     import gc
@@ -307,6 +394,7 @@ def main() -> None:
     for name in HEADLINE:
         q = plan(name)
         samples: list[float] = []
+        cpu_samples: list[float | None] = []
         # Drop driver-side references from the previous query before
         # timing this one: localCheckpoint blocks and broadcasts are
         # freed by the ContextCleaner only after the Python-side refs
@@ -316,9 +404,12 @@ def main() -> None:
         gc.collect()
         try:
             for _ in range(runs):
+                marker = _last_stage_id(spark)
                 t0 = time.perf_counter()
                 q(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 samples.append(round(time.perf_counter() - t0, 3))
+                # off the timer: REST read after the clock stops
+                cpu_samples.append(_cpu_sec_since(spark, marker))
         except Exception as exc:
             errors[name] = repr(exc)[:500]
             print(f"timed run failed for {name}: {exc!r}", file=sys.stderr)
@@ -330,8 +421,14 @@ def main() -> None:
         # could tell machine noise from a real slide).
         srt = sorted(samples)
         timings[name] = srt[0]
+        # cpu of the min-WALL run (the comparable steady-state pairing);
+        # None if the REST read failed for that run
+        best_cpu = cpu_samples[samples.index(srt[0])]
+        if best_cpu is not None:
+            cpu[name] = best_cpu
         detail[name] = {
             "runs": samples,
+            "cpu_runs": cpu_samples,
             "min": srt[0],
             "median": round(srt[len(srt) // 2], 3),
             "spread": round(srt[-1] - srt[0], 3),
@@ -350,6 +447,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "cpu_sec": cpu,
+        "cpu_total": round(sum(cpu.values()), 2) if cpu else None,
         "queries_detail": detail,
         "errors": errors,
         "sf": sf,
@@ -368,22 +467,38 @@ def main() -> None:
     # so compare session-vs-bank here. Only the tripped gate changes the
     # compact line (it must stay under the driver's 2,000-char tail).
     regs = bank_regressions(full)
-    if len(regs) >= REGRESSION_MIN_QUERIES:
-        compact["bank_regression_gate"] = sorted(r["query"] for r in regs)
-        med = regs[0]["session_median_ratio"]
+    # cpu-steady rows (same compute, longer wait = contention) are
+    # reported but do not trip the gate (r12 arbitration)
+    real = [r for r in regs if not r.get("cpu_steady")]
+    if regs:
+        for r in regs:
+            tag = (
+                "cpu-steady (contention)" if r.get("cpu_steady")
+                else "cpu moved too" if "cpu_ratio" in r
+                else "no cpu evidence"
+            )
+            print(
+                f"bank gate: {r['query']} wall {r['sec']}s vs "
+                f"{r['banked']}s banked (ratio {r['ratio']}, cpu_ratio "
+                f"{r.get('cpu_ratio', 'n/a')}) — {tag}",
+                file=sys.stderr,
+            )
+    if len(real) >= REGRESSION_MIN_QUERIES:
+        compact["bank_regression_gate"] = sorted(r["query"] for r in real)
+        med = real[0]["session_median_ratio"]
         print(
-            f"BANK REGRESSION GATE: {len(regs)} queries exceed "
+            f"BANK REGRESSION GATE: {len(real)} queries exceed "
             f"{REGRESSION_FACTOR}x the session-median banked ratio "
-            f"({med}): "
+            f"({med}) with non-steady CPU: "
             + ", ".join(
                 f"{r['query']} {r['sec']}s vs {r['banked']}s banked "
-                f"(ratio {r['ratio']})"
-                for r in regs
+                f"(ratio {r['ratio']}, cpu_ratio {r.get('cpu_ratio', 'n/a')})"
+                for r in real
             )
-            + " — these slid RELATIVE to the rest of this session, which "
-            "uniform box contention cannot explain; adjudicate with a "
-            "quiet-box re-run, and prune BENCH_BEST.json rows only for "
-            "intentional plan trades",
+            + " — these slid RELATIVE to the rest of this session and "
+            "burned more CPU doing it, which contention cannot explain; "
+            "adjudicate with a quiet-box re-run, and prune "
+            "BENCH_BEST.json rows only for intentional plan trades",
             file=sys.stderr,
         )
     print(json.dumps(compact))

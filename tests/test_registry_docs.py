@@ -106,9 +106,14 @@ def test_bench_compact_stdout_line_survives_driver_tail():
             "value": 9999.999,
             "unit": "sec",
             "queries": {name: 9999.999 for name in HEADLINE},
+            # r12: per-query executor CPU seconds ride the compact line
+            # too (the load-insensitive secondary metric)
+            "cpu_sec": {name: 9999.99 for name in HEADLINE},
+            "cpu_total": 99999.99,
             "errors": {},
             "sf": 0.1,
             "banked_value": 9999.999,
+            "bank_regression_gate": ["a_reasonably_long_query_name"] * 2,
         }
     )
     assert len(payload) < 1900, len(payload)
