@@ -368,6 +368,54 @@ def test_window_suite_two_pass_bit_identical(spark):
         window_suite_two_pass(spark, sf, chunk_sec=0)
 
 
+def test_choose_window_plan_probe_and_routing(spark, tmp_path):
+    """r12 verdict task #5: the hot-key probe must (a) keep this corpus
+    on the single-shuffle plan (max user share ~0.001 — the extra
+    shuffles would be pure cost), (b) route a genuinely hot-keyed corpus
+    to two_pass, (c) respect the absolute-rows floor (a 50% key of a
+    tiny corpus is a tiny task, not a straggler), and (d) be wired into
+    the registered window_suite via plan='auto'."""
+    import pandas as pd
+
+    from gcp_map_reduce_spark.operators.relational import (
+        choose_window_plan,
+        estimate_max_user_share,
+        window_suite,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    assert estimate_max_user_share(spark, sf) < 0.05
+    assert choose_window_plan(spark, sf) == "single"
+
+    # synthetic hot corpus: one user holds 50% of events
+    hot = str(tmp_path / "hot")
+    import os
+
+    os.makedirs(hot)
+    n = 4000
+    pd.DataFrame(
+        {
+            "event_id": range(n),
+            "user_id": [1] * (n // 2) + list(range(2, n // 2 + 2)),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(range(n), unit="s"),
+            "value": [float(i % 7) for i in range(n)],
+        }
+    ).to_parquet(f"{hot}/events.parquet", index=False)
+    share = estimate_max_user_share(spark, hot)
+    assert share > 0.4, share
+    # hot share but under the absolute floor -> still single
+    assert choose_window_plan(spark, hot) == "single"
+    # floor lowered to corpus scale -> two_pass
+    assert choose_window_plan(spark, hot, min_rows=1000) == "two_pass"
+
+    # auto is the registered default and validates its input
+    import pytest
+
+    with pytest.raises(ValueError, match="plan"):
+        window_suite(spark, sf, plan="nope")
+
+
 def test_window_suite_two_pass_null_semantics(spark, tmp_path):
     """r11 review catch: the two-pass form must match the registered
     window suite on NULLABLE inputs too — a NULL-prefix running sum must
