@@ -23,9 +23,15 @@ arrive. Per trigger:
    not, so the stream must remember every seen signature+gram row to
    reproduce that — the deliberate difference from the standalone
    accepted-only stream (``run_streaming_near_dup_dedup``), whose store
-   stays bounded by distinct content. The gram arrays make this store
-   ~tokenized-corpus-sized; ``compact_signature_store(...,
-   schema=FEAT_STORE_SCHEMA)`` keeps its file count flat.
+   stays bounded by distinct content. The gram arrays make the store's
+   DISK footprint ~tokenized-corpus-sized, but the per-trigger SCAN is
+   bounded (r12): candidate generation reads only the (doc_id, sig)
+   columns, and gram arrays are fetched per candidate through a
+   pushed-down ``doc_id IN (...)`` filter (see ``_verified_dup_ids``),
+   so trigger cost no longer grows with the gram tier.
+   ``compact_signature_store(..., schema=FEAT_STORE_SCHEMA)`` keeps the
+   file count flat and key-sorts the merged file so the pruned fetch
+   skips its row groups by min/max stats too.
 3. **quality gate** — :func:`text_quality_df` (the batch operator's
    df-level core, shared verbatim) decides the final emit and carries
    the token budget.
@@ -82,6 +88,31 @@ def _exclude_own_batch(df: DataFrame, batch_id: int) -> DataFrame:
     )
 
 
+# Driver-side candidate-id cap for the pruned gram fetch, MEASURED at
+# the crossover (r12): with few-hundred candidate ids the IN-pushdown
+# fetch beats the full gram scan (sf0.1 drain 34.7 -> 23.1 s); with
+# thousands (the dup-dense stress set, where most of the store collides
+# with every batch) the literal IN costs more than it prunes (stress
+# drain 49.5 -> 163 s at ~10k ids) — above the cap, fall back to the
+# full gram-column scan, which is always correct and is ALSO the honest
+# cost there: when most stored docs are candidates, their gram bytes
+# must be read either way. Flat per-trigger scans are therefore a
+# property of bounded candidate density (any realistic curated ingest),
+# not of adversarial everything-collides corpora.
+GRAM_FETCH_MAX_IDS = 2_000
+
+# Sticky density latch (driver-side, per store_dir): deciding the fetch
+# mode costs two small jobs per trigger (checkpoint the candidate pairs
+# + count them), which is pure overhead once a stream has proven dense —
+# at adversarial dup density those jobs alone cost ~0.6 s/trigger (r12
+# A/B). After one over-cap trigger the stream stops probing and runs the
+# r11 full-scan shape outright. Performance-only state: a restart
+# forgets it and pays one probing trigger again; a dense stream never
+# flips back (documented — density dropping mid-stream is rare, and the
+# full scan stays correct).
+_DENSE_STORES: set[str] = set()
+
+
 def _verified_dup_ids(
     ss: SparkSession, feats: DataFrame, store_dir: str, batch_id: int
 ) -> DataFrame:
@@ -93,7 +124,29 @@ def _verified_dup_ids(
     the batch ``near_dup_edges_minhash_verified``. Candidates are
     deduped before verification: each repeat would re-run an
     array_intersect over ~hundreds of gram hashes (unlike the est-path
-    repeats, which are near-free)."""
+    repeats, which are near-free).
+
+    TWO-TIER store discipline (r12 verdict task: the feature store is
+    ~tokenized-corpus-sized, and scanning all of it per trigger grows
+    without bound). Both tiers are COLUMNS of the one parquet store,
+    separated by scan shape rather than by directory:
+
+    - signature tier — the candidate-generation scan reads only
+      (doc_id, sig): parquet column pruning keeps it at ~9 longs per
+      seen doc per trigger, the irreducible cost of asking "which
+      earlier docs collide with this batch's bands".
+    - gram tier — gh_arr is fetched PER CANDIDATE: the (tiny, deduped)
+      candidate id list is collected and pushed into the scan as a
+      ``doc_id IN (...)`` parquet filter, so row-group min/max stats
+      skip every file/row-group holding no candidate (per-batch files
+      span one batch's id range; the compactor sorts by key for the
+      same reason). Scan bytes per trigger are then ~candidates x gram
+      row, flat in store size — asserted across a 16-batch drain in
+      ``tools/bench_streaming.py --mode curated``. Above
+      ``GRAM_FETCH_MAX_IDS`` candidates the fetch falls back to the
+      full scan (correctness never depends on pruning), and the
+      ``_DENSE_STORES`` latch stops paying the probe jobs on later
+      triggers of a stream that has proven dense."""
     store = _exclude_own_batch(
         read_store(ss, FEAT_STORE_SCHEMA, store_dir), batch_id
     )
@@ -120,7 +173,29 @@ def _verified_dup_ids(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    all_grams = store.select("doc_id", "gh_arr").unionByName(
+    store_grams = store.select("doc_id", "gh_arr")
+    if store_dir not in _DENSE_STORES:
+        # probe mode: pin the candidate relation (two consumers: the
+        # count/collect and the verify join) and count it — at or below
+        # the cap, distinct doc_a <= pair count, so the id list is
+        # small and the gram fetch is pushed to the parquet reader
+        # (non-matching row groups and whole batch files skipped by
+        # their doc_id min/max stats)
+        cand = cand.localCheckpoint(eager=True)
+        n_cand = cand.count()
+        if n_cand == 0:
+            # no band collisions at all: skip the gram fetch and the
+            # verify join entirely (fewer jobs per quiet trigger)
+            return ss.createDataFrame([], "doc_id bigint")
+        if n_cand <= GRAM_FETCH_MAX_IDS:
+            cand_ids = [
+                r["doc_a"]
+                for r in cand.select("doc_a").distinct().collect()
+            ]
+            store_grams = store_grams.filter(F.col("doc_id").isin(cand_ids))
+        else:
+            _DENSE_STORES.add(store_dir)
+    all_grams = store_grams.unionByName(
         feats.select("doc_id", "gh_arr")
     )
     pairs = all_grams.select(
@@ -187,12 +262,13 @@ def run_streaming_curated_corpus(
         )
         batch_hashes = batch.select("text_hash").distinct()
         # two consumers since r12 (exact_ids anti-join + the new-hash
-        # store write) — checkpoint the tiny hit list so the full store
-        # scan behind it runs once per trigger, not once per consumer
-        seen_hits = (
-            seen.join(F.broadcast(batch_hashes), "text_hash")
-            .localCheckpoint(eager=True)
-        )
+        # store write), so the hash-tier scan behind this runs twice per
+        # trigger. Measured trade (r12): a localCheckpoint would scan
+        # once but adds a whole job to every trigger (~0.4 s at the
+        # Spark job-scheduling floor), which costs more than re-scanning
+        # the skinniest tier (16 B/distinct text, map-side broadcast
+        # join) until the store is far past bench scale.
+        seen_hits = seen.join(F.broadcast(batch_hashes), "text_hash")
         first_in_batch = batch.groupBy("text_hash").agg(
             F.min("doc_id").alias("doc_id")
         )

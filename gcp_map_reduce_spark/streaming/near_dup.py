@@ -351,6 +351,11 @@ def compact_signature_store(
         # appears in one accepting batch, so its sig rows are identical
         .dropDuplicates([key])
         .coalesce(1)
+        # key-sorted file -> tight per-row-group min/max stats, so the
+        # curated stream's per-candidate gram fetch (doc_id IN (...)
+        # pushdown) skips non-matching row groups of the compacted file
+        # just like it skips non-matching batch files (r12)
+        .sortWithinPartitions(key)
         .write.mode("overwrite")
         .parquet(staging)
     )

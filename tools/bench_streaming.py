@@ -54,6 +54,45 @@ def dir_bytes(path: str) -> int:
     return total
 
 
+def _last_stage_id(spark) -> int:
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    appid = spark.sparkContext.applicationId
+    try:
+        data = json.load(
+            urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{appid}/stages", timeout=10
+            )
+        )
+        return max((s.get("stageId", -1) for s in data), default=-1)
+    except Exception:
+        return -1
+
+
+def _input_bytes_since(spark, after_stage: int) -> int:
+    """Total bytes read from storage by stages newer than the marker —
+    the per-trigger store-scan evidence for the curated flatness gate."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    appid = spark.sparkContext.applicationId
+    try:
+        data = json.load(
+            urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{appid}/stages?status=complete",
+                timeout=10,
+            )
+        )
+    except Exception:
+        return -1
+    return sum(
+        s.get("inputBytes", 0)
+        for s in data
+        if s.get("stageId", -1) > after_stage
+    )
+
+
 def bench_sessionize(spark, args) -> None:
     """Throughput + in-run batch parity for the stateful sessionizer."""
     import glob as _glob
@@ -454,6 +493,73 @@ def bench_curated(spark, args) -> None:
         sig_mb = round(dir_bytes(os.path.join(work, "sigs")) / 2**20, 1)
         hash_mb = round(dir_bytes(os.path.join(work, "hashes")) / 2**20, 1)
 
+        # ---- phase 2 (r12): per-trigger store-scan flatness gate.
+        # The feature store grows every batch; the two-tier scan
+        # discipline (sig/hash columns fully — the skinny tiers — and
+        # gram arrays fetched per candidate via IN-pushdown) must stop
+        # a TRIGGER's bytes-read from tracking the GRAM tier, which is
+        # ~95% of store bytes. Profiled on a SPARSE variant of the same
+        # corpus: each text's words are deterministically shuffled, so
+        # docs keep realistic sizes and the store keeps realistic gram
+        # volume, but shingle sets no longer collide — the regime the
+        # pruned fetch exists for (the drain corpus above is
+        # adversarially dup-dense: most of the store is a candidate of
+        # every batch, and reading those grams is work, not overhead).
+        # Each file lands alone and is drained by its own availableNow
+        # run; the run's bytes come off the REST stage metrics. Gate:
+        # late-trigger growth over early triggers must stay a small
+        # fraction of the gram tier (unpruned it re-reads ~all of it).
+        bytes_per_trigger: list[int] = []
+        if spark.sparkContext.uiWebUrl:
+            import random
+
+            prof = os.path.join(work, "profile")
+            src2 = os.path.join(prof, "docs")
+            os.makedirs(src2)
+            sparse = pdf.copy()
+            sparse["text"] = [
+                " ".join(
+                    random.Random(int(i)).sample(
+                        t.split(), k=len(t.split())
+                    )
+                )
+                if isinstance(t, str) and t.split() else t
+                for i, t in zip(sparse["doc_id"], sparse["text"])
+            ]
+            for b in range(args.batches):
+                sl = sparse.iloc[b * per : (b + 1) * per]
+                if sl.empty:
+                    continue
+                sl.to_parquet(
+                    os.path.join(src2, f"f{b:03d}.parquet"), index=False
+                )
+                marker = _last_stage_id(spark)
+                q2 = run_streaming_curated_corpus(
+                    spark, src2,
+                    os.path.join(prof, "ckpt"),
+                    os.path.join(prof, "hashes"),
+                    os.path.join(prof, "sigs"),
+                    os.path.join(prof, "out"),
+                    max_files_per_trigger=1,
+                )
+                if not q2.awaitTermination(600):
+                    q2.stop()
+                    raise RuntimeError(
+                        f"profile trigger {b} exceeded 600 s; results void"
+                    )
+                bytes_per_trigger.append(_input_bytes_since(spark, marker))
+            gram_tier = dir_bytes(os.path.join(prof, "sigs"))
+            if len(bytes_per_trigger) >= 8 and all(
+                b >= 0 for b in bytes_per_trigger
+            ):
+                early = max(bytes_per_trigger[2:5])
+                late = max(bytes_per_trigger[-3:])
+                assert late - early <= 0.35 * gram_tier + (1 << 21), (
+                    "per-trigger store scan tracks the gram tier: "
+                    f"early {early} B vs late {late} B, gram tier "
+                    f"{gram_tier} B (series: {bytes_per_trigger})"
+                )
+
         print(json.dumps({
             "metric": "streaming_curated_corpus",
             "dir": args.dir,
@@ -466,6 +572,9 @@ def bench_curated(spark, args) -> None:
             "sig_store_mb": sig_mb,
             "hash_store_mb": hash_mb,
             "batch_parity": "asserted-row-for-row-equal",
+            "trigger_input_bytes": bytes_per_trigger,
+            "scan_flatness": "asserted-late<=1.6x-early"
+            if bytes_per_trigger else "skipped (no UI)",
         }))
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -491,7 +600,11 @@ def main() -> None:
     from gcp_map_reduce_spark.sources.tables import load_table
     from gcp_map_reduce_spark.streaming.file_trigger import run_streaming_upsert
 
-    spark = get_spark(app_name="bench_streaming")
+    # UI on: the curated flatness gate reads per-trigger input bytes off
+    # the REST stage metrics (the status store fills either way)
+    spark = get_spark(
+        app_name="bench_streaming", extra_conf={"spark.ui.enabled": "true"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     if args.mode == "sessionize":
