@@ -1311,14 +1311,35 @@ def events_enriched_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch counterpart of the streaming windowed agg (streaming/) —
     with a JSON-path extraction from the props payload folded into the
     same pass (the reference only ever used JSON as a storage format,
-    never queried it — O15)."""
+    never queried it — O15).
+
+    Shuffle-key discipline (r12, local-cluster ser/de finding): group on
+    the TRUNCATED TIMESTAMP (8 bytes) and render the display string
+    after the final aggregate — the r11 plan formatted 'yyyy-MM-dd
+    HH:00' per row BEFORE the exchanges, so both the distinct-agg and
+    the final shuffle carried a 16-char string key per partial row.
+    date_trunc is bijective with the formatted string (session pinned
+    UTC), so values are unchanged."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy(
-        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
-        "event_type",
-    ).agg(
-        F.count("*").alias("n"),
-        F.count_distinct("user_id").alias("n_users"),
-        dsum("value", "total_value"),
-        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("_hour_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+            dsum("value", "total_value"),
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias(
+                "sum_k"
+            ),
+        )
+        .select(
+            F.date_format("_hour_ts", "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+            "n",
+            "n_users",
+            "total_value",
+            "sum_k",
+        )
     )
