@@ -309,6 +309,59 @@ def test_streaming_near_dup_dedup(spark, tmp_path):
     assert not (new_ids & set(dup["doc_id"])), sorted(new_ids)[:5]
 
 
+def test_near_dup_collected_accept_equals_distributed(spark, tmp_path):
+    """r12: the driver-centric acceptance path (minhash_accept_collected
+    — the 3-actions-per-trigger default) must make IDENTICAL decisions
+    to the fully-distributed plan, store rows included, on a multi-batch
+    drain with real cross-batch and within-batch near-dups."""
+    import pandas as pd
+
+    from gcp_map_reduce_spark.sources.tables import load_table
+    from gcp_map_reduce_spark.streaming.near_dup import (
+        run_streaming_near_dup_dedup,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    # add perturbed copies so batches carry both within-batch and
+    # cross-batch suppressions
+    dup = pdf.iloc[:30].copy()
+    dup["doc_id"] += 800000
+    dup["text"] += " tail words"
+    full = pd.concat([pdf, dup]).sort_values("doc_id").reset_index(drop=True)
+
+    results = {}
+    for mode in (True, False):
+        root = tmp_path / f"m{mode}"
+        src = root / "docs"
+        src.mkdir(parents=True)
+        per = (len(full) + 3) // 4
+        for b in range(4):
+            sl = full.iloc[b * per : (b + 1) * per]
+            sl.to_parquet(str(src / f"f{b}.parquet"), index=False)
+        q = run_streaming_near_dup_dedup(
+            spark, str(src), str(root / "ckpt"), str(root / "store"),
+            str(root / "out"), max_files_per_trigger=1,
+            collected_accept=mode,
+        )
+        q.awaitTermination(300)
+        out_ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(root / "out" / "*")).collect()
+        }
+        store_rows = {
+            (r["doc_id"], tuple(r["sig"]))
+            for r in spark.read.parquet(
+                str(root / "store" / "batch_id=*")
+            ).collect()
+        }
+        results[mode] = (out_ids, store_rows)
+    assert results[True][0] == results[False][0]
+    assert results[True][1] == results[False][1]
+
+
 def test_stream_stream_join_matches_batch_interval_join(spark, tmp_path):
     from gcp_map_reduce_spark.streaming import run_stream_stream_join
     from gcp_map_reduce_spark.sources.tables import load_table
