@@ -714,7 +714,9 @@ def _dedup_embedding_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def tile_kernel(key: tuple, pdf) -> "pd.DataFrame":
+    def tile_kernel(key, pdf):  # no hints: pyspark infers the
+        # grouped-map eval type from the schema= argument; partial or
+        # string hints emit (soon: raise) TYPE_HINT warnings
         import pandas as pd
 
         ti, tj = key
@@ -953,7 +955,7 @@ def embedding_near_dup_pairs_ivf(
     )
     threshold = NEAR_DUP_COSINE
 
-    def cell_kernel(key: tuple, pdf) -> "pd.DataFrame":
+    def cell_kernel(key, pdf):  # no hints (see tile_kernel)
         import pandas as pd
 
         _cell, ti, tj = key
