@@ -923,6 +923,67 @@ def test_streaming_embedding_near_dup_parity_with_batch_ivf(spark, tmp_path):
     assert not (new_ids & set(int(v) for v in extra["vec_id"])), sorted(new_ids)[:5]
 
 
+def test_embedding_collected_accept_equals_distributed(spark, tmp_path):
+    """r12: the driver-centric embedding acceptance (numpy d-sequential
+    folds + driver store mirror) must make IDENTICAL decisions to the
+    distributed plan — store rows included (vec_id, e, n2, cells) — on
+    a multi-batch drain with true near-dups."""
+    import duckdb
+    import os
+
+    from gcp_map_reduce_spark.streaming.embedding_near_dup import (
+        EMB_STORE_SCHEMA,
+        run_streaming_embedding_near_dup,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    duckdb.sql(
+        "COPY (SELECT vec_id, embedding"
+        " FROM '/root/testdata/sf0.001/embeddings.parquet'"
+        " UNION ALL"
+        " SELECT vec_id + 1000,"
+        "   list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT))"
+        " FROM '/root/testdata/sf0.001/embeddings.parquet')"
+        f" TO '{corpus}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    pdf = (
+        spark.read.parquet(f"{corpus}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    results = {}
+    for mode in (True, False):
+        root = tmp_path / f"m{mode}"
+        src = root / "vecs"
+        src.mkdir(parents=True)
+        per = (len(pdf) + 3) // 4
+        for b in range(4):
+            pdf.iloc[b * per : (b + 1) * per].to_parquet(
+                str(src / f"f{b}.parquet"), index=False
+            )
+        q = run_streaming_embedding_near_dup(
+            spark, str(src), str(root / "ckpt"), str(root / "store"),
+            str(root / "out"), max_files_per_trigger=1,
+            expected_corpus_size=len(pdf), collected_accept=mode,
+        )
+        q.awaitTermination(300)
+        out_ids = {
+            int(r["vec_id"])
+            for r in spark.read.parquet(str(root / "out" / "*")).collect()
+        }
+        store_rows = {
+            (int(r["vec_id"]), tuple(r["e"]), r["n2"], tuple(r["cells"]))
+            for r in spark.read.schema(EMB_STORE_SCHEMA)
+            .parquet(str(root / "store" / "batch_id=*"))
+            .collect()
+        }
+        results[mode] = (out_ids, store_rows)
+    assert results[True][0] == results[False][0]
+    assert results[True][1] == results[False][1]
+
+
 def test_streaming_curated_corpus_equals_batch_pipeline(spark, tmp_path):
     """r11 flagship composition at ingest: the streaming curated corpus
     (quality gate -> first-ever exact dedup -> verified near-dup removal)
