@@ -40,7 +40,6 @@ import os
 import re
 import sys
 import time
-import urllib.request
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BANK_PATH = os.path.join(REPO, "BENCH_BEST.json")
@@ -49,50 +48,27 @@ BANK_PATH = os.path.join(REPO, "BENCH_BEST.json")
 # --- executor CPU-time capture (r12 verdict task: the banked wall floor
 # sat frozen for two rounds of external box load — wall alone can no
 # longer arbitrate noise vs regression). Source = the Spark UI REST API
-# over the AppStatusStore, the same store the stress tools read. The
-# status listener populates the store whether or not the UI is enabled;
-# spark.ui.enabled=true only starts the jetty server, so serving these
-# reads costs the timed runs nothing. executorCpuTime is task CPU in
-# NANOSECONDS — it excludes scheduler wait, IO wait and GC pauses, so
-# external box contention inflates wall while leaving it ~flat: a query
-# whose wall ratio trips the gate but whose cpu ratio is steady is
-# contention, not a plan change.
+# over the AppStatusStore (shared probes in tools/rest_metrics.py, which
+# also drain the async listener bus first — a lagging read undercounts
+# the newest stages' CPU and a real regression would read 'cpu-steady'
+# and slip the gate). The status listener populates the store whether or
+# not the UI is enabled; spark.ui.enabled=true only starts the jetty
+# server, so serving these reads costs the timed runs nothing.
+# executorCpuTime is task CPU in NANOSECONDS — it excludes scheduler
+# wait, IO wait and GC pauses, so external box contention inflates wall
+# while leaving it ~flat: a query whose wall ratio trips the gate but
+# whose cpu ratio is steady is contention, not a plan change.
 
-
-def _last_stage_id(spark) -> int:
-    ui = spark.sparkContext.uiWebUrl
-    appid = spark.sparkContext.applicationId
-    try:
-        data = json.load(
-            urllib.request.urlopen(
-                f"{ui}/api/v1/applications/{appid}/stages", timeout=10
-            )
-        )
-        return max((s.get("stageId", -1) for s in data), default=-1)
-    except Exception:
-        return -1
+from tools.rest_metrics import last_stage_id as _last_stage_id  # noqa: E402
+from tools.rest_metrics import stage_sum_since as _stage_sum_since  # noqa: E402
 
 
 def _cpu_sec_since(spark, after_stage: int) -> float | None:
     """Total executor CPU seconds over completed stages newer than the
-    marker (one timed query run — bench runs queries sequentially)."""
-    ui = spark.sparkContext.uiWebUrl
-    appid = spark.sparkContext.applicationId
-    try:
-        data = json.load(
-            urllib.request.urlopen(
-                f"{ui}/api/v1/applications/{appid}/stages?status=complete",
-                timeout=10,
-            )
-        )
-    except Exception:
-        return None
-    ns = sum(
-        s.get("executorCpuTime", 0)
-        for s in data
-        if s.get("stageId", -1) > after_stage
-    )
-    return round(ns / 1e9, 3)
+    marker (one timed query run — bench runs queries sequentially).
+    Read off the wall-clock timer."""
+    ns = _stage_sum_since(spark, after_stage, "executorCpuTime")
+    return None if ns is None else round(ns / 1e9, 3)
 
 HEADLINE = [
     # reference-parity text path

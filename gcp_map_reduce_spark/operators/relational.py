@@ -554,7 +554,9 @@ def estimate_max_user_share(
 
     def compute() -> float:
         ev = _t(spark, sf_dir, "events").select("user_id")
-        n = ev.count()
+        # the row count is its own session-cached probe — without this,
+        # choose_window_plan's first call paid two full scans (review)
+        n = _events_row_count(spark, sf_dir)
         if n == 0:
             return 0.0
         p = min(1.0, sample_target / n)

@@ -189,13 +189,19 @@ def minhash_accept(
 # removes one Spark job per trigger (~0.5 s of worker/scheduling cost at
 # the measured floor). Parquet remains the source of truth: the cache is
 # (re)loaded with ONE Spark read when absent or when the store dir's
-# layout differs from what the cache wrote/loaded (a compaction or an
-# external writer — checked per trigger with a driver listing on local
-# paths; on remote filesystem schemes the cache is DISABLED and the
-# probe runs distributed, which also keeps memory honest where stores
-# can be arbitrarily large). Bound: ~264 B per accepted doc — a 10M-doc
-# distinct corpus mirrors in ~2.6 GB of driver memory; beyond that run
-# collected_accept=False (the fully-distributed plan).
+# layout (the SET of batch_id=/compacted= entry names, checked per
+# trigger with a driver listing) differs from what the cache
+# wrote/loaded — that detects compaction and any writer that adds or
+# removes dirs. It does NOT detect an in-place rewrite of an existing
+# dir under the same name: the store contract is single-writer (this
+# stream, plus the offline compactor, both layout-changing); an
+# external tool rewriting batch dirs in place must be followed by a
+# process restart or a compact call. On remote filesystem schemes the
+# cache is DISABLED and the probe runs distributed, which also keeps
+# memory honest where stores can be arbitrarily large. Bound: ~264 B
+# per accepted doc — a 10M-doc distinct corpus mirrors in ~2.6 GB of
+# driver memory; beyond that run collected_accept=False (the
+# fully-distributed plan).
 _SIG_CACHE: dict[str, dict] = {}
 
 
@@ -382,6 +388,17 @@ def minhash_accept_collected(
     thr = NEAR_DUP_EST_JACCARD
     sig_schema = "doc_id bigint, sig array<bigint>"
     if len(sig_pdf) == 0:
+        # the caller still writes an (empty) batch dir, so the mirror
+        # must record the chunk too or the next trigger's layout check
+        # would force a full O(store) reload (r12 review catch)
+        layout = _store_layout(store_dir)
+        cache = _SIG_CACHE.get(store_dir)
+        if cache is not None and cache.get("layout") == layout:
+            _cache_append(
+                cache, batch_id,
+                np.empty(0, dtype=np.int64),
+                np.empty((0, NUM_HASHES), dtype=np.int64),
+            )
         return sig_pdf
     ids = sig_pdf["doc_id"].to_numpy(dtype=np.int64)
     sigs = np.stack([np.asarray(s, dtype=np.int64) for s in sig_pdf["sig"]])
@@ -465,13 +482,17 @@ def minhash_accept_collected(
             if hits:
                 yield pd.DataFrame({"doc_b": sorted(hits)})
 
-    store_hits = {
-        int(row["doc_b"])
-        for row in store.mapInPandas(probe, "doc_b bigint").collect()
-    }
-    # deterministic teardown: without it the per-trigger broadcasts pile
-    # up until a python GC destroys them from arbitrary call sites
-    bc.destroy()
+    try:
+        store_hits = {
+            int(row["doc_b"])
+            for row in store.mapInPandas(probe, "doc_b bigint").collect()
+        }
+    finally:
+        # deterministic teardown even when the probe job fails (a retried
+        # trigger creates a fresh broadcast each attempt): without it the
+        # per-trigger broadcasts pile up until a python GC destroys them
+        # from arbitrary call sites
+        bc.destroy()
     keep = ~dup & ~np.isin(ids, np.fromiter(store_hits, dtype=np.int64, count=len(store_hits)))
     return sig_pdf[keep]
 

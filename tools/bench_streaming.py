@@ -54,43 +54,17 @@ def dir_bytes(path: str) -> int:
     return total
 
 
-def _last_stage_id(spark) -> int:
-    import urllib.request
-
-    ui = spark.sparkContext.uiWebUrl
-    appid = spark.sparkContext.applicationId
-    try:
-        data = json.load(
-            urllib.request.urlopen(
-                f"{ui}/api/v1/applications/{appid}/stages", timeout=10
-            )
-        )
-        return max((s.get("stageId", -1) for s in data), default=-1)
-    except Exception:
-        return -1
+# shared AppStatusStore REST probes (r12 review consolidation — bench.py
+# uses the same pair for its cpu_sec capture)
+from tools.rest_metrics import last_stage_id as _last_stage_id  # noqa: E402
+from tools.rest_metrics import stage_sum_since  # noqa: E402
 
 
 def _input_bytes_since(spark, after_stage: int) -> int:
     """Total bytes read from storage by stages newer than the marker —
     the per-trigger store-scan evidence for the curated flatness gate."""
-    import urllib.request
-
-    ui = spark.sparkContext.uiWebUrl
-    appid = spark.sparkContext.applicationId
-    try:
-        data = json.load(
-            urllib.request.urlopen(
-                f"{ui}/api/v1/applications/{appid}/stages?status=complete",
-                timeout=10,
-            )
-        )
-    except Exception:
-        return -1
-    return sum(
-        s.get("inputBytes", 0)
-        for s in data
-        if s.get("stageId", -1) > after_stage
-    )
+    n = stage_sum_since(spark, after_stage, "inputBytes")
+    return -1 if n is None else n
 
 
 def bench_sessionize(spark, args) -> None:
@@ -573,7 +547,7 @@ def bench_curated(spark, args) -> None:
             "hash_store_mb": hash_mb,
             "batch_parity": "asserted-row-for-row-equal",
             "trigger_input_bytes": bytes_per_trigger,
-            "scan_flatness": "asserted-late<=1.6x-early"
+            "scan_flatness": "asserted: late-early <= 0.35*gram_tier+2MiB"
             if bytes_per_trigger else "skipped (no UI)",
         }))
     finally:
