@@ -192,6 +192,7 @@ def merge_best(
             return None
     errors = full.get("errors") or {}
     detail = full.get("queries_detail") or {}
+    cpu_sec = full.get("cpu_sec") or {}
     stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     for name, sec in (full.get("queries") or {}).items():
         if name in errors:
@@ -203,6 +204,14 @@ def merge_best(
                 "detail": detail.get(name),
                 "banked_at": stamp,
             }
+        elif cpu_sec.get(name) is not None and _banked_cpu(cur) is None:
+            # pre-r12 banked rows carry no CPU data, and their wall
+            # floors may never be beaten on a loaded box — but CPU is
+            # load-insensitive BY DESIGN, so a later session's reading
+            # is a valid reference for the gate's wall-vs-cpu
+            # arbitration. Attach it WITHOUT touching the wall floor.
+            cur["cpu_ref"] = cpu_sec[name]
+            cur["cpu_ref_at"] = stamp
     names = universe if universe is not None else HEADLINE
     if not all(n in bank["queries"] for n in names):
         banked_total = None
@@ -247,13 +256,18 @@ CPU_STEADY_FACTOR = 1.2
 
 
 def _banked_cpu(cur: dict) -> float | None:
-    """CPU seconds paired with the banked (min-wall) run, if recorded."""
+    """CPU seconds paired with the banked (min-wall) run, or the
+    ``cpu_ref`` a later session attached to a pre-r12 row (CPU is
+    load-insensitive, so cross-session CPU references are comparable
+    even when wall floors are not)."""
     det = cur.get("detail") or {}
     runs, cpus = det.get("runs") or [], det.get("cpu_runs") or []
-    if not runs or len(cpus) != len(runs):
-        return None
-    best = cpus[runs.index(min(runs))]
-    return best if isinstance(best, (int, float)) else None
+    if runs and len(cpus) == len(runs):
+        best = cpus[runs.index(min(runs))]
+        if isinstance(best, (int, float)):
+            return best
+    ref = cur.get("cpu_ref")
+    return ref if isinstance(ref, (int, float)) else None
 
 
 def bank_regressions(full: dict, bank_path: str = BANK_PATH) -> list[dict]:
