@@ -175,19 +175,26 @@ def _verified_dup_ids(
     )
     store_grams = store.select("doc_id", "gh_arr")
     if store_dir not in _DENSE_STORES:
-        # probe mode: pin the candidate relation (two consumers: the
-        # count/collect and the verify join) and count it — at or below
-        # the cap, distinct doc_a <= pair count, so the id list is
-        # small and the gram fetch is pushed to the parquet reader
-        # (non-matching row groups and whole batch files skipped by
-        # their doc_id min/max stats)
-        cand = cand.localCheckpoint(eager=True)
-        n_cand = cand.count()
-        if n_cand == 0:
+        # probe mode, BOUNDED: count through a limit(cap+1) so the job
+        # stops as soon as density is proven — the r12 first cut
+        # checkpointed and fully counted the pair relation, which on a
+        # dense trigger materializes tens of thousands of rows just to
+        # learn "over the cap" (~2 s on the stress probe trigger; the
+        # limited count is ~0.5 s and the dense path then evaluates the
+        # band join once, inside the verify job, exactly like the
+        # latched plan)
+        n_probe_cnt = cand.limit(GRAM_FETCH_MAX_IDS + 1).count()
+        if n_probe_cnt == 0:
             # no band collisions at all: skip the gram fetch and the
             # verify join entirely (fewer jobs per quiet trigger)
             return ss.createDataFrame([], "doc_id bigint")
-        if n_cand <= GRAM_FETCH_MAX_IDS:
+        if n_probe_cnt <= GRAM_FETCH_MAX_IDS:
+            # at or below the cap, distinct doc_a <= pair count, so the
+            # id list is small and the gram fetch is pushed to the
+            # parquet reader (non-matching row groups and whole batch
+            # files skipped by their doc_id min/max stats). Checkpoint:
+            # two consumers (the collect + the verify join).
+            cand = cand.localCheckpoint(eager=True)
             cand_ids = [
                 r["doc_a"]
                 for r in cand.select("doc_a").distinct().collect()
