@@ -199,7 +199,20 @@ def _verified_dup_ids(
                 r["doc_a"]
                 for r in cand.select("doc_a").distinct().collect()
             ]
-            store_grams = store_grams.filter(F.col("doc_id").isin(cand_ids))
+            # the In filter must sit BELOW the replay guard:
+            # input_file_name() is nondeterministic, so Catalyst will
+            # not push ANY filter past the _bid projection — filtering
+            # the raw read first is what actually reaches the scan as
+            # PushedFilters: [In(doc_id, ...)] (plan-gated in
+            # tests/test_plans.py; r12 review found the original
+            # post-guard filter evaluated row-by-row after a full
+            # gram-column scan)
+            store_grams = _exclude_own_batch(
+                read_store(ss, FEAT_STORE_SCHEMA, store_dir).filter(
+                    F.col("doc_id").isin(cand_ids)
+                ),
+                batch_id,
+            ).select("doc_id", "gh_arr")
         else:
             _DENSE_STORES.add(store_dir)
     all_grams = store_grams.unionByName(

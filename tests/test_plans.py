@@ -242,3 +242,57 @@ def test_embedding_dedup_tiles_has_no_checkpoint_and_no_join(spark):
     assert "Scan ExistingRDD" not in plan, plan
     assert "Join" not in plan, plan
     assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_curated_gram_fetch_pushes_in_filter_below_replay_guard(spark, tmp_path):
+    """r12 review catch: input_file_name() is NONDETERMINISTIC, so
+    Catalyst refuses to push any filter past the streaming stores'
+    _bid replay-guard projection — a doc_id IN (...) applied above the
+    guard evaluates row-by-row AFTER a full gram-column scan, silently
+    defeating the two-tier scan bound. Pin the working compositions:
+    filter-below-guard pushes In(doc_id, ...) to the parquet scan;
+    filter-above-guard must keep failing to push (if Spark ever starts
+    pushing through nondeterministic projections, the workaround — and
+    this pin — can be retired)."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gcp_map_reduce_spark.streaming.curated import (
+        FEAT_STORE_SCHEMA,
+        _exclude_own_batch,
+    )
+    from gcp_map_reduce_spark.streaming.near_dup import read_store
+
+    store = str(tmp_path / "store")
+    for b in range(2):
+        d = f"{store}/batch_id={b}"
+        os.makedirs(d)
+        pd.DataFrame(
+            {
+                "doc_id": [b * 10 + i for i in range(5)],
+                "sig": [[1] * 32] * 5,
+                "gh_arr": [[1, 2, 3]] * 5,
+            }
+        ).to_parquet(f"{d}/part-0.parquet", index=False)
+
+    good = _exclude_own_batch(
+        read_store(spark, FEAT_STORE_SCHEMA, store).filter(
+            F.col("doc_id").isin([3, 12])
+        ),
+        99,
+    ).select("doc_id", "gh_arr")
+    plan = good._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(doc_id" in plan, plan
+    # values unaffected by the guard composition
+    assert {r["doc_id"] for r in good.collect()} == {3, 12}
+
+    bad = _exclude_own_batch(
+        read_store(spark, FEAT_STORE_SCHEMA, store), 99
+    ).select("doc_id", "gh_arr").filter(F.col("doc_id").isin([3, 12]))
+    bad_plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(doc_id" not in bad_plan, (
+        "Spark now pushes filters through nondeterministic projections — "
+        "retire the filter-below-guard workaround"
+    )
