@@ -211,6 +211,14 @@ def _emb_cache_append(cache: dict, batch_id: int, ids, E, n2, cells) -> None:
     cache["merged_bids"] = cache["merged_bids"] | {batch_id}
 
 
+# the committed codebook is immutable (created once, first batch), so
+# re-reading it every trigger was one whole Spark job per trigger of
+# pure waste — cache the arrays per store_dir after the first
+# successful load/create (an uncommitted/empty read never populates
+# the cache, so the killed-first-write rebuild path is unchanged)
+_CODEBOOK_CACHE: dict[str, tuple] = {}
+
+
 def _driver_codebook(ss: SparkSession, store_dir: str, feats_pdf,
                      n_cells: int):
     """Driver twin of :func:`_codebook`: (cell_ids, C, cn2) numpy
@@ -219,16 +227,21 @@ def _driver_codebook(ss: SparkSession, store_dir: str, feats_pdf,
     uncommitted/empty read rebuilds; an empty first batch raises)."""
     import numpy as np
 
+    cached = _CODEBOOK_CACHE.get(store_dir)
+    if cached is not None:
+        return cached
     path = f"{store_dir}/_codebook"
     schema = "cell_id bigint, ce array<double>, cn2 double"
     try:
         pdf = ss.read.schema(schema).parquet(path).toPandas()
         if len(pdf):
-            return (
+            cb = (
                 pdf["cell_id"].to_numpy(dtype=np.int64),
                 np.stack([np.asarray(e, dtype=np.float64) for e in pdf["ce"]]),
                 pdf["cn2"].to_numpy(dtype=np.float64),
             )
+            _CODEBOOK_CACHE[store_dir] = cb
+            return cb
     except AnalysisException:
         pass
     if len(feats_pdf) == 0:
@@ -250,11 +263,13 @@ def _driver_codebook(ss: SparkSession, store_dir: str, feats_pdf,
     ss.createDataFrame(cb_pdf, schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(path)
-    return (
+    cb = (
         cb_pdf["cell_id"].to_numpy(dtype=np.int64),
         np.stack([np.asarray(e, dtype=np.float64) for e in cb_pdf["ce"]]),
         cb_pdf["cn2"].to_numpy(dtype=np.float64),
     )
+    _CODEBOOK_CACHE[store_dir] = cb
+    return cb
 
 
 def run_streaming_embedding_near_dup(
