@@ -1,0 +1,374 @@
+"""Persisted IVF-Flat ANN index: build ONCE, query MANY times.
+
+Every ANN plan in :mod:`similarity` recomputes its coarse quantizer and
+cell assignment per call — correct for one-shot analytics, wasteful for
+the serving-adjacent pattern a training-data platform actually runs:
+an embedding corpus is (re)indexed once per ingest cycle and then
+queried thousands of times (decontamination probes, near-dup lookups
+for incoming batches, semantic retrieval for eval set construction).
+This module persists the IVF structure so a search touches ONLY the
+probed cells' files, never the corpus:
+
+Layout (all under one index dir, published atomically)::
+
+    index_dir/
+      codebook/            parquet: (cell_id, ce: array<double>, cn2)
+      vectors/             parquet, partitionBy(cell_id):
+                             (vec_id, e: array<double>, n2)
+      _index_meta.json     {version, n_cells, n_vec, dim}
+
+Why ``partitionBy(cell_id)`` is the load-bearing choice: the partition
+column becomes a DIRECTORY level, so a search's cell restriction is a
+static ``PartitionFilters: [cell_id IN (...)]`` at the parquet scan —
+the files of un-probed cells are never opened (plan-gated in
+``tests/test_ann_index.py``). At 100 TB that is the difference between
+an O(n_probe x |Q| x cell) read and a corpus scan per query batch.
+(Dynamic partition pruning can't carry this: Spark only plants a DPP
+subquery when the dimension side has a selective filter, and a query
+batch is an arbitrary relation — measured on this layout, the
+broadcast-join plan scans all cells. The probed-cell set is collected
+driver-side instead: it is bounded by ``n_cells`` longs — tiny by
+construction — and yields compile-time pruning, strictly better than
+runtime DPP here.)
+
+Assignment/probe consistency: both the build-time single-cell
+assignment and the query-time ``n_probe``-cell probe call the SHARED
+:func:`similarity.ivf_probe_cells` expression, so a vector's home cell
+and a query's probe ranking can never disagree on distance arithmetic
+(bit-identical by construction, asserted in the tests, not by two
+copies staying in sync).
+
+Scale posture:
+- build: one corpus scan for assignment (broadcast codebook argmin —
+  zero shuffle), one ``repartition(cell_id)`` shuffle to lay files out
+  one-per-cell. n_cells defaults to ``ivf_dedup_n_cells(N, n_probe=1)``
+  (= ceil(N/640)) up to the 65536-cell broadcast cap; past the cap,
+  shard the corpus or train a two-level codebook (similarity.py:216).
+- search: cost is |Q| x n_cells x d for probing (broadcast codebook)
+  plus the probed cells' rows x |Q_cell| x d for exact re-rank. The
+  query relation is broadcast — the documented contract is query
+  batches small enough to broadcast (decontam probes, eval queries);
+  corpus-scale "query" sets are a JOIN, not a search: use the batch
+  IVF near-dup plan (`embedding_near_dup_pairs_ivf`).
+- crash safety: the whole index publishes via
+  :func:`sinks.writers.publish_atomic` — readers see the complete old
+  index until the swap; a killed build leaves a sweepable staging dir.
+
+Reference parity: the reference has no ANN at all — this extends the
+LLM-pipeline surface (SURVEY §2 "similarity search" family) with the
+build-once/query-many shape its one-shot plans lack.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_map_reduce_spark.operators.similarity import (
+    TOP_K,
+    _dot,
+    _emb,
+    _with_norm2,
+    ivf_dedup_n_cells,
+    ivf_probe_cells,
+)
+from gcp_map_reduce_spark.sinks.writers import publish_atomic
+
+INDEX_VERSION = 1
+META_FILE = "_index_meta.json"
+
+
+def _meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, META_FILE)
+
+
+def ann_index_meta(index_dir: str) -> dict:
+    """Read and validate the index manifest; raise a actionable error on
+    a missing or version-mismatched index rather than scanning garbage."""
+    path = _meta_path(index_dir)
+    if not os.path.isfile(path):
+        raise FileNotFoundError(
+            f"no ANN index at {index_dir} ({META_FILE} missing) — "
+            "build one with ann_index_build()"
+        )
+    with open(path) as fh:
+        meta = json.load(fh)
+    if meta.get("version") != INDEX_VERSION:
+        raise ValueError(
+            f"ANN index at {index_dir} has version {meta.get('version')!r}, "
+            f"this reader speaks {INDEX_VERSION} — rebuild the index"
+        )
+    return meta
+
+
+def _codebook_df(spark: SparkSession, sf_dir: str, n_cells: int,
+                 codebook: str, kmeans_iters: int) -> DataFrame:
+    """(cell_id, ce, cn2) coarse quantizer — rank-based seeds by default
+    (deterministic on any id space, same convention as the batch IVF
+    dedup plan), optionally refined with Lloyd rounds for clustered
+    corpora (same trade documented at similarity_ivf_ann)."""
+    if codebook == "kmeans":
+        from gcp_map_reduce_spark.operators.clustering import kmeans_fit
+
+        _, centroids = kmeans_fit(
+            spark, sf_dir, k=n_cells, n_iters=kmeans_iters
+        )
+        return centroids.select(
+            F.col("cell_id").cast("long").alias("cell_id"),
+            F.col("c").alias("ce"),
+            _dot(F.col("c"), F.col("c")).alias("cn2"),
+        )
+    if codebook != "sampled":
+        raise ValueError(
+            f"codebook must be 'sampled' or 'kmeans', got {codebook!r}"
+        )
+    return _with_norm2(
+        _emb(spark, sf_dir).orderBy("vec_id").limit(n_cells)
+    ).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("e").alias("ce"),
+        F.col("n2").alias("cn2"),
+    )
+
+
+def ann_index_build(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    n_cells: int | None = None,
+    codebook: str = "sampled",
+    kmeans_iters: int = 2,
+) -> dict:
+    """Build and atomically publish the IVF index for ``sf_dir``'s
+    embeddings table; return the written meta dict.
+
+    One corpus scan assigns each vector to its single nearest cell
+    (``ivf_probe_cells(1)`` against the broadcast codebook — zero
+    shuffle); one ``repartition(cell_id)`` shuffle lays the cells out
+    one file per cell so the partition dirs don't fragment (at real
+    scale swap this for ``repartitionByRange`` + a files-per-cell cap).
+    """
+    from gcp_map_reduce_spark.operators.similarity import corpus_vec_count
+
+    n_vec = corpus_vec_count(spark, sf_dir)
+    if n_cells is None:
+        # one home cell per vector -> n_probe=1 in the sizing formula;
+        # expected cell population ~IVF_DEDUP_CELL_TARGET rows
+        n_cells = ivf_dedup_n_cells(n_vec, n_probe=1)
+    seeds = _codebook_df(spark, sf_dir, n_cells, codebook, kmeans_iters)
+    cb = seeds.agg(
+        F.collect_list(F.struct("cell_id", "ce", "cn2")).alias("cb")
+    )
+    feats = _with_norm2(_emb(spark, sf_dir)).select("vec_id", "e", "n2")
+    assigned = feats.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "e",
+        "n2",
+        ivf_probe_cells(1)[0].alias("cell_id"),
+    )
+    dim = len(
+        _emb(spark, sf_dir).select("embedding").head()["embedding"]
+    )
+    meta = {
+        "version": INDEX_VERSION,
+        "n_cells": int(n_cells),
+        "n_vec": int(n_vec),
+        "dim": int(dim),
+        "codebook": codebook,
+    }
+
+    def write(staging: str) -> None:
+        seeds.coalesce(1).write.parquet(os.path.join(staging, "codebook"))
+        (
+            assigned.repartition("cell_id")
+            .write.partitionBy("cell_id")
+            .parquet(os.path.join(staging, "vectors"))
+        )
+        with open(os.path.join(staging, META_FILE), "w") as fh:
+            json.dump(meta, fh)
+
+    publish_atomic(index_dir, write)
+    return meta
+
+
+def _load_vectors(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(vec_id, e, n2, cell_id) — cell_id comes back as the inferred
+    partition-column type (int); normalize to long so joins against the
+    probe column never insert a cast above the scan."""
+    return spark.read.parquet(os.path.join(index_dir, "vectors")).withColumn(
+        "cell_id", F.col("cell_id").cast("long")
+    )
+
+
+# driver-side codebook cache: the codebook is immutable for a published
+# index (publish_atomic swaps the whole dir), so one collect per
+# (index_dir, publish) serves every subsequent search in the session —
+# same pattern as the streaming codebook cache (streaming/
+# embedding_near_dup.py). Keyed on the meta file's mtime: a re-publish
+# rewrites it, which invalidates the entry.
+_CODEBOOK_CACHE: dict = {}
+
+
+def _codebook_driver(spark: SparkSession, index_dir: str):
+    """(cell_ids int64[n], CE float64[n, d], CN2 float64[n]) sorted by
+    cell_id, collected once per published index."""
+    import numpy as np
+
+    key = (index_dir, os.path.getmtime(_meta_path(index_dir)))
+    hit = _CODEBOOK_CACHE.get(index_dir)
+    if hit and hit[0] == key:
+        return hit[1]
+    rows = (
+        spark.read.parquet(os.path.join(index_dir, "codebook"))
+        .orderBy("cell_id")
+        .collect()
+    )
+    val = (
+        np.array([r.cell_id for r in rows], dtype=np.int64),
+        np.array([r.ce for r in rows], dtype=np.float64),
+        np.array([r.cn2 for r in rows], dtype=np.float64),
+    )
+    _CODEBOOK_CACHE[index_dir] = (key, val)
+    return val
+
+
+def _seq_dot(A, B):
+    """d-sequential left-fold dot of every row pair (A[i], B[j]) —
+    bit-identical to the JVM ``_dot`` fold and the Arrow kernels (same
+    per-element accumulation order; see similarity._cosine_arrow)."""
+    import numpy as np
+
+    acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+    for d in range(A.shape[1]):
+        acc += A[:, d][:, None] * B[:, d][None, :]
+    return acc
+
+
+def _probes_driver(
+    spark: SparkSession, index_dir: str, queries: DataFrame, n_probe: int
+) -> DataFrame:
+    """Probe assignment computed driver-side over the collected query
+    batch (broadcast-small by contract) against the cached codebook:
+    zero Spark jobs per search for assignment, and the probed-cell set
+    falls out for free. Returns ``(probes_df, sorted probed cell ids)``.
+    Arithmetic mirrors ``ivf_probe_cells`` exactly — ``(n2 - 2*dot) +
+    cn2`` in doubles with the d-sequential fold, ties on cell_id —
+    asserted bit-identical to the plan-side path in
+    ``tests/test_ann_index.py``."""
+    import numpy as np
+
+    cell_ids, CE, CN2 = _codebook_driver(spark, index_dir)
+    qrows = queries.select("query_id", "embedding").collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, qe array<double>, qn2 double, cell_id long"
+        ), []
+    qids = [r.query_id for r in qrows]
+    Q = np.array([r.embedding for r in qrows], dtype=np.float64)
+    # n2 via the same sequential fold (d loop), not np.dot's pairwise sum
+    qn2 = np.zeros(len(qrows), dtype=np.float64)
+    for d in range(Q.shape[1]):
+        qn2 += Q[:, d] * Q[:, d]
+    dist = (qn2[:, None] - 2.0 * _seq_dot(Q, CE)) + CN2[None, :]
+    out = []
+    for i, qid in enumerate(qids):
+        order = np.lexsort((cell_ids, dist[i]))[:n_probe]
+        for j in order:
+            out.append(
+                (int(qid), [float(x) for x in Q[i]], float(qn2[i]),
+                 int(cell_ids[j]))
+            )
+    probes = spark.createDataFrame(
+        out, "query_id long, qe array<double>, qn2 double, cell_id long"
+    )
+    return probes, sorted({row[3] for row in out})
+
+
+def _probes_plan(
+    spark: SparkSession, index_dir: str, queries: DataFrame, n_probe: int
+) -> DataFrame:
+    """Plan-side probe assignment (the shared ``ivf_probe_cells``
+    expression over a broadcast codebook) — for query relations too
+    large to collect; costs one codebook scan + one probes job per
+    search."""
+    cb = (
+        spark.read.parquet(os.path.join(index_dir, "codebook"))
+        .agg(F.collect_list(F.struct("cell_id", "ce", "cn2")).alias("cb"))
+    )
+    return (
+        _with_norm2(queries)
+        .crossJoin(F.broadcast(cb))
+        .select(
+            F.col("query_id"),
+            F.col("e").alias("qe"),
+            F.col("n2").alias("qn2"),
+            F.explode(ivf_probe_cells(n_probe)).alias("cell_id"),
+        )
+    )
+
+
+def ann_index_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = TOP_K,
+    n_probe: int = 2,
+    probe_side: str = "driver",
+) -> DataFrame:
+    """Exact-cosine top-``k`` within the ``n_probe`` probed cells per
+    query, reading ONLY those cells' files.
+
+    ``queries`` must carry ``query_id`` (long) and ``embedding``
+    (numeric array); candidates with ``vec_id == query_id`` are excluded
+    (self-match, same convention as ``similarity_bruteforce``). Returns
+    (query_id, cand_id, cosine).
+
+    ``probe_side="driver"`` (default) assigns probes on the driver from
+    the cached codebook — right for the contract's broadcast-small query
+    batches (fewest jobs per search); ``"plan"`` keeps assignment in the
+    plan for larger query relations. Both produce bit-identical results
+    (pytest-gated).
+    """
+    meta = ann_index_meta(index_dir)
+    # static pruning: the distinct probed-cell set is bounded by n_cells
+    # (<= 65536 longs) and usually far smaller — known for free on the
+    # driver path, one tiny job on the plan path; repaid by the scan
+    # never opening un-probed cells' files (PartitionFilters IN,
+    # plan-gated in tests)
+    if probe_side == "driver":
+        probes, cells = _probes_driver(spark, index_dir, queries, n_probe)
+    elif probe_side == "plan":
+        probes = _probes_plan(spark, index_dir, queries, n_probe)
+        cells = sorted(
+            r["cell_id"]
+            for r in probes.select("cell_id").distinct().collect()
+        )
+    else:
+        raise ValueError(
+            f"probe_side must be 'driver' or 'plan', got {probe_side!r}"
+        )
+    vecs = _load_vectors(spark, index_dir)
+    if len(cells) < meta["n_cells"]:
+        vecs = vecs.where(F.col("cell_id").isin(cells))
+    cand = vecs.join(F.broadcast(probes), "cell_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cosine = _dot(F.col("qe"), F.col("e")) / F.sqrt(
+        F.col("qn2") * F.col("n2")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            cosine.alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
