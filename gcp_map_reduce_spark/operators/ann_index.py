@@ -61,8 +61,10 @@ build-once/query-many shape its one-shot plans lack.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -192,6 +194,45 @@ def ann_index_build(
 
     publish_atomic(index_dir, write)
     return meta
+
+
+def ann_index_for_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    cache_root: str | None = None,
+) -> str:
+    """Resolve (building if needed) the persisted index for ``sf_dir``'s
+    embeddings corpus and return its index_dir — the session-spanning
+    face of build-once/query-many: the FIRST caller per corpus version
+    pays the build, every later search (this session or the next) reuses
+    the published files.
+
+    The cache key is a fingerprint of the corpus file itself (realpath,
+    size, mtime_ns), baked into the directory NAME — a changed corpus
+    can never alias a stale index, and staleness needs no sidecar
+    state. Concurrent builders are safe: both write to private staging
+    dirs and :func:`publish_atomic` serializes the swap (same-content
+    winners, since the build is deterministic). Local-FS keying only —
+    on object stores key on the ingest snapshot id instead (mtimes are
+    not a contract there; same caveat class as read_store's docstring).
+    """
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{os.path.realpath(src)}|{st.st_size}|{st.st_mtime_ns}|"
+        f"v{INDEX_VERSION}".encode()
+    ).hexdigest()[:16]
+    root = cache_root or os.path.join(
+        tempfile.gettempdir(), "gcp_mrs_ann_index"
+    )
+    os.makedirs(root, exist_ok=True)
+    index_dir = os.path.join(root, digest)
+    try:
+        ann_index_meta(index_dir)
+        return index_dir
+    except (FileNotFoundError, ValueError):
+        ann_index_build(spark, sf_dir, index_dir)
+        return index_dir
 
 
 def _load_vectors(spark: SparkSession, index_dir: str) -> DataFrame:

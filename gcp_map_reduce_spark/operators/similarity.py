@@ -1088,6 +1088,60 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) 
 """
 
 
+# SQL replica of the PERSISTED index search (operators/ann_index.py):
+# identical shape to _IVF_ANN_ORACLE, but the codebook is the index
+# build's — probe-scaled n_cells from the corpus count with n_probe=1
+# in the sizing (one home cell per vector, ivf_dedup_n_cells), seeds =
+# lowest vec_ids — and the search probes ANN_INDEX_NPROBE cells. Same
+# strict-left-fold arithmetic and (d, cell_id) tie-breaks; the
+# partitionBy(cell_id) layout is a physical property the oracle need
+# not (and cannot) express — it changes which FILES are read, never
+# which rows qualify.
+ANN_INDEX_NPROBE = 2
+
+_IVF_PERSISTED_ORACLE = f"""
+WITH params AS (
+  SELECT greatest(1, least({IVF_DEDUP_CELLS_CAP},
+    (count(*) + {IVF_DEDUP_CELL_TARGET - 1}) // {IVF_DEDUP_CELL_TARGET}))
+    AS n_cells
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS cell_id, embedding AS ce FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY vec_id)
+    <= (SELECT n_cells FROM params)
+),
+dists AS (
+  SELECT v.vec_id, s.cell_id,
+    {_SQL_DOT.format(a='v.embedding', b='v.embedding')}
+      - 2 * {_SQL_DOT.format(a='v.embedding', b='s.ce')}
+      + {_SQL_DOT.format(a='s.ce', b='s.ce')} AS d
+  FROM embeddings v CROSS JOIN seeds s
+),
+assign AS (
+  SELECT vec_id, cell_id FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) = 1
+),
+probes AS (
+  SELECT vec_id, cell_id FROM dists
+  WHERE vec_id < {N_QUERIES}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id)
+    <= {ANN_INDEX_NPROBE}
+),
+cand AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS cand_id
+  FROM probes p JOIN assign a ON p.cell_id = a.cell_id AND a.vec_id <> p.vec_id
+)
+SELECT query_id, cand_id,
+  {_SQL_DOT.format(a='q.embedding', b='c.embedding')}
+    / sqrt({_SQL_DOT.format(a='q.embedding', b='q.embedding')}
+           * {_SQL_DOT.format(a='c.embedding', b='c.embedding')}) AS cosine
+FROM cand JOIN embeddings q ON query_id = q.vec_id
+          JOIN embeddings c ON cand_id = c.vec_id
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) <= {TOP_K}
+"""
+
+
 def similarity_ivf_ann(
     spark: SparkSession,
     sf_dir: str,
@@ -1589,16 +1643,27 @@ SELECT 'ivf', query_id, cand_id, cosine, NULL, NULL FROM ({_IVF_ANN_ORACLE})
 UNION ALL
 SELECT 'lsh', query_id, cand_id, cosine, NULL, NULL
 FROM ({_lsh_oracle(multiprobe=True)})
+UNION ALL
+SELECT 'ivf_persisted', query_id, cand_id, cosine, NULL, NULL
+FROM ({_IVF_PERSISTED_ORACLE})
 """,
 )
 def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The similarity-search ladder in one tagged union: exact brute-force
     cosine top-k enriched with document metadata (the correctness
     baseline and the end-user search result), IVF-Flat probe-then-rerank,
-    and random-hyperplane LSH banding with query-side multi-probe (the
-    two scale paths; multi-probe lifts LSH recall to ~0.9+ on this
-    near-orthogonal corpus). Branches are independent plans; the union
-    is a shuffle-free concatenation."""
+    random-hyperplane LSH banding with query-side multi-probe (the two
+    one-shot scale paths; multi-probe lifts LSH recall to ~0.9+ on this
+    near-orthogonal corpus), and — since r12 — the PERSISTED IVF index
+    (``operators/ann_index.py``): build-once/query-many against parquet
+    laid out ``partitionBy(cell_id)``, so the search scan opens only the
+    probed cells' files (static ``PartitionFilters`` pruning, plan-gated
+    in ``tests/test_ann_index.py``). The index branch resolves through
+    :func:`ann_index.ann_index_for_corpus` — the first run per corpus
+    version pays the build, later runs (and other sessions on the same
+    box) reuse the published files, which is the operator's actual
+    production shape. Branches are independent plans; the union is a
+    shuffle-free concatenation."""
     null_s = F.lit(None).cast("string")
     null_l = F.lit(None).cast("bigint")
 
@@ -1614,10 +1679,25 @@ def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
+    # local import: ann_index imports similarity's shared expressions,
+    # so the dependency must point that way at module load time
+    from gcp_map_reduce_spark.operators.ann_index import (
+        ann_index_for_corpus,
+        ann_index_search,
+    )
+
+    idx = ann_index_for_corpus(spark, sf_dir)
+    qvecs = _emb(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    persisted = ann_index_search(
+        spark, idx, qvecs, k=TOP_K, n_probe=ANN_INDEX_NPROBE
+    )
     return (
         norm(semantic_search_docs(spark, sf_dir), "bruteforce_docs", True)
         .unionByName(norm(similarity_ivf_ann(spark, sf_dir), "ivf", False))
         .unionByName(
             norm(similarity_lsh_ann(spark, sf_dir, multiprobe=True), "lsh", False)
         )
+        .unionByName(norm(persisted, "ivf_persisted", False))
     )

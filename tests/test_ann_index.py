@@ -185,6 +185,65 @@ def test_probe_sides_bit_identical(spark, index_dir):
     assert a == b  # includes float equality on cosine
 
 
+def test_for_corpus_caches_and_keys_on_corpus_version(spark, tmp_path):
+    """ann_index_for_corpus builds once per corpus fingerprint: the
+    second call must return the SAME published dir without rebuilding
+    (a rebuild's publish_atomic would swap the dir and drop the
+    sentinel), and a corpus with different bytes/mtime must key to a
+    DIFFERENT dir rather than alias the stale index."""
+    import shutil
+
+    from gcp_map_reduce_spark.operators.ann_index import ann_index_for_corpus
+
+    root = str(tmp_path / "cache")
+    d1 = ann_index_for_corpus(spark, SF, cache_root=root)
+    sentinel = os.path.join(d1, ".cache-sentinel")
+    with open(sentinel, "w") as fh:
+        fh.write("x")
+    assert ann_index_for_corpus(spark, SF, cache_root=root) == d1
+    assert os.path.exists(sentinel)  # no rebuild happened
+    # a different corpus version (same rows, new file mtime) -> new key
+    alt = tmp_path / "altsf"
+    alt.mkdir()
+    shutil.copy(
+        os.path.join(SF, "embeddings.parquet"),
+        str(alt / "embeddings.parquet"),
+    )
+    d2 = ann_index_for_corpus(spark, str(alt), cache_root=root)
+    assert d2 != d1
+    # both resolve to valid indexes over the same 500 vectors
+    assert ann_index_meta(d2)["n_vec"] == ann_index_meta(d1)["n_vec"] == 500
+
+
+def test_suite_branch_matches_direct_search(spark):
+    """The registered similarity_ann_suite 'ivf_persisted' rows are the
+    persisted-index search verbatim (same rows, bitwise-equal cosines) —
+    the suite is a tagging wrapper, not a second implementation."""
+    from gcp_map_reduce_spark.operators.ann_index import ann_index_for_corpus
+    from gcp_map_reduce_spark.operators.similarity import (
+        ANN_INDEX_NPROBE,
+        TOP_K,
+        similarity_ann_suite,
+    )
+
+    suite = sorted(
+        (r.query_id, r.cand_id, r.cosine)
+        for r in similarity_ann_suite(spark, SF)
+        .filter(F.col("method") == "ivf_persisted")
+        .collect()
+    )
+    idx = ann_index_for_corpus(spark, SF)
+    direct = sorted(
+        map(
+            tuple,
+            ann_index_search(
+                spark, idx, _queries(spark), k=TOP_K, n_probe=ANN_INDEX_NPROBE
+            ).collect(),
+        )
+    )
+    assert suite == direct and len(suite) > 0
+
+
 def test_version_gate(spark, tmp_path):
     d = str(tmp_path / "idx")
     ann_index_build(spark, SF, d, n_cells=2)
