@@ -15,7 +15,11 @@ Layout (all under one index dir, published atomically)::
       codebook/            parquet: (cell_id, ce: array<double>, cn2)
       vectors/             parquet, partitionBy(cell_id):
                              (vec_id, e: array<double>, n2)
-      _index_meta.json     {version, n_cells, n_vec, dim}
+      vectors-segNNNN/     appended batches, same layout (LSM-style;
+                             see ann_index_append / compact_ann_index)
+      _index_meta.json     {version, n_cells, n_vec, dim, segments}
+                             — the manifest is the COMMIT POINT: a
+                             segment exists iff listed here
 
 Why ``partitionBy(cell_id)`` is the load-bearing choice: the partition
 column becomes a DIRECTORY level, so a search's cell restriction is a
@@ -103,7 +107,22 @@ def ann_index_meta(index_dir: str) -> dict:
             f"ANN index at {index_dir} has version {meta.get('version')!r}, "
             f"this reader speaks {INDEX_VERSION} — rebuild the index"
         )
+    # pre-append manifests carry no segment list; they are exactly the
+    # single base segment (append always writes the key)
+    meta.setdefault("segments", ["vectors"])
     return meta
+
+
+def _meta_write(index_dir: str, meta: dict) -> None:
+    """Atomic manifest update (tmp + os.replace): the manifest is the
+    COMMIT POINT for appends — a segment directory exists to readers iff
+    it is listed here, so a crash anywhere before this replace leaves
+    the index exactly as it was."""
+    path = _meta_path(index_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, path)
 
 
 def _codebook_df(spark: SparkSession, sf_dir: str, n_cells: int,
@@ -180,6 +199,7 @@ def ann_index_build(
         "n_vec": int(n_vec),
         "dim": int(dim),
         "codebook": codebook,
+        "segments": ["vectors"],
     }
 
     def write(staging: str) -> None:
@@ -235,13 +255,133 @@ def ann_index_for_corpus(
         return index_dir
 
 
-def _load_vectors(spark: SparkSession, index_dir: str) -> DataFrame:
-    """(vec_id, e, n2, cell_id) — cell_id comes back as the inferred
-    partition-column type (int); normalize to long so joins against the
-    probe column never insert a cast above the scan."""
-    return spark.read.parquet(os.path.join(index_dir, "vectors")).withColumn(
-        "cell_id", F.col("cell_id").cast("long")
+def _load_vectors(
+    spark: SparkSession, index_dir: str, meta: dict | None = None
+) -> DataFrame:
+    """(vec_id, e, n2, cell_id) over every COMMITTED segment (base +
+    appended batches, per the manifest). cell_id comes back as the
+    inferred partition-column type (int); normalize to long so joins
+    against the probe column never insert a cast above the scan. The
+    union is segment-wise scans of identically-partitioned layouts, so
+    a downstream cell_id filter pushes into EVERY leg's
+    PartitionFilters (Catalyst pushes filters through Union)."""
+    meta = meta or ann_index_meta(index_dir)
+    df = None
+    for seg in meta["segments"]:
+        leg = spark.read.parquet(os.path.join(index_dir, seg)).withColumn(
+            "cell_id", F.col("cell_id").cast("long")
+        )
+        df = leg if df is None else df.unionByName(leg)
+    return df
+
+
+def ann_index_append(
+    spark: SparkSession, index_dir: str, vectors: DataFrame
+) -> dict:
+    """Append a batch of new ``(vec_id, embedding)`` rows into a
+    published index WITHOUT rebuilding — the ingest-cycle shape: the
+    corpus grows by a batch, the codebook stays FIXED, and only the
+    batch is scanned/assigned/written.
+
+    Mechanics (LSM-style segments): the batch is assigned against the
+    published codebook via the SHARED :func:`similarity.ivf_probe_cells`
+    expression — bit-identical to the build-time assignment, so an
+    index grown by appends equals a fresh build over the same rows with
+    the same codebook (pytest-gated) — and written as a NEW
+    ``partitionBy(cell_id)`` segment directory; the manifest update
+    (atomic ``os.replace``) is the commit point. Crash anywhere before
+    it leaves the old index intact; an unregistered leftover segment
+    dir is swept by the next append to that slot.
+
+    Duplicate vec_ids are rejected up front — checked against the
+    batch itself and against ONLY the batch's home cells (the check
+    join prunes to affected partitions, so its cost scales with the
+    batch, not the corpus).
+
+    The fixed codebook is the documented trade: cell populations grow
+    ~uniformly (expected target+N_appended/n_cells rows/cell), so
+    search cost per probe rises linearly until
+    :func:`compact_ann_index` (or a rebuild, which also re-sizes
+    n_cells) — same regime as any IVF system's reindex cycle. The
+    returned meta carries ``n_vec`` so callers can trigger rebuild at
+    e.g. ``n_vec > 2 x n_cells x cell_target``.
+    """
+    meta = ann_index_meta(index_dir)
+    cb = (
+        spark.read.parquet(os.path.join(index_dir, "codebook"))
+        .agg(F.collect_list(F.struct("cell_id", "ce", "cn2")).alias("cb"))
     )
+    batch = _with_norm2(
+        vectors.select("vec_id", "embedding")
+    ).select("vec_id", "e", "n2")
+    assigned = batch.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "e",
+        "n2",
+        ivf_probe_cells(1)[0].alias("cell_id"),
+    )
+    # dedupe gate: batch-internal, then vs the affected cells only
+    n_batch = assigned.count()
+    if n_batch == 0:
+        return meta
+    if assigned.select("vec_id").distinct().count() != n_batch:
+        raise ValueError("append batch contains duplicate vec_ids")
+    cells = sorted(
+        r.cell_id for r in assigned.select("cell_id").distinct().collect()
+    )
+    existing = _load_vectors(spark, index_dir, meta).where(
+        F.col("cell_id").isin(cells)
+    )
+    clash = (
+        assigned.join(existing, "vec_id", "left_semi").limit(1).count()
+    )
+    if clash:
+        raise ValueError(
+            "append batch contains vec_ids already in the index — "
+            "appends are inserts, not upserts; rebuild to replace"
+        )
+    seg = f"vectors-seg{len(meta['segments']):04d}"
+    seg_dir = os.path.join(index_dir, seg)
+    if os.path.exists(seg_dir):  # unregistered crash leftover: sweep
+        import shutil
+
+        shutil.rmtree(seg_dir)
+    (
+        assigned.repartition("cell_id")
+        .write.partitionBy("cell_id")
+        .parquet(seg_dir)
+    )
+    meta["segments"] = list(meta["segments"]) + [seg]
+    meta["n_vec"] = int(meta["n_vec"]) + int(n_batch)
+    _meta_write(index_dir, meta)
+    return meta
+
+
+def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
+    """Fold every appended segment back into a single base segment
+    (same codebook, same rows, atomically published) — the reindex-lite
+    that caps segment-count growth between full rebuilds. Search
+    results are unchanged by construction: assignment lives in the
+    stored rows, and compaction only re-partitions them."""
+    meta = ann_index_meta(index_dir)
+    if meta["segments"] == ["vectors"]:
+        return meta
+    vecs = _load_vectors(spark, index_dir, meta)
+    cb = spark.read.parquet(os.path.join(index_dir, "codebook"))
+    new_meta = {**meta, "segments": ["vectors"]}
+
+    def write(staging: str) -> None:
+        cb.coalesce(1).write.parquet(os.path.join(staging, "codebook"))
+        (
+            vecs.repartition("cell_id")
+            .write.partitionBy("cell_id")
+            .parquet(os.path.join(staging, "vectors"))
+        )
+        with open(os.path.join(staging, META_FILE), "w") as fh:
+            json.dump(new_meta, fh)
+
+    publish_atomic(index_dir, write)
+    return new_meta
 
 
 # driver-side codebook cache: the codebook is immutable for a published
@@ -391,7 +531,7 @@ def ann_index_search(
         raise ValueError(
             f"probe_side must be 'driver' or 'plan', got {probe_side!r}"
         )
-    vecs = _load_vectors(spark, index_dir)
+    vecs = _load_vectors(spark, index_dir, meta)
     if len(cells) < meta["n_cells"]:
         vecs = vecs.where(F.col("cell_id").isin(cells))
     cand = vecs.join(F.broadcast(probes), "cell_id").filter(

@@ -244,6 +244,145 @@ def test_suite_branch_matches_direct_search(spark):
     assert suite == direct and len(suite) > 0
 
 
+@pytest.fixture()
+def split_corpus(tmp_path):
+    """A 400-vector subset corpus dir + the remaining 100 rows' source —
+    the incremental-ingest scenario: build on the subset, append the
+    rest. Both use the SAME sampled codebook (first N_CELLS vec_ids are
+    in the subset), so appended == fresh-build is exact, not approximate."""
+    import duckdb
+
+    sub = tmp_path / "subsf"
+    sub.mkdir()
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{SF}/embeddings.parquet' WHERE vec_id < 400 "
+        f"ORDER BY vec_id) TO '{sub}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    return str(sub)
+
+
+def _rest_batch(spark):
+    return (
+        spark.read.parquet(SF + "/embeddings.parquet")
+        .filter(F.col("vec_id") >= 400)
+        .select("vec_id", "embedding")
+    )
+
+
+def test_append_equals_fresh_build(spark, tmp_path, split_corpus):
+    """An index grown by append (400 base + 2 batches of 50) holds the
+    SAME (vec_id, cell_id) assignment and returns bit-identical search
+    results as one built fresh over all 500 rows with the same codebook
+    — the shared-expression assignment claim, end to end."""
+    from gcp_map_reduce_spark.operators.ann_index import (
+        _load_vectors,
+        ann_index_append,
+    )
+
+    grown = str(tmp_path / "grown")
+    ann_index_build(spark, split_corpus, grown, n_cells=N_CELLS)
+    rest = _rest_batch(spark)
+    m1 = ann_index_append(
+        spark, grown, rest.filter(F.col("vec_id") < 450)
+    )
+    m2 = ann_index_append(
+        spark, grown, rest.filter(F.col("vec_id") >= 450)
+    )
+    assert m1["n_vec"] == 450 and m2["n_vec"] == 500
+    assert m2["segments"] == ["vectors", "vectors-seg0001", "vectors-seg0002"]
+    fresh = str(tmp_path / "fresh")
+    ann_index_build(spark, SF, fresh, n_cells=N_CELLS)
+    rows_g = sorted(
+        (r.vec_id, r.cell_id)
+        for r in _load_vectors(spark, grown).select("vec_id", "cell_id").collect()
+    )
+    rows_f = sorted(
+        (r.vec_id, r.cell_id)
+        for r in _load_vectors(spark, fresh).select("vec_id", "cell_id").collect()
+    )
+    assert rows_g == rows_f
+    res_g = sorted(
+        map(tuple, ann_index_search(spark, grown, _queries(spark)).collect())
+    )
+    res_f = sorted(
+        map(tuple, ann_index_search(spark, fresh, _queries(spark)).collect())
+    )
+    assert res_g == res_f and len(res_g) == N_QUERIES * 5
+    # pruning survives segmentation: every segment leg carries the
+    # static cell_id IN PartitionFilters
+    plan = (
+        ann_index_search(spark, grown, _queries(spark, n=2))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    gates = [
+        line for line in plan.splitlines()
+        if "PartitionFilters" in line and "cell_id" in line and " IN (" in line
+    ]
+    assert len(gates) >= 3, plan  # base + both appended segments
+
+
+def test_append_rejects_duplicates_and_commits_atomically(
+    spark, tmp_path, split_corpus
+):
+    """Duplicate vec_ids raise (batch-internal and vs the index), and a
+    failed/unregistered segment is invisible: the manifest is the commit
+    point, so junk on disk under an unlisted segment name changes
+    nothing and the next append sweeps the slot."""
+    import shutil
+
+    from gcp_map_reduce_spark.operators.ann_index import ann_index_append
+
+    d = str(tmp_path / "idx")
+    ann_index_build(spark, split_corpus, d, n_cells=N_CELLS)
+    base_res = sorted(
+        map(tuple, ann_index_search(spark, d, _queries(spark)).collect())
+    )
+    with pytest.raises(ValueError, match="already in the index"):
+        ann_index_append(
+            spark, d,
+            spark.read.parquet(split_corpus + "/embeddings.parquet")
+            .limit(5).select("vec_id", "embedding"),
+        )
+    dup = _rest_batch(spark).limit(5)
+    with pytest.raises(ValueError, match="duplicate vec_ids"):
+        ann_index_append(spark, d, dup.unionByName(dup))
+    # crash leftover: a full-looking segment dir that never got committed
+    leftover = os.path.join(d, "vectors-seg0001")
+    shutil.copytree(os.path.join(d, "vectors"), leftover)
+    assert ann_index_meta(d)["segments"] == ["vectors"]
+    assert sorted(
+        map(tuple, ann_index_search(spark, d, _queries(spark)).collect())
+    ) == base_res  # junk invisible
+    meta = ann_index_append(spark, d, _rest_batch(spark))  # sweeps the slot
+    assert meta["n_vec"] == 500
+    assert meta["segments"] == ["vectors", "vectors-seg0001"]
+
+
+def test_compact_folds_segments_and_preserves_results(
+    spark, tmp_path, split_corpus
+):
+    from gcp_map_reduce_spark.operators.ann_index import (
+        ann_index_append,
+        compact_ann_index,
+    )
+
+    d = str(tmp_path / "idx")
+    ann_index_build(spark, split_corpus, d, n_cells=N_CELLS)
+    ann_index_append(spark, d, _rest_batch(spark))
+    before = sorted(
+        map(tuple, ann_index_search(spark, d, _queries(spark)).collect())
+    )
+    meta = compact_ann_index(spark, d)
+    assert meta["segments"] == ["vectors"] and meta["n_vec"] == 500
+    assert not os.path.exists(os.path.join(d, "vectors-seg0001"))
+    after = sorted(
+        map(tuple, ann_index_search(spark, d, _queries(spark)).collect())
+    )
+    assert before == after
+    # idempotent no-op on a compacted index
+    assert compact_ann_index(spark, d)["segments"] == ["vectors"]
+
+
 def test_version_gate(spark, tmp_path):
     d = str(tmp_path / "idx")
     ann_index_build(spark, SF, d, n_cells=2)
