@@ -276,7 +276,10 @@ def _load_vectors(
 
 
 def ann_index_append(
-    spark: SparkSession, index_dir: str, vectors: DataFrame
+    spark: SparkSession,
+    index_dir: str,
+    vectors: DataFrame,
+    if_exists: str = "error",
 ) -> dict:
     """Append a batch of new ``(vec_id, embedding)`` rows into a
     published index WITHOUT rebuilding — the ingest-cycle shape: the
@@ -296,7 +299,12 @@ def ann_index_append(
     Duplicate vec_ids are rejected up front — checked against the
     batch itself and against ONLY the batch's home cells (the check
     join prunes to affected partitions, so its cost scales with the
-    batch, not the corpus).
+    batch, not the corpus). ``if_exists`` governs the index-side check:
+    ``"error"`` (default) raises; ``"skip"`` drops already-present ids
+    and appends the rest — appends become IDEMPOTENT, which is what an
+    at-least-once streaming caller needs (a replayed batch whose
+    manifest commit already happened skips everything and is a no-op;
+    see streaming/ann_index_stream.py).
 
     The fixed codebook is the documented trade: cell populations grow
     ~uniformly (expected target+N_appended/n_cells rows/cell), so
@@ -306,6 +314,10 @@ def ann_index_append(
     returned meta carries ``n_vec`` so callers can trigger rebuild at
     e.g. ``n_vec > 2 x n_cells x cell_target``.
     """
+    if if_exists not in ("error", "skip"):
+        raise ValueError(
+            f"if_exists must be 'error' or 'skip', got {if_exists!r}"
+        )
     meta = ann_index_meta(index_dir)
     cb = (
         spark.read.parquet(os.path.join(index_dir, "codebook"))
@@ -332,14 +344,28 @@ def ann_index_append(
     existing = _load_vectors(spark, index_dir, meta).where(
         F.col("cell_id").isin(cells)
     )
-    clash = (
-        assigned.join(existing, "vec_id", "left_semi").limit(1).count()
-    )
-    if clash:
-        raise ValueError(
-            "append batch contains vec_ids already in the index — "
-            "appends are inserts, not upserts; rebuild to replace"
+    if if_exists == "skip":
+        # the skipped-id scan is the same cell-pruned join as the error
+        # check — cost still scales with the batch's cells. Re-count and
+        # bail on all-skipped (the replayed-committed-batch no-op).
+        assigned = assigned.join(existing, "vec_id", "left_anti")
+        # re-plan note: assigned is re-evaluated below for the write;
+        # localCheckpoint pins the post-filter rows so the write and the
+        # count can't diverge if the store changes between jobs
+        assigned = assigned.localCheckpoint(eager=True)
+        n_batch = assigned.count()
+        if n_batch == 0:
+            return meta
+    else:
+        clash = (
+            assigned.join(existing, "vec_id", "left_semi").limit(1).count()
         )
+        if clash:
+            raise ValueError(
+                "append batch contains vec_ids already in the index — "
+                "appends are inserts, not upserts; rebuild to replace "
+                "(or pass if_exists='skip' for idempotent ingest)"
+            )
     seg = f"vectors-seg{len(meta['segments']):04d}"
     seg_dir = os.path.join(index_dir, seg)
     if os.path.exists(seg_dir):  # unregistered crash leftover: sweep

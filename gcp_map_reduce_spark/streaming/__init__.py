@@ -10,6 +10,9 @@ from gcp_map_reduce_spark.streaming.file_trigger import (
 from gcp_map_reduce_spark.streaming.curated import (
     run_streaming_curated_corpus,
 )
+from gcp_map_reduce_spark.streaming.ann_index_stream import (
+    run_streaming_index_maintenance,
+)
 from gcp_map_reduce_spark.streaming.embedding_near_dup import (
     run_streaming_embedding_near_dup,
 )
@@ -30,6 +33,7 @@ __all__ = [
     "compact_signature_store",
     "run_streaming_curated_corpus",
     "run_streaming_embedding_near_dup",
+    "run_streaming_index_maintenance",
     "run_streaming_near_dup_dedup",
     "run_streaming_upsert",
 ]

@@ -1,0 +1,73 @@
+"""Streaming maintenance of the persisted ANN index: vectors appended
+at ingest, searches served from the same published index throughout.
+
+The batch module (``operators/ann_index.py``) gives build-once /
+query-many; an ingest pipeline also needs GROW-continuously — new
+embedding files land, and the index must absorb them without a corpus
+rescan and without ever presenting a partial state to a concurrent
+searcher. This stream is a thin trigger around
+:func:`operators.ann_index.ann_index_append`:
+
+- per micro-batch: assign ONLY the batch against the fixed published
+  codebook and commit it as a new segment (one manifest ``os.replace``
+  = the commit point — a reader sees the index before-batch or
+  after-batch, never between);
+- at-least-once safety by construction: appends run with
+  ``if_exists="skip"``, so a replayed batch (foreachBatch redelivery,
+  wiped checkpoint, crash between manifest commit and checkpoint
+  commit) skips every already-present vec_id and no-ops instead of
+  corrupting or raising;
+- segment growth is the caller's compaction budget:
+  :func:`operators.ann_index.compact_ann_index` folds segments between
+  drains (atomic publish, search results unchanged), the same
+  store-compaction discipline as the near-dup streams.
+
+The index must exist before the stream starts (built from the initial
+corpus snapshot — the realistic deployment: nightly build, daytime
+ingest). Bootstrapping the codebook from a first micro-batch would pin
+index quality to whatever files happened to land first; an explicit
+build keeps that decision with the operator. Parity is exact, not
+statistical: an index grown by this stream over N files equals a fresh
+build over the concatenated corpus bit-for-bit (same codebook, shared
+assignment expression) — pytest-gated in ``tests/test_streaming.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from gcp_map_reduce_spark.operators.ann_index import (
+    ann_index_append,
+    ann_index_meta,
+)
+
+
+def run_streaming_index_maintenance(
+    spark: SparkSession,
+    emb_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Drain pending embedding files (availableNow trigger) into the
+    persisted index at ``index_dir``; returns the query handle (call
+    ``awaitTermination()``). Raises up front if the index is missing —
+    build it first (see module docstring for why there is no
+    first-batch bootstrap)."""
+    ann_index_meta(index_dir)  # fail fast: actionable FileNotFoundError
+    reader = spark.readStream.schema("vec_id bigint, embedding array<float>")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    vecs = reader.parquet(emb_dir)
+
+    def process(batch_df, batch_id: int) -> None:
+        ann_index_append(
+            batch_df.sparkSession, index_dir, batch_df, if_exists="skip"
+        )
+
+    return (
+        vecs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1062,3 +1062,94 @@ def test_streaming_curated_corpus_equals_batch_pipeline(spark, tmp_path):
     assert 800001 not in after  # exact dup of an accepted doc
     assert 800002 not in after  # verified near-dup (tail tweak)
     assert 800003 in after      # novel content admitted
+
+
+def test_streaming_index_maintenance_parity_and_replay(spark, tmp_path):
+    """The ANN-index maintenance stream: an index grown by draining two
+    embedding files equals a fresh build over the full corpus
+    bit-for-bit (fixed codebook + shared assignment expression), and a
+    full replay (wiped checkpoint, same files) is a NO-OP — the
+    if_exists='skip' idempotency contract."""
+    import shutil
+
+    import duckdb
+
+    from gcp_map_reduce_spark.operators.ann_index import (
+        _load_vectors,
+        ann_index_build,
+        ann_index_meta,
+        ann_index_search,
+    )
+    from gcp_map_reduce_spark.streaming import run_streaming_index_maintenance
+
+    SF = "/root/testdata/sf0.01"
+    base = tmp_path / "basesf"
+    base.mkdir()
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{SF}/embeddings.parquet' WHERE vec_id < 400 "
+        f"ORDER BY vec_id) TO '{base}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    src = tmp_path / "arriving"
+    src.mkdir()
+    for lo, hi, name in [(400, 450, "a"), (450, 500, "b")]:
+        duckdb.sql(
+            f"COPY (SELECT * FROM '{SF}/embeddings.parquet' "
+            f"WHERE vec_id >= {lo} AND vec_id < {hi}) "
+            f"TO '{src}/{name}.parquet' (FORMAT PARQUET)"
+        )
+    idx = str(tmp_path / "idx")
+    ann_index_build(spark, str(base), idx, n_cells=8)
+
+    # missing index fails fast, before any stream machinery
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="no ANN index"):
+        run_streaming_index_maintenance(
+            spark, str(src), str(tmp_path / "nope"), str(tmp_path / "ck0")
+        )
+
+    ckpt = tmp_path / "ckpt_idx"
+    q = run_streaming_index_maintenance(
+        spark, str(src), idx, str(ckpt), max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+    meta = ann_index_meta(idx)
+    assert meta["n_vec"] == 500
+    assert len(meta["segments"]) == 3  # base + one per drained file
+
+    fresh = str(tmp_path / "fresh")
+    ann_index_build(spark, SF, fresh, n_cells=8)
+    rows_grown = sorted(
+        (r.vec_id, r.cell_id)
+        for r in _load_vectors(spark, idx).select("vec_id", "cell_id").collect()
+    )
+    rows_fresh = sorted(
+        (r.vec_id, r.cell_id)
+        for r in _load_vectors(spark, fresh).select("vec_id", "cell_id").collect()
+    )
+    assert rows_grown == rows_fresh
+
+    def queries():
+        return (
+            spark.read.parquet(SF + "/embeddings.parquet")
+            .filter(F.col("vec_id") < 10)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+
+    res_grown = sorted(
+        map(tuple, ann_index_search(spark, idx, queries()).collect())
+    )
+    res_fresh = sorted(
+        map(tuple, ann_index_search(spark, fresh, queries()).collect())
+    )
+    assert res_grown == res_fresh and len(res_grown) == 50
+
+    # replay from scratch: same files, wiped checkpoint -> skip-all no-op
+    shutil.rmtree(str(ckpt))
+    q2 = run_streaming_index_maintenance(
+        spark, str(src), idx, str(tmp_path / "ckpt_idx2")
+    )
+    q2.awaitTermination(180)
+    meta2 = ann_index_meta(idx)
+    assert meta2["n_vec"] == 500
+    assert meta2["segments"] == meta["segments"]  # no new segment
