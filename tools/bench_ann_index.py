@@ -17,6 +17,15 @@ the repeated-query amortization direction on real wall clock.
 
 Usage: python tools/bench_ann_index.py [--sf-dir /root/testdata/sf0.1]
            [--searches 10] [--runs 3]
+
+``--mode scale`` instead measures the index's SCALING story across
+corpus sizes (default sf0.1 2k -> stress/sf1 20k -> stress/sf3 60k):
+per-search wall (should stay ~flat: probe-scaled n_cells keeps probed
+cells ~cell_target rows, and partition pruning keeps unread cells
+unread) and the wall of appending a FIXED 1,000-vector batch (should
+scale with the batch, not the corpus: assignment scans only the batch,
+the dup check prunes to the batch's home cells). Reports fitted
+exponents between the two stress points (e ~ 0 flat, 1 linear).
 """
 
 from __future__ import annotations
@@ -31,12 +40,114 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _scale_mode(args) -> None:
+    import math
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from gcp_map_reduce_spark.operators.ann_index import (
+        ann_index_append,
+        ann_index_build,
+        ann_index_search,
+    )
+    from gcp_map_reduce_spark.operators.similarity import N_QUERIES
+    from gcp_map_reduce_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-ann-scale")
+    points = []
+    for sf in args.scale_dirs:
+        src = os.path.join(sf, "embeddings.parquet")
+        idx = os.path.join(tempfile.mkdtemp(prefix="annscale"), "idx")
+        build_times = []
+        for run in range(args.runs):
+            # rebuild over live: publish_atomic swaps, so the kept index
+            # is always the LAST completed build
+            t0 = time.monotonic()
+            meta = ann_index_build(spark, sf, idx)
+            build_times.append(time.monotonic() - t0)
+        build_s = min(build_times)
+        queries = (
+            spark.read.parquet(src)
+            .filter(F.col("vec_id") < N_QUERIES)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        queries.count()
+        search_s = min(
+            _timed(lambda: ann_index_search(spark, idx, queries)
+                   .foreach(lambda r: None))
+            for _ in range(args.runs)
+        )
+        # fixed-size append batches: real vectors from the same corpus,
+        # re-keyed past the id space so the dup gate passes; each run
+        # appends a DISTINCT id range (appends mutate the index), so
+        # best-of-N measures the steady-state append — segment count
+        # grows run over run, which is the realistic drift the
+        # dup-check legs must absorb
+        append_times = []
+        for run in range(args.runs):
+            batch_dir = tempfile.mkdtemp(prefix="annbatch")
+            duckdb.sql(
+                f"COPY (SELECT vec_id + {100000000 * (run + 1)} AS vec_id, "
+                f"embedding FROM '{src}' ORDER BY vec_id "
+                f"LIMIT {args.append_rows}) "
+                f"TO '{batch_dir}/b.parquet' (FORMAT PARQUET)"
+            )
+            batch = spark.read.parquet(batch_dir)
+            batch.count()
+            append_times.append(
+                _timed(lambda: ann_index_append(spark, idx, batch))
+            )
+        append_s = min(append_times)
+        points.append({
+            "sf_dir": sf,
+            "n_vec": meta["n_vec"],
+            "n_cells": meta["n_cells"],
+            "build_sec": round(build_s, 3),
+            "search_sec": round(search_s, 3),
+            "append_1k_sec": round(append_s, 3),
+        })
+
+    def expo(key: str) -> float | None:
+        if len(points) < 2:
+            return None
+        a, b = points[-2], points[-1]
+        ratio = b["n_vec"] / a["n_vec"]
+        return round(math.log(b[key] / a[key]) / math.log(ratio), 2)
+
+    print(json.dumps({
+        "metric": "ann_index_scale",
+        "append_rows": args.append_rows,
+        "runs_best_of": args.runs,
+        "points": points,
+        "search_exponent": expo("search_sec"),
+        "append_exponent": expo("append_1k_sec"),
+        "build_exponent": expo("build_sec"),
+    }))
+
+
+def _timed(fn) -> float:
+    t0 = time.monotonic()
+    fn()
+    return time.monotonic() - t0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--searches", type=int, default=10)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--mode", choices=["amortize", "scale"],
+                    default="amortize")
+    ap.add_argument("--scale-dirs", nargs="+",
+                    default=["/root/testdata/sf0.1", "stress/sf1",
+                             "stress/sf3"])
+    ap.add_argument("--append-rows", type=int, default=1000)
     args = ap.parse_args()
+    if args.mode == "scale":
+        _scale_mode(args)
+        return
 
     from pyspark.sql import functions as F
 
