@@ -108,8 +108,10 @@ def ann_index_meta(index_dir: str) -> dict:
             f"this reader speaks {INDEX_VERSION} — rebuild the index"
         )
     # pre-append manifests carry no segment list; they are exactly the
-    # single base segment (append always writes the key)
+    # single base segment (append always writes the key). Pre-attrs
+    # manifests carry no metadata columns.
     meta.setdefault("segments", ["vectors"])
+    meta.setdefault("attrs", [])
     return meta
 
 
@@ -162,6 +164,7 @@ def ann_index_build(
     n_cells: int | None = None,
     codebook: str = "sampled",
     kmeans_iters: int = 2,
+    attrs: list[str] | None = None,
 ) -> dict:
     """Build and atomically publish the IVF index for ``sf_dir``'s
     embeddings table; return the written meta dict.
@@ -171,9 +174,21 @@ def ann_index_build(
     shuffle); one ``repartition(cell_id)`` shuffle lays the cells out
     one file per cell so the partition dirs don't fragment (at real
     scale swap this for ``repartitionByRange`` + a files-per-cell cap).
+
+    ``attrs`` persists extra metadata columns from the embeddings table
+    (e.g. ``["label"]``) alongside each vector — the storage side of
+    FILTERED search: a predicate over these columns reaches the parquet
+    scan of the probed cells as a ``PushedFilters`` entry (see
+    ``ann_index_search(where=...)``), so a filtered search reads even
+    less than an unfiltered one, instead of post-filtering collected
+    candidates.
     """
     from gcp_map_reduce_spark.operators.similarity import corpus_vec_count
 
+    attrs = list(attrs or [])
+    reserved = {"vec_id", "e", "n2", "cell_id"}
+    if reserved & set(attrs):
+        raise ValueError(f"attrs may not shadow index columns {reserved}")
     n_vec = corpus_vec_count(spark, sf_dir)
     if n_cells is None:
         # one home cell per vector -> n_probe=1 in the sizing formula;
@@ -183,11 +198,12 @@ def ann_index_build(
     cb = seeds.agg(
         F.collect_list(F.struct("cell_id", "ce", "cn2")).alias("cb")
     )
-    feats = _with_norm2(_emb(spark, sf_dir)).select("vec_id", "e", "n2")
+    feats = _with_norm2(_emb(spark, sf_dir)).select("vec_id", "e", "n2", *attrs)
     assigned = feats.crossJoin(F.broadcast(cb)).select(
         "vec_id",
         "e",
         "n2",
+        *attrs,
         ivf_probe_cells(1)[0].alias("cell_id"),
     )
     dim = len(
@@ -200,6 +216,7 @@ def ann_index_build(
         "dim": int(dim),
         "codebook": codebook,
         "segments": ["vectors"],
+        "attrs": attrs,
     }
 
     def write(staging: str) -> None:
@@ -323,13 +340,21 @@ def ann_index_append(
         spark.read.parquet(os.path.join(index_dir, "codebook"))
         .agg(F.collect_list(F.struct("cell_id", "ce", "cn2")).alias("cb"))
     )
+    attrs = meta["attrs"]
+    missing = [c for c in attrs if c not in vectors.columns]
+    if missing:
+        raise ValueError(
+            f"index persists attrs {attrs} but the append batch lacks "
+            f"{missing} — every segment must carry the same columns"
+        )
     batch = _with_norm2(
-        vectors.select("vec_id", "embedding")
-    ).select("vec_id", "e", "n2")
+        vectors.select("vec_id", "embedding", *attrs)
+    ).select("vec_id", "e", "n2", *attrs)
     assigned = batch.crossJoin(F.broadcast(cb)).select(
         "vec_id",
         "e",
         "n2",
+        *attrs,
         ivf_probe_cells(1)[0].alias("cell_id"),
     )
     # dedupe gate: batch-internal, then vs the affected cells only
@@ -524,6 +549,7 @@ def ann_index_search(
     k: int = TOP_K,
     n_probe: int = 2,
     probe_side: str = "driver",
+    where: str | None = None,
 ) -> DataFrame:
     """Exact-cosine top-``k`` within the ``n_probe`` probed cells per
     query, reading ONLY those cells' files.
@@ -538,6 +564,18 @@ def ann_index_search(
     batches (fewest jobs per search); ``"plan"`` keeps assignment in the
     plan for larger query relations. Both produce bit-identical results
     (pytest-gated).
+
+    ``where`` is an optional SQL predicate over the index's persisted
+    ``attrs`` columns (``ann_index_build(attrs=[...])``) — FILTERED
+    search with post-filter-then-rank semantics: top-``k`` among
+    candidates SATISFYING the predicate. It is applied to the vector
+    relation below the probe join, so simple comparisons reach the
+    probed cells' parquet scan as ``PushedFilters`` (plan-gated) — a
+    filtered search reads row-group-pruned data, not collected
+    candidates. The known IVF caveat applies and is the caller's trade:
+    a highly selective predicate can empty the probed cells while
+    matches exist in un-probed ones — raise ``n_probe`` for selective
+    filters.
     """
     meta = ann_index_meta(index_dir)
     # static pruning: the distinct probed-cell set is bounded by n_cells
@@ -558,6 +596,13 @@ def ann_index_search(
             f"probe_side must be 'driver' or 'plan', got {probe_side!r}"
         )
     vecs = _load_vectors(spark, index_dir, meta)
+    if where is not None:
+        if not meta["attrs"]:
+            raise ValueError(
+                "where= needs attrs persisted at build time "
+                "(ann_index_build(attrs=[...])) — this index has none"
+            )
+        vecs = vecs.where(F.expr(where))
     if len(cells) < meta["n_cells"]:
         vecs = vecs.where(F.col("cell_id").isin(cells))
     cand = vecs.join(F.broadcast(probes), "cell_id").filter(

@@ -383,6 +383,66 @@ def test_compact_folds_segments_and_preserves_results(
     assert compact_ann_index(spark, d)["segments"] == ["vectors"]
 
 
+def test_filtered_search_pushdown_and_semantics(spark, tmp_path):
+    """attrs=['label'] persisted at build time: where= filters reach the
+    probed cells' parquet scan (PushedFilters gate) and the result is
+    exactly post-filter-then-rank — the top-k among label-matching
+    candidates of the SAME probed cells, verified against the
+    unfiltered search's full candidate ranking."""
+    from gcp_map_reduce_spark.operators.ann_index import ann_index_append
+
+    d = str(tmp_path / "idx")
+    ann_index_build(spark, SF, d, n_cells=N_CELLS, attrs=["label"])
+    assert ann_index_meta(d)["attrs"] == ["label"]
+    qs = _queries(spark)
+    filtered = ann_index_search(spark, d, qs, k=5, where="label = 3")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "label" in plan.split(
+        "PushedFilters"
+    )[1][:200], plan
+    got = sorted(map(tuple, filtered.collect()))
+    # expected: rank ALL probed candidates (k >> corpus), keep label=3,
+    # take 5 per query — identical probed-cell set by construction
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(SF + "/embeddings.parquet")
+        .select("vec_id", "label").collect()
+    }
+    all_ranked = ann_index_search(spark, d, qs, k=10**6).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(
+        all_ranked, key=lambda r: (r.query_id, -r.cosine, r.cand_id)
+    ):
+        if labels[r.cand_id] == 3:
+            by_q.setdefault(r.query_id, []).append(
+                (r.query_id, r.cand_id, r.cosine)
+            )
+    want = sorted(t for rows in by_q.values() for t in rows[:5])
+    assert got == want and len(got) > 0
+    # guard rails: where= without attrs raises; append must carry attrs
+    plain = str(tmp_path / "plain")
+    ann_index_build(spark, SF, plain, n_cells=N_CELLS)
+    with pytest.raises(ValueError, match="attrs persisted at build"):
+        ann_index_search(spark, plain, qs, where="label = 3").collect()
+    with pytest.raises(ValueError, match="lacks"):
+        ann_index_append(
+            spark, d,
+            _queries(spark, n=3).select(
+                (F.col("query_id") + 900000).alias("vec_id"), "embedding"
+            ),
+        )
+    # appended rows carry attrs and are visible to filtered search
+    batch = (
+        spark.read.parquet(SF + "/embeddings.parquet")
+        .limit(3)
+        .select((F.col("vec_id") + 900000).alias("vec_id"),
+                "embedding", F.lit(3).alias("label"))
+    )
+    ann_index_append(spark, d, batch)
+    post = ann_index_search(spark, d, qs, k=10**6, where="label = 3")
+    assert post.filter(F.col("cand_id") >= 900000).count() > 0
+
+
 def test_version_gate(spark, tmp_path):
     d = str(tmp_path / "idx")
     ann_index_build(spark, SF, d, n_cells=2)
