@@ -157,6 +157,86 @@ def _codebook_df(spark: SparkSession, sf_dir: str, n_cells: int,
     )
 
 
+def _assign_cells(
+    feats: DataFrame,
+    seeds: DataFrame,
+    assign_side: str,
+    n_cells: int | None = None,
+) -> DataFrame:
+    """Add the home ``cell_id`` (nearest codebook cell) to every feats
+    row — the N x n_cells x d term of a build/append.
+
+    ``assign_side="plan"`` is the broadcast-codebook ``ivf_probe_cells``
+    expression: zero extra jobs, but higher-order array folds are
+    CodegenFallback — ~n_cells x d interpreted ops per row, the build
+    bottleneck once n_cells grows with the corpus. ``"arrow"`` collects
+    the codebook once (bounded: <= IVF_DEDUP_CELLS_CAP x d doubles, the
+    same 32 MB broadcast ceiling) and assigns per Arrow batch with the
+    d-sequential numpy fold — bit-identical distances and (d, cell_id)
+    tie-breaks to the expression path (the ``_probes_driver`` arithmetic,
+    pytest-gated), at GEMM speed. ``"auto"`` picks arrow above
+    ARROW_ASSIGN_MIN_CELLS — measured builds, best-of-3: 94 cells/60k
+    rows 12.3 s plan vs 4.3 s arrow (2.8x); 4 cells/2k rows 2.5 s plan
+    vs 4.8 s arrow (the Arrow exchange costs more than the small fold).
+    """
+    if assign_side == "auto":
+        n_seed = n_cells if n_cells is not None else seeds.count()
+        assign_side = "arrow" if n_seed >= ARROW_ASSIGN_MIN_CELLS else "plan"
+    if assign_side == "plan":
+        cb = seeds.agg(
+            F.collect_list(F.struct("cell_id", "ce", "cn2")).alias("cb")
+        )
+        return feats.crossJoin(F.broadcast(cb)).select(
+            *feats.columns, ivf_probe_cells(1)[0].alias("cell_id")
+        )
+    if assign_side != "arrow":
+        raise ValueError(
+            f"assign_side must be 'auto', 'plan' or 'arrow', got "
+            f"{assign_side!r}"
+        )
+    import numpy as np
+
+    rows = seeds.orderBy("cell_id").collect()
+    cell_ids = np.array([r.cell_id for r in rows], dtype=np.int64)
+    CE = np.array([r.ce for r in rows], dtype=np.float64)
+    CN2 = np.array([r.cn2 for r in rows], dtype=np.float64)
+    # NB: StructType.add mutates in place — mutating feats.schema would
+    # desync the df's cached Python schema from the JVM plan; build a
+    # fresh StructType instead
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(feats.schema.fields) + [StructField("cell_id", LongType())]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf):
+                E = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+                n2 = pdf["n2"].to_numpy(dtype=np.float64)
+                dist = (n2[:, None] - 2.0 * _seq_dot(E, CE)) + CN2[None, :]
+                # row-wise argmin with the (d, cell_id) tie-break: for
+                # each row take the lexsort-first column
+                order = np.lexsort(
+                    (np.broadcast_to(cell_ids, dist.shape), dist), axis=1
+                )[:, 0]
+                pdf = pdf.assign(cell_id=cell_ids[order])
+            else:
+                pdf = pdf.assign(cell_id=np.array([], dtype=np.int64))
+            yield pdf
+
+    return feats.mapInPandas(kernel, schema=out_schema)
+
+
+# Arrow-assignment crossover (cells): measured 94 cells -> arrow 2.8x
+# faster, 4 cells -> plan ~2x faster (numbers in _assign_cells); 32
+# splits the measured gap conservatively. The auto default means the
+# assignment term stays GEMM-bounded exactly where it starts to matter:
+# n_cells grows with the corpus (ivf_dedup_n_cells), so every
+# at-scale build takes the arrow path.
+ARROW_ASSIGN_MIN_CELLS = 32
+
+
 def ann_index_build(
     spark: SparkSession,
     sf_dir: str,
@@ -165,6 +245,7 @@ def ann_index_build(
     codebook: str = "sampled",
     kmeans_iters: int = 2,
     attrs: list[str] | None = None,
+    assign_side: str = "auto",
 ) -> dict:
     """Build and atomically publish the IVF index for ``sf_dir``'s
     embeddings table; return the written meta dict.
@@ -195,17 +276,8 @@ def ann_index_build(
         # expected cell population ~IVF_DEDUP_CELL_TARGET rows
         n_cells = ivf_dedup_n_cells(n_vec, n_probe=1)
     seeds = _codebook_df(spark, sf_dir, n_cells, codebook, kmeans_iters)
-    cb = seeds.agg(
-        F.collect_list(F.struct("cell_id", "ce", "cn2")).alias("cb")
-    )
     feats = _with_norm2(_emb(spark, sf_dir)).select("vec_id", "e", "n2", *attrs)
-    assigned = feats.crossJoin(F.broadcast(cb)).select(
-        "vec_id",
-        "e",
-        "n2",
-        *attrs,
-        ivf_probe_cells(1)[0].alias("cell_id"),
-    )
+    assigned = _assign_cells(feats, seeds, assign_side, n_cells=n_cells)
     dim = len(
         _emb(spark, sf_dir).select("embedding").head()["embedding"]
     )
@@ -336,10 +408,7 @@ def ann_index_append(
             f"if_exists must be 'error' or 'skip', got {if_exists!r}"
         )
     meta = ann_index_meta(index_dir)
-    cb = (
-        spark.read.parquet(os.path.join(index_dir, "codebook"))
-        .agg(F.collect_list(F.struct("cell_id", "ce", "cn2")).alias("cb"))
-    )
+    seeds = spark.read.parquet(os.path.join(index_dir, "codebook"))
     attrs = meta["attrs"]
     missing = [c for c in attrs if c not in vectors.columns]
     if missing:
@@ -350,12 +419,8 @@ def ann_index_append(
     batch = _with_norm2(
         vectors.select("vec_id", "embedding", *attrs)
     ).select("vec_id", "e", "n2", *attrs)
-    assigned = batch.crossJoin(F.broadcast(cb)).select(
-        "vec_id",
-        "e",
-        "n2",
-        *attrs,
-        ivf_probe_cells(1)[0].alias("cell_id"),
+    assigned = _assign_cells(
+        batch, seeds, assign_side="auto", n_cells=meta["n_cells"]
     )
     # dedupe gate: batch-internal, then vs the affected cells only
     n_batch = assigned.count()

@@ -383,6 +383,28 @@ def test_compact_folds_segments_and_preserves_results(
     assert compact_ann_index(spark, d)["segments"] == ["vectors"]
 
 
+def test_arrow_assignment_bit_identical_to_plan(spark, tmp_path):
+    """assign_side='arrow' (numpy d-sequential fold per Arrow batch) and
+    'plan' (ivf_probe_cells expression) must produce the SAME home cell
+    for every vector — the mirrored-arithmetic contract extended to the
+    build path — and therefore bit-identical search results."""
+    from gcp_map_reduce_spark.operators.ann_index import _load_vectors
+
+    d_plan = str(tmp_path / "plan")
+    d_arrow = str(tmp_path / "arrow")
+    ann_index_build(spark, SF, d_plan, n_cells=N_CELLS, assign_side="plan")
+    ann_index_build(spark, SF, d_arrow, n_cells=N_CELLS, assign_side="arrow")
+    rows = lambda d: sorted(  # noqa: E731
+        (r.vec_id, r.cell_id)
+        for r in _load_vectors(spark, d).select("vec_id", "cell_id").collect()
+    )
+    assert rows(d_plan) == rows(d_arrow)
+    res = lambda d: sorted(  # noqa: E731
+        map(tuple, ann_index_search(spark, d, _queries(spark)).collect())
+    )
+    assert res(d_plan) == res(d_arrow)
+
+
 def test_filtered_search_pushdown_and_semantics(spark, tmp_path):
     """attrs=['label'] persisted at build time: where= filters reach the
     probed cells' parquet scan (PushedFilters gate) and the result is
