@@ -364,11 +364,146 @@ def _load_vectors(
     return df
 
 
+def _commit_segment(
+    index_dir: str, meta: dict, assigned: DataFrame, n_batch: int
+) -> dict:
+    """Write ``assigned`` as the next segment dir and commit it into the
+    manifest (atomic replace = the commit point; a pre-existing dir at
+    the slot is an unregistered crash leftover and is swept)."""
+    seg = f"vectors-seg{len(meta['segments']):04d}"
+    seg_dir = os.path.join(index_dir, seg)
+    if os.path.exists(seg_dir):
+        import shutil
+
+        shutil.rmtree(seg_dir)
+    (
+        assigned.repartition("cell_id")
+        .write.partitionBy("cell_id")
+        .parquet(seg_dir)
+    )
+    meta["segments"] = list(meta["segments"]) + [seg]
+    meta["n_vec"] = int(meta["n_vec"]) + int(n_batch)
+    _meta_write(index_dir, meta)
+    return meta
+
+
+# driver-side ids mirror for the collected append path: the dup check
+# needs ONLY membership of vec_ids, and between appends the id set
+# changes exactly by the batches THIS process committed — so one seeding
+# scan per (index_dir, segment-list) serves every later append with a
+# set update instead of a per-trigger index scan (the
+# embedding_near_dup stream's driver-mirror pattern). Keyed on the
+# manifest's segment tuple: any external writer, compaction, or rebuild
+# changes it and forces a re-seed. Driver memory is 8 B x n_vec — the
+# documented bound; past ~1e8 ids fall back to collected=False (the
+# cell-pruned scan path).
+_IDS_MIRROR: dict = {}
+
+
+def _append_collected(
+    spark: SparkSession,
+    index_dir: str,
+    meta: dict,
+    vectors: DataFrame,
+    if_exists: str,
+) -> dict:
+    """Driver-centric append (the streaming triggers' pattern,
+    streaming/embedding_near_dup.py): collect the batch once, assign in
+    numpy against the session-cached codebook (``_seq_dot`` +
+    ``lexsort`` — the arithmetic ``_probes_driver`` already pins
+    bit-identical to the plan), dup-check against ONE cell-pruned
+    ids-only scan, write the segment. Two Spark jobs per append instead
+    of ~six — the difference between 148 and streaming-worthy trigger
+    rates. Contract: batches that fit on the driver (a micro-batch, by
+    construction)."""
+    import numpy as np
+
+    attrs = meta["attrs"]
+    pdf = vectors.select("vec_id", "embedding", *attrs).toPandas()
+    if pdf.empty:
+        return meta
+    if pdf["vec_id"].duplicated().any():
+        raise ValueError("append batch contains duplicate vec_ids")
+    E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    n2 = np.zeros(len(pdf), dtype=np.float64)
+    for d in range(E.shape[1]):
+        n2 += E[:, d] * E[:, d]
+    cell_ids, CE, CN2 = _codebook_driver(spark, index_dir)
+    dist = (n2[:, None] - 2.0 * _seq_dot(E, CE)) + CN2[None, :]
+    order = np.lexsort(
+        (np.broadcast_to(cell_ids, dist.shape), dist), axis=1
+    )[:, 0]
+    home = cell_ids[order]
+    mirror_key = (index_dir, tuple(meta["segments"]))
+    hit = _IDS_MIRROR.get(index_dir)
+    if hit and hit[0] == mirror_key:
+        existing = hit[1]
+    else:
+        existing = {
+            r.vec_id
+            for r in _load_vectors(spark, index_dir, meta)
+            .select("vec_id")
+            .collect()
+        }
+        _IDS_MIRROR[index_dir] = (mirror_key, existing)
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    if existing:
+        clash = np.isin(
+            ids, np.fromiter(existing, dtype=np.int64, count=len(existing))
+        )
+    else:
+        clash = np.zeros(len(ids), dtype=bool)
+    if if_exists == "error":
+        if clash.any():
+            raise ValueError(
+                "append batch contains vec_ids already in the index — "
+                "appends are inserts, not upserts; rebuild to replace "
+                "(or pass if_exists='skip' for idempotent ingest)"
+            )
+        keep = np.ones(len(ids), dtype=bool)
+    else:
+        keep = ~clash
+    if not keep.any():
+        return meta
+    out = pdf.loc[keep].copy()
+    out["e"] = [list(map(float, row)) for row in E[keep]]
+    out["n2"] = n2[keep]
+    out["cell_id"] = home[keep]
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    attr_fields = [f for f in vectors.schema.fields if f.name in attrs]
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("e", ArrayType(DoubleType())),
+            StructField("n2", DoubleType()),
+            *attr_fields,
+            StructField("cell_id", LongType()),
+        ]
+    )
+    assigned = spark.createDataFrame(
+        out[["vec_id", "e", "n2", *attrs, "cell_id"]], schema=schema
+    )
+    new_meta = _commit_segment(index_dir, meta, assigned, int(keep.sum()))
+    _IDS_MIRROR[index_dir] = (
+        (index_dir, tuple(new_meta["segments"])),
+        existing | {int(v) for v in ids[keep]},
+    )
+    return new_meta
+
+
 def ann_index_append(
     spark: SparkSession,
     index_dir: str,
     vectors: DataFrame,
     if_exists: str = "error",
+    collected: bool = False,
 ) -> dict:
     """Append a batch of new ``(vec_id, embedding)`` rows into a
     published index WITHOUT rebuilding — the ingest-cycle shape: the
@@ -395,6 +530,12 @@ def ann_index_append(
     manifest commit already happened skips everything and is a no-op;
     see streaming/ann_index_stream.py).
 
+    ``collected=True`` runs the driver-centric fast path for
+    driver-sized batches (:func:`_append_collected`: cached codebook,
+    numpy assignment, one ids-only dup-check job + one write job) —
+    bit-identical results, pytest-gated; the default plan path remains
+    for batches too large to collect.
+
     The fixed codebook is the documented trade: cell populations grow
     ~uniformly (expected target+N_appended/n_cells rows/cell), so
     search cost per probe rises linearly until
@@ -408,7 +549,6 @@ def ann_index_append(
             f"if_exists must be 'error' or 'skip', got {if_exists!r}"
         )
     meta = ann_index_meta(index_dir)
-    seeds = spark.read.parquet(os.path.join(index_dir, "codebook"))
     attrs = meta["attrs"]
     missing = [c for c in attrs if c not in vectors.columns]
     if missing:
@@ -416,6 +556,9 @@ def ann_index_append(
             f"index persists attrs {attrs} but the append batch lacks "
             f"{missing} — every segment must carry the same columns"
         )
+    if collected:
+        return _append_collected(spark, index_dir, meta, vectors, if_exists)
+    seeds = spark.read.parquet(os.path.join(index_dir, "codebook"))
     batch = _with_norm2(
         vectors.select("vec_id", "embedding", *attrs)
     ).select("vec_id", "e", "n2", *attrs)
@@ -456,21 +599,7 @@ def ann_index_append(
                 "appends are inserts, not upserts; rebuild to replace "
                 "(or pass if_exists='skip' for idempotent ingest)"
             )
-    seg = f"vectors-seg{len(meta['segments']):04d}"
-    seg_dir = os.path.join(index_dir, seg)
-    if os.path.exists(seg_dir):  # unregistered crash leftover: sweep
-        import shutil
-
-        shutil.rmtree(seg_dir)
-    (
-        assigned.repartition("cell_id")
-        .write.partitionBy("cell_id")
-        .parquet(seg_dir)
-    )
-    meta["segments"] = list(meta["segments"]) + [seg]
-    meta["n_vec"] = int(meta["n_vec"]) + int(n_batch)
-    _meta_write(index_dir, meta)
-    return meta
+    return _commit_segment(index_dir, meta, assigned, n_batch)
 
 
 def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
@@ -501,11 +630,14 @@ def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
 
 
 # driver-side codebook cache: the codebook is immutable for a published
-# index (publish_atomic swaps the whole dir), so one collect per
-# (index_dir, publish) serves every subsequent search in the session —
-# same pattern as the streaming codebook cache (streaming/
-# embedding_near_dup.py). Keyed on the meta file's mtime: a re-publish
-# rewrites it, which invalidates the entry.
+# index (publish_atomic swaps the whole dir; appends add SEGMENTS, never
+# touch the codebook), so one collect per (index_dir, publish) serves
+# every subsequent search AND append in the session — same pattern as
+# the streaming codebook cache (streaming/embedding_near_dup.py). Keyed
+# on the codebook DIRECTORY's mtime, not the manifest's: the manifest is
+# rewritten by every append, and invalidating on it would re-collect an
+# unchanged codebook once per streamed batch (r12 measured: the
+# per-trigger codebook job was ~1/4 of the maintenance stream's floor).
 _CODEBOOK_CACHE: dict = {}
 
 
@@ -514,7 +646,7 @@ def _codebook_driver(spark: SparkSession, index_dir: str):
     cell_id, collected once per published index."""
     import numpy as np
 
-    key = (index_dir, os.path.getmtime(_meta_path(index_dir)))
+    key = (index_dir, os.path.getmtime(os.path.join(index_dir, "codebook")))
     hit = _CODEBOOK_CACHE.get(index_dir)
     if hit and hit[0] == key:
         return hit[1]

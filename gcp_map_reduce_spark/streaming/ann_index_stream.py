@@ -61,8 +61,12 @@ def run_streaming_index_maintenance(
     vecs = reader.parquet(emb_dir)
 
     def process(batch_df, batch_id: int) -> None:
+        # collected=True: micro-batches are driver-sized by construction,
+        # and the driver-centric append is the difference between ~6 and
+        # 2 Spark jobs per trigger (this repo's streaming-trigger rule)
         ann_index_append(
-            batch_df.sparkSession, index_dir, batch_df, if_exists="skip"
+            batch_df.sparkSession, index_dir, batch_df,
+            if_exists="skip", collected=True,
         )
 
     return (

@@ -358,6 +358,65 @@ def test_append_rejects_duplicates_and_commits_atomically(
     assert meta["segments"] == ["vectors", "vectors-seg0001"]
 
 
+def test_collected_append_bit_identical_to_plan_append(
+    spark, tmp_path, split_corpus
+):
+    """collected=True (driver-centric: cached codebook + numpy
+    assignment + ids-only dup check) must produce the same segment rows
+    and search results as the plan-side append — and the idempotent
+    skip path must no-op on a full replay."""
+    from gcp_map_reduce_spark.operators.ann_index import (
+        _load_vectors,
+        ann_index_append,
+    )
+
+    a = str(tmp_path / "plan_side")
+    b = str(tmp_path / "collected")
+    for d in (a, b):
+        ann_index_build(spark, split_corpus, d, n_cells=N_CELLS)
+    rest = _rest_batch(spark)
+    ann_index_append(spark, a, rest, if_exists="skip")
+    ann_index_append(spark, b, rest, if_exists="skip", collected=True)
+    rows = lambda d: sorted(  # noqa: E731
+        map(
+            tuple,
+            _load_vectors(spark, d)
+            .select("vec_id", "n2", "cell_id")
+            .collect(),
+        )
+    )
+    assert rows(a) == rows(b)  # includes float equality on n2
+    res = lambda d: sorted(  # noqa: E731
+        map(tuple, ann_index_search(spark, d, _queries(spark)).collect())
+    )
+    assert res(a) == res(b)
+    # replayed batch -> skip-all no-op, no new segment
+    meta_before = ann_index_meta(b)
+    meta_after = ann_index_append(
+        spark, b, rest, if_exists="skip", collected=True
+    )
+    assert meta_after["segments"] == meta_before["segments"]
+    # duplicate detection still raises on the collected path
+    with pytest.raises(ValueError, match="already in the index"):
+        ann_index_append(spark, b, rest.limit(3), collected=True)
+    # the ids mirror must survive interleaved plan-side mutation: a
+    # compaction changes the segment list, forcing a re-seed rather
+    # than a stale driver set
+    from gcp_map_reduce_spark.operators.ann_index import compact_ann_index
+
+    compact_ann_index(spark, b)
+    with pytest.raises(ValueError, match="already in the index"):
+        ann_index_append(spark, b, rest.limit(3), collected=True)
+    with pytest.raises(ValueError, match="duplicate vec_ids"):
+        ann_index_append(
+            spark, b,
+            rest.limit(2).unionByName(rest.limit(2)).withColumn(
+                "vec_id", F.col("vec_id") + 777000
+            ),
+            collected=True,
+        )
+
+
 def test_compact_folds_segments_and_preserves_results(
     spark, tmp_path, split_corpus
 ):

@@ -407,6 +407,103 @@ def bench_embdedup(spark, args) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_annidx(spark, args) -> None:
+    """Streaming ANN-index maintenance throughput (r12) + exact in-run
+    parity: build the index on the first half of the stress embeddings,
+    drain the second half as per-trigger batch files, and assert the
+    grown index equals a fresh build over the whole corpus bit-for-bit
+    (fixed codebook + shared assignment; id-ordered slicing keeps the
+    sampled rank seeds identical)."""
+    from gcp_map_reduce_spark.operators.ann_index import (
+        _load_vectors,
+        ann_index_build,
+        ann_index_meta,
+    )
+    from gcp_map_reduce_spark.sources.tables import load_table
+    from gcp_map_reduce_spark.streaming.ann_index_stream import (
+        run_streaming_index_maintenance,
+    )
+
+    vecs = load_table(spark, args.dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    n_vecs = vecs.count()
+    work = tempfile.mkdtemp(prefix="stream_annidx_")
+    try:
+        pdf = vecs.toPandas().sort_values("vec_id").reset_index(drop=True)
+        half = len(pdf) // 2
+        base_dir = os.path.join(work, "base")
+        os.makedirs(base_dir)
+        pdf.iloc[:half].to_parquet(
+            os.path.join(base_dir, "embeddings.parquet"), index=False
+        )
+        src = os.path.join(work, "arriving")
+        os.makedirs(src)
+        rest = pdf.iloc[half:]
+        per = (len(rest) + args.batches - 1) // args.batches
+        for b in range(args.batches):
+            sl = rest.iloc[b * per : (b + 1) * per]
+            if not sl.empty:
+                sl.to_parquet(
+                    os.path.join(src, f"f{b:03d}.parquet"), index=False
+                )
+        idx = os.path.join(work, "idx")
+        # size the codebook for the PLANNED corpus, not the base half —
+        # the operator's documented deployment shape
+        from gcp_map_reduce_spark.operators.similarity import (
+            ivf_dedup_n_cells,
+        )
+
+        n_cells = ivf_dedup_n_cells(n_vecs, n_probe=1)
+        t_build0 = time.perf_counter()
+        ann_index_build(spark, base_dir, idx, n_cells=n_cells)
+        build_sec = round(time.perf_counter() - t_build0, 2)
+
+        t0 = time.perf_counter()
+        q = run_streaming_index_maintenance(
+            spark, src, idx, os.path.join(work, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        if not q.awaitTermination(3600):
+            q.stop()
+            raise RuntimeError("annidx drain exceeded 3600 s; results void")
+        sec = round(time.perf_counter() - t0, 2)
+        meta = ann_index_meta(idx)
+        assert meta["n_vec"] == n_vecs
+
+        fresh = os.path.join(work, "fresh")
+        ann_index_build(spark, args.dir, fresh, n_cells=n_cells)
+        rows_grown = sorted(
+            (r.vec_id, r.cell_id)
+            for r in _load_vectors(spark, idx)
+            .select("vec_id", "cell_id").collect()
+        )
+        rows_fresh = sorted(
+            (r.vec_id, r.cell_id)
+            for r in _load_vectors(spark, fresh)
+            .select("vec_id", "cell_id").collect()
+        )
+        assert rows_grown == rows_fresh, "grown/fresh assignment divergence"
+
+        n_stream = n_vecs - half
+        print(json.dumps({
+            "metric": "streaming_ann_index_maintenance",
+            "dir": args.dir,
+            "vectors_total": n_vecs,
+            "vectors_streamed": n_stream,
+            "batches": args.batches,
+            "n_cells": meta["n_cells"],
+            "segments": len(meta["segments"]),
+            "base_build_sec": build_sec,
+            "drain_sec": sec,
+            "vecs_per_sec": round(n_stream / sec),
+            "index_mb": round(dir_bytes(idx) / 2**20, 1),
+            "batch_parity": "asserted-exact",
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_curated(spark, args) -> None:
     """Streaming curated-corpus throughput (r11) + exact in-run parity:
     the stress documents sliced into id-ordered batch files, drained one
@@ -558,7 +655,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--mode",
-        choices=["cdc", "sessionize", "neardup", "embdedup", "curated"],
+        choices=["cdc", "sessionize", "neardup", "embdedup", "curated",
+                 "annidx"],
         default="cdc",
     )
     ap.add_argument("--dir", default="/root/repo/stress/sf1")
@@ -592,6 +690,9 @@ def main() -> None:
         return
     if args.mode == "curated":
         bench_curated(spark, args)
+        return
+    if args.mode == "annidx":
+        bench_annidx(spark, args)
         return
 
     ev = load_table(spark, args.dir, "events").withColumn(
