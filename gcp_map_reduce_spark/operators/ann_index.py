@@ -13,13 +13,16 @@ Layout (all under one index dir, published atomically)::
 
     index_dir/
       codebook/            parquet: (cell_id, ce: array<double>, cn2)
+      codebook2/           residual centroids, same schema (two-level
+                             indexes only; see _build_two_level)
       vectors/             parquet, partitionBy(cell_id):
                              (vec_id, e: array<double>, n2)
       vectors-segNNNN/     appended batches, same layout (LSM-style;
                              see ann_index_append / compact_ann_index)
-      _index_meta.json     {version, n_cells, n_vec, dim, segments}
-                             — the manifest is the COMMIT POINT: a
-                             segment exists iff listed here
+      _index_meta.json     {version, levels, n_cells, n_vec, dim,
+                             segments, attrs} — the manifest is the
+                             COMMIT POINT: a segment exists iff listed
+                             here
 
 Why ``partitionBy(cell_id)`` is the load-bearing choice: the partition
 column becomes a DIRECTORY level, so a search's cell restriction is a
@@ -47,7 +50,10 @@ Scale posture:
   zero shuffle), one ``repartition(cell_id)`` shuffle to lay files out
   one-per-cell. n_cells defaults to ``ivf_dedup_n_cells(N, n_probe=1)``
   (= ceil(N/640)) up to the 65536-cell broadcast cap; past the cap,
-  shard the corpus or train a two-level codebook (similarity.py:216).
+  build with ``levels=2`` — the coarse+residual codebook
+  (:func:`_build_two_level`) covers ``K1 x K2`` composite cells with
+  ``K1 + K2`` collected rows, so the broadcast ceiling bounds
+  sqrt(cells), not cells.
 - search: cost is |Q| x n_cells x d for probing (broadcast codebook)
   plus the probed cells' rows x |Q_cell| x d for exact re-rank. The
   query relation is broadcast — the documented contract is query
@@ -109,9 +115,11 @@ def ann_index_meta(index_dir: str) -> dict:
         )
     # pre-append manifests carry no segment list; they are exactly the
     # single base segment (append always writes the key). Pre-attrs
-    # manifests carry no metadata columns.
+    # manifests carry no metadata columns; pre-two-level manifests are
+    # single-level.
     meta.setdefault("segments", ["vectors"])
     meta.setdefault("attrs", [])
+    meta.setdefault("levels", 1)
     return meta
 
 
@@ -125,6 +133,45 @@ def _meta_write(index_dir: str, meta: dict) -> None:
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
     os.replace(tmp, path)
+
+
+def _np_n2(E):
+    """Squared L2 norms via the d-sequential fold (the module's shared
+    accumulation order)."""
+    import numpy as np
+
+    n2 = np.zeros(E.shape[0], dtype=np.float64)
+    for d in range(E.shape[1]):
+        n2 += E[:, d] * E[:, d]
+    return n2
+
+
+def _np_nearest(E, En2, cell_ids, C, Cn2, k: int):
+    """Column indices of each row's ``k`` nearest codebook rows by
+    squared L2 distance ``(n2 - 2*dot) + cn2`` with the (d, cell_id)
+    tie-break — the one distance definition every two-level path
+    (build, append, probe) shares, so they cannot disagree."""
+    import numpy as np
+
+    dist = (En2[:, None] - 2.0 * _seq_dot(E, C)) + Cn2[None, :]
+    return np.lexsort(
+        (np.broadcast_to(cell_ids, dist.shape), dist), axis=1
+    )[:, :k]
+
+
+def _np_assign_2l(E, cb2l):
+    """Composite home cell ids for rows ``E`` under a two-level
+    codebook: nearest coarse centroid, then nearest residual centroid
+    of ``x - c1``; composite id = ``c1 * K2 + c2``."""
+    import numpy as np
+
+    ids1, C1, C1n2, ids2, C2, C2n2, k2 = cb2l
+    n2 = _np_n2(E)
+    i1 = _np_nearest(E, n2, ids1, C1, C1n2, 1)[:, 0]
+    R = E - C1[i1]
+    rn2 = _np_n2(R)
+    i2 = _np_nearest(R, rn2, ids2, C2, C2n2, 1)[:, 0]
+    return ids1[i1] * np.int64(k2) + ids2[i2], n2
 
 
 def _codebook_df(spark: SparkSession, sf_dir: str, n_cells: int,
@@ -237,6 +284,127 @@ def _assign_cells(
 ARROW_ASSIGN_MIN_CELLS = 32
 
 
+def _build_two_level(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    n_cells1: int | None,
+    n_cells2: int | None,
+    attrs: list[str],
+) -> dict:
+    """Two-level (coarse + residual) IVF build — the escape hatch past
+    the single-broadcast codebook cap: ``K1 + K2`` collected centroid
+    rows cover ``K1 x K2`` composite cells, so the 65536-row broadcast
+    ceiling bounds ``sqrt(effective cells)`` instead of the cell count
+    (4.3e9 effective cells at the cap — no realistic corpus hits it).
+
+    Determinism mirrors the sampled single-level codebook: coarse
+    centroids are the first ``K1`` vectors by vec_id; residual
+    centroids are the residuals of the NEXT ``K2`` vectors w.r.t. their
+    nearest coarse centroid. A vector's composite home cell is
+    ``c1 * K2 + c2`` (:func:`_np_assign_2l` — one shared numpy
+    definition used by build, append, and probe; there is deliberately
+    no JVM expression twin to drift from). Defaults size
+    ``K1 = ceil(sqrt(effective))``, ``K2 = ceil(effective / K1)`` from
+    the same ``ivf_dedup_n_cells`` target as single-level.
+    """
+    import math
+
+    import numpy as np
+
+    from gcp_map_reduce_spark.operators.similarity import corpus_vec_count
+
+    n_vec = corpus_vec_count(spark, sf_dir)
+    effective = ivf_dedup_n_cells(n_vec, n_probe=1)
+    if n_cells1 is None:
+        n_cells1 = max(1, math.isqrt(max(0, effective - 1)) + 1)
+    if n_cells2 is None:
+        n_cells2 = max(1, (effective + n_cells1 - 1) // n_cells1)
+    seed_rows = (
+        _emb(spark, sf_dir)
+        .orderBy("vec_id")
+        .limit(n_cells1 + n_cells2)
+        .select("embedding")
+        .collect()
+    )
+    if len(seed_rows) <= n_cells1:
+        raise ValueError(
+            f"corpus too small for a two-level codebook: need more than "
+            f"{n_cells1} vectors for K1={n_cells1}, K2={n_cells2} seeds"
+        )
+    n_cells2 = min(n_cells2, len(seed_rows) - n_cells1)
+    S = np.array([r.embedding for r in seed_rows], dtype=np.float64)
+    C1, S2 = S[:n_cells1], S[n_cells1 : n_cells1 + n_cells2]
+    C1n2 = _np_n2(C1)
+    ids1 = np.arange(n_cells1, dtype=np.int64)
+    i1 = _np_nearest(S2, _np_n2(S2), ids1, C1, C1n2, 1)[:, 0]
+    C2 = S2 - C1[i1]
+    C2n2 = _np_n2(C2)
+    ids2 = np.arange(n_cells2, dtype=np.int64)
+    cb2l = (ids1, C1, C1n2, ids2, C2, C2n2, n_cells2)
+
+    feats = _with_norm2(_emb(spark, sf_dir)).select(
+        "vec_id", "e", "n2", *attrs
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(feats.schema.fields) + [StructField("cell_id", LongType())]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf):
+                E = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+                cell, _ = _np_assign_2l(E, cb2l)
+                pdf = pdf.assign(cell_id=cell)
+            else:
+                pdf = pdf.assign(cell_id=np.array([], dtype=np.int64))
+            yield pdf
+
+    assigned = feats.mapInPandas(kernel, schema=out_schema)
+    dim = int(C1.shape[1])
+    meta = {
+        "version": INDEX_VERSION,
+        "levels": 2,
+        "n_cells": int(n_cells1 * n_cells2),
+        "n_cells1": int(n_cells1),
+        "n_cells2": int(n_cells2),
+        "n_vec": int(n_vec),
+        "dim": dim,
+        "codebook": "sampled-residual",
+        "segments": ["vectors"],
+        "attrs": attrs,
+    }
+
+    def cb_df(ids, C, Cn2):
+        return spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in C[j]], float(Cn2[j]))
+                for j, i in enumerate(ids)
+            ],
+            "cell_id long, ce array<double>, cn2 double",
+        )
+
+    def write(staging: str) -> None:
+        cb_df(ids1, C1, C1n2).coalesce(1).write.parquet(
+            os.path.join(staging, "codebook")
+        )
+        cb_df(ids2, C2, C2n2).coalesce(1).write.parquet(
+            os.path.join(staging, "codebook2")
+        )
+        (
+            assigned.repartition("cell_id")
+            .write.partitionBy("cell_id")
+            .parquet(os.path.join(staging, "vectors"))
+        )
+        with open(os.path.join(staging, META_FILE), "w") as fh:
+            json.dump(meta, fh)
+
+    publish_atomic(index_dir, write)
+    return meta
+
+
 def ann_index_build(
     spark: SparkSession,
     sf_dir: str,
@@ -246,6 +414,8 @@ def ann_index_build(
     kmeans_iters: int = 2,
     attrs: list[str] | None = None,
     assign_side: str = "auto",
+    levels: int = 1,
+    n_cells2: int | None = None,
 ) -> dict:
     """Build and atomically publish the IVF index for ``sf_dir``'s
     embeddings table; return the written meta dict.
@@ -270,6 +440,17 @@ def ann_index_build(
     reserved = {"vec_id", "e", "n2", "cell_id"}
     if reserved & set(attrs):
         raise ValueError(f"attrs may not shadow index columns {reserved}")
+    if levels == 2:
+        if codebook != "sampled":
+            raise ValueError(
+                "levels=2 supports only the sampled codebook (residual "
+                "seeds are defined off the sampled coarse centroids)"
+            )
+        return _build_two_level(
+            spark, sf_dir, index_dir, n_cells, n_cells2, attrs
+        )
+    if levels != 1:
+        raise ValueError(f"levels must be 1 or 2, got {levels!r}")
     n_vec = corpus_vec_count(spark, sf_dir)
     if n_cells is None:
         # one home cell per vector -> n_probe=1 in the sizing formula;
@@ -425,15 +606,16 @@ def _append_collected(
     if pdf["vec_id"].duplicated().any():
         raise ValueError("append batch contains duplicate vec_ids")
     E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    n2 = np.zeros(len(pdf), dtype=np.float64)
-    for d in range(E.shape[1]):
-        n2 += E[:, d] * E[:, d]
-    cell_ids, CE, CN2 = _codebook_driver(spark, index_dir)
-    dist = (n2[:, None] - 2.0 * _seq_dot(E, CE)) + CN2[None, :]
-    order = np.lexsort(
-        (np.broadcast_to(cell_ids, dist.shape), dist), axis=1
-    )[:, 0]
-    home = cell_ids[order]
+    n2 = _np_n2(E)
+    if meta["levels"] == 2:
+        home, _ = _np_assign_2l(
+            E, _codebook_2l_driver(spark, index_dir, meta)
+        )
+    else:
+        cell_ids, CE, CN2 = _codebook_driver(spark, index_dir)
+        home = cell_ids[
+            _np_nearest(E, n2, cell_ids, CE, CN2, 1)[:, 0]
+        ]
     mirror_key = (index_dir, tuple(meta["segments"]))
     hit = _IDS_MIRROR.get(index_dir)
     if hit and hit[0] == mirror_key:
@@ -556,7 +738,9 @@ def ann_index_append(
             f"index persists attrs {attrs} but the append batch lacks "
             f"{missing} — every segment must carry the same columns"
         )
-    if collected:
+    if collected or meta["levels"] == 2:
+        # two-level assignment is numpy-only (no expression twin), so
+        # 2-level appends always take the collected path
         return _append_collected(spark, index_dir, meta, vectors, if_exists)
     seeds = spark.read.parquet(os.path.join(index_dir, "codebook"))
     batch = _with_norm2(
@@ -613,10 +797,17 @@ def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
         return meta
     vecs = _load_vectors(spark, index_dir, meta)
     cb = spark.read.parquet(os.path.join(index_dir, "codebook"))
+    cb2 = (
+        spark.read.parquet(os.path.join(index_dir, "codebook2"))
+        if meta["levels"] == 2
+        else None
+    )
     new_meta = {**meta, "segments": ["vectors"]}
 
     def write(staging: str) -> None:
         cb.coalesce(1).write.parquet(os.path.join(staging, "codebook"))
+        if cb2 is not None:
+            cb2.coalesce(1).write.parquet(os.path.join(staging, "codebook2"))
         (
             vecs.repartition("cell_id")
             .write.partitionBy("cell_id")
@@ -662,6 +853,88 @@ def _codebook_driver(spark: SparkSession, index_dir: str):
     )
     _CODEBOOK_CACHE[index_dir] = (key, val)
     return val
+
+
+def _codebook_2l_driver(spark: SparkSession, index_dir: str, meta: dict):
+    """Both codebook levels as the :func:`_np_assign_2l` tuple, cached
+    like :func:`_codebook_driver` (same immutability argument — appends
+    never touch either codebook dir)."""
+    import numpy as np
+
+    key = (
+        index_dir,
+        os.path.getmtime(os.path.join(index_dir, "codebook")),
+        "2l",
+    )
+    hit = _CODEBOOK_CACHE.get(index_dir + "#2l")
+    if hit and hit[0] == key:
+        return hit[1]
+    ids1, C1, C1n2 = _codebook_driver(spark, index_dir)
+    rows2 = (
+        spark.read.parquet(os.path.join(index_dir, "codebook2"))
+        .orderBy("cell_id")
+        .collect()
+    )
+    val = (
+        ids1,
+        C1,
+        C1n2,
+        np.array([r.cell_id for r in rows2], dtype=np.int64),
+        np.array([r.ce for r in rows2], dtype=np.float64),
+        np.array([r.cn2 for r in rows2], dtype=np.float64),
+        int(meta["n_cells2"]),
+    )
+    _CODEBOOK_CACHE[index_dir + "#2l"] = (key, val)
+    return val
+
+
+def _probes_driver_2l(
+    spark: SparkSession,
+    index_dir: str,
+    meta: dict,
+    queries: DataFrame,
+    n_probe: int,
+    n_probe2: int,
+):
+    """Composite probe assignment for a two-level index: ``n_probe``
+    nearest coarse cells, and within each, ``n_probe2`` nearest
+    residual cells of ``q - c1`` — ``n_probe x n_probe2`` composite
+    cells per query, all driver-side numpy (the 2-level distance has no
+    expression twin by design)."""
+    import numpy as np
+
+    ids1, C1, C1n2, ids2, C2, C2n2, k2 = _codebook_2l_driver(
+        spark, index_dir, meta
+    )
+    qrows = queries.select("query_id", "embedding").collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, qe array<double>, qn2 double, cell_id long"
+        ), []
+    Q = np.array([r.embedding for r in qrows], dtype=np.float64)
+    qn2 = _np_n2(Q)
+    i1 = _np_nearest(Q, qn2, ids1, C1, C1n2, min(n_probe, len(ids1)))
+    out = []
+    for i, r in enumerate(qrows):
+        qe = [float(x) for x in Q[i]]
+        for j in i1[i]:
+            res = (Q[i] - C1[j])[None, :]
+            i2 = _np_nearest(
+                res, _np_n2(res), ids2, C2, C2n2, min(n_probe2, len(ids2))
+            )[0]
+            for c2 in i2:
+                out.append(
+                    (
+                        int(r.query_id),
+                        qe,
+                        float(qn2[i]),
+                        int(ids1[j]) * k2 + int(ids2[c2]),
+                    )
+                )
+    probes = spark.createDataFrame(
+        out, "query_id long, qe array<double>, qn2 double, cell_id long"
+    )
+    return probes, sorted({row[3] for row in out})
 
 
 def _seq_dot(A, B):
@@ -747,6 +1020,7 @@ def ann_index_search(
     n_probe: int = 2,
     probe_side: str = "driver",
     where: str | None = None,
+    n_probe2: int = 2,
 ) -> DataFrame:
     """Exact-cosine top-``k`` within the ``n_probe`` probed cells per
     query, reading ONLY those cells' files.
@@ -780,7 +1054,17 @@ def ann_index_search(
     # driver path, one tiny job on the plan path; repaid by the scan
     # never opening un-probed cells' files (PartitionFilters IN,
     # plan-gated in tests)
-    if probe_side == "driver":
+    if meta["levels"] == 2:
+        if probe_side != "driver":
+            raise ValueError(
+                "two-level indexes probe driver-side only (the composite "
+                "distance has no expression twin by design); pass "
+                "probe_side='driver'"
+            )
+        probes, cells = _probes_driver_2l(
+            spark, index_dir, meta, queries, n_probe, n_probe2
+        )
+    elif probe_side == "driver":
         probes, cells = _probes_driver(spark, index_dir, queries, n_probe)
     elif probe_side == "plan":
         probes = _probes_plan(spark, index_dir, queries, n_probe)

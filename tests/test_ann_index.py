@@ -524,6 +524,94 @@ def test_filtered_search_pushdown_and_semantics(spark, tmp_path):
     assert post.filter(F.col("cand_id") >= 900000).count() > 0
 
 
+def test_two_level_index_end_to_end(spark, tmp_path, split_corpus):
+    """levels=2 (coarse + residual codebook): composite home cells are
+    reproducible from the persisted codebooks, the grown index equals a
+    fresh build, searches prune partitions and hit a recall floor vs
+    brute force, and compaction preserves codebook2."""
+    import numpy as np
+
+    from gcp_map_reduce_spark.operators.ann_index import (
+        _codebook_2l_driver,
+        _load_vectors,
+        _np_assign_2l,
+        ann_index_append,
+        compact_ann_index,
+    )
+
+    K1 = K2 = 4
+    d = str(tmp_path / "idx2l")
+    meta = ann_index_build(
+        spark, SF, d, n_cells=K1, n_cells2=K2, levels=2
+    )
+    assert meta["levels"] == 2 and meta["n_cells"] == K1 * K2
+    vecs = _load_vectors(spark, d).select("vec_id", "e", "cell_id")
+    rows = vecs.collect()
+    assert len(rows) == 500
+    # stored composite home == recompute from the persisted codebooks
+    cb = _codebook_2l_driver(spark, d, ann_index_meta(d))
+    E = np.array([r.e for r in sorted(rows, key=lambda r: r.vec_id)])
+    home, _ = _np_assign_2l(E, cb)
+    stored = [
+        r.cell_id for r in sorted(rows, key=lambda r: r.vec_id)
+    ]
+    assert list(home) == stored
+    # search: per-query top-k contract + recall vs brute force
+    res = ann_index_search(
+        spark, d, _queries(spark), k=5, n_probe=2, n_probe2=2
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in res:
+        assert r.cand_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(N_QUERIES))
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in similarity_bruteforce(spark, SF).collect()
+    }
+    approx = {(r.query_id, r.cand_id) for r in res}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, recall  # 4-of-16 composite cells probed
+    # partition pruning still static on the composite ids
+    plan = (
+        ann_index_search(spark, d, _queries(spark, n=2), n_probe=1,
+                         n_probe2=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert any(
+        "PartitionFilters" in line and "cell_id" in line and " IN (" in line
+        for line in plan.splitlines()
+    ), plan
+    with pytest.raises(ValueError, match="driver-side only"):
+        ann_index_search(spark, d, _queries(spark), probe_side="plan")
+    # grown == fresh: seeds (first K1+K2 vec_ids) live in the subset
+    grown = str(tmp_path / "grown2l")
+    ann_index_build(
+        spark, split_corpus, grown, n_cells=K1, n_cells2=K2, levels=2
+    )
+    ann_index_append(spark, grown, _rest_batch(spark))
+    rows_g = sorted(
+        (r.vec_id, r.cell_id)
+        for r in _load_vectors(spark, grown)
+        .select("vec_id", "cell_id").collect()
+    )
+    rows_f = sorted((r.vec_id, r.cell_id) for r in rows)
+    assert rows_g == rows_f
+    res_g = sorted(
+        map(tuple, ann_index_search(spark, grown, _queries(spark)).collect())
+    )
+    res_f = sorted(
+        map(tuple, ann_index_search(spark, d, _queries(spark)).collect())
+    )
+    assert res_g == res_f
+    # compaction carries codebook2 and changes nothing observable
+    compact_ann_index(spark, grown)
+    assert os.path.isdir(os.path.join(grown, "codebook2"))
+    assert res_g == sorted(
+        map(tuple, ann_index_search(spark, grown, _queries(spark)).collect())
+    )
+
+
 def test_version_gate(spark, tmp_path):
     d = str(tmp_path / "idx")
     ann_index_build(spark, SF, d, n_cells=2)
