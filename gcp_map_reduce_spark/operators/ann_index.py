@@ -119,8 +119,19 @@ def ann_index_meta(index_dir: str) -> dict:
     # single-level.
     meta.setdefault("segments", ["vectors"])
     meta.setdefault("attrs", [])
+    meta.setdefault("attrs_ddl", "")
     meta.setdefault("levels", 1)
     return meta
+
+
+def _attrs_ddl(feats, attrs: list[str]) -> str:
+    """DDL fragment for the persisted attr columns ("label int, ...") —
+    recorded in the manifest so a streaming maintainer can extend its
+    reader schema without guessing types."""
+    by_name = {f.name: f for f in feats.schema.fields}
+    return ", ".join(
+        f"{c} {by_name[c].dataType.simpleString()}" for c in attrs
+    )
 
 
 def _meta_write(index_dir: str, meta: dict) -> None:
@@ -261,13 +272,10 @@ def _assign_cells(
             if len(pdf):
                 E = np.stack(pdf["e"].to_numpy()).astype(np.float64)
                 n2 = pdf["n2"].to_numpy(dtype=np.float64)
-                dist = (n2[:, None] - 2.0 * _seq_dot(E, CE)) + CN2[None, :]
-                # row-wise argmin with the (d, cell_id) tie-break: for
-                # each row take the lexsort-first column
-                order = np.lexsort(
-                    (np.broadcast_to(cell_ids, dist.shape), dist), axis=1
-                )[:, 0]
-                pdf = pdf.assign(cell_id=cell_ids[order])
+                home = cell_ids[
+                    _np_nearest(E, n2, cell_ids, CE, CN2, 1)[:, 0]
+                ]
+                pdf = pdf.assign(cell_id=home)
             else:
                 pdf = pdf.assign(cell_id=np.array([], dtype=np.int64))
             yield pdf
@@ -375,6 +383,7 @@ def _build_two_level(
         "codebook": "sampled-residual",
         "segments": ["vectors"],
         "attrs": attrs,
+        "attrs_ddl": _attrs_ddl(feats, attrs),
     }
 
     def cb_df(ids, C, Cn2):
@@ -437,9 +446,18 @@ def ann_index_build(
     from gcp_map_reduce_spark.operators.similarity import corpus_vec_count
 
     attrs = list(attrs or [])
-    reserved = {"vec_id", "e", "n2", "cell_id"}
+    # every internal column any build/append/search plan introduces —
+    # an attr shadowing one would build fine and break later operations
+    # (e.g. attrs=['query_id'] makes the probe join ambiguous on every
+    # subsequent search)
+    reserved = {
+        "vec_id", "e", "n2", "cell_id", "embedding", "cb",
+        "query_id", "qe", "qn2", "cand_id", "cosine", "rn",
+    }
     if reserved & set(attrs):
-        raise ValueError(f"attrs may not shadow index columns {reserved}")
+        raise ValueError(
+            f"attrs may not shadow index columns; reserved: {sorted(reserved)}"
+        )
     if levels == 2:
         if codebook != "sampled":
             raise ValueError(
@@ -470,6 +488,7 @@ def ann_index_build(
         "codebook": codebook,
         "segments": ["vectors"],
         "attrs": attrs,
+        "attrs_ddl": _attrs_ddl(feats, attrs),
     }
 
     def write(staging: str) -> None:
@@ -571,14 +590,25 @@ def _commit_segment(
 # driver-side ids mirror for the collected append path: the dup check
 # needs ONLY membership of vec_ids, and between appends the id set
 # changes exactly by the batches THIS process committed — so one seeding
-# scan per (index_dir, segment-list) serves every later append with a
-# set update instead of a per-trigger index scan (the
-# embedding_near_dup stream's driver-mirror pattern). Keyed on the
-# manifest's segment tuple: any external writer, compaction, or rebuild
-# changes it and forces a re-seed. Driver memory is 8 B x n_vec — the
-# documented bound; past ~1e8 ids fall back to collected=False (the
-# cell-pruned scan path).
+# scan per index generation serves every later append with a set update
+# instead of a per-trigger index scan (the embedding_near_dup stream's
+# driver-mirror pattern). Keyed on the manifest's segment tuple (any
+# external append or compaction changes it) PLUS the codebook dir's
+# mtime as the generation fingerprint — a REBUILD restores
+# segments==['vectors'], identical to a fresh index's tuple, and only
+# the republished codebook mtime distinguishes the generations (without
+# it a long-lived driver would dup-check a new corpus against the old
+# one's ids). Driver memory is 8 B x n_vec — the documented bound; past
+# ~1e8 ids fall back to collected=False (the cell-pruned scan path).
 _IDS_MIRROR: dict = {}
+
+
+def _mirror_key(index_dir: str, segments) -> tuple:
+    return (
+        index_dir,
+        os.path.getmtime(os.path.join(index_dir, "codebook")),
+        tuple(segments),
+    )
 
 
 def _append_collected(
@@ -616,7 +646,7 @@ def _append_collected(
         home = cell_ids[
             _np_nearest(E, n2, cell_ids, CE, CN2, 1)[:, 0]
         ]
-    mirror_key = (index_dir, tuple(meta["segments"]))
+    mirror_key = _mirror_key(index_dir, meta["segments"])
     hit = _IDS_MIRROR.get(index_dir)
     if hit and hit[0] == mirror_key:
         existing = hit[1]
@@ -659,7 +689,12 @@ def _append_collected(
         StructType,
     )
 
-    attr_fields = [f for f in vectors.schema.fields if f.name in attrs]
+    # attrs ORDER, not vectors.schema order: createDataFrame pairs an
+    # explicit StructType with pandas columns POSITIONALLY, so a batch
+    # whose columns arrive as (b, a) for attrs ['a', 'b'] would
+    # otherwise silently persist each attr under the other's name
+    fields_by_name = {f.name: f for f in vectors.schema.fields}
+    attr_fields = [fields_by_name[c] for c in attrs]
     schema = StructType(
         [
             StructField("vec_id", LongType()),
@@ -674,7 +709,7 @@ def _append_collected(
     )
     new_meta = _commit_segment(index_dir, meta, assigned, int(keep.sum()))
     _IDS_MIRROR[index_dir] = (
-        (index_dir, tuple(new_meta["segments"])),
+        _mirror_key(index_dir, new_meta["segments"]),
         existing | {int(v) for v in ids[keep]},
     )
     return new_meta
@@ -749,6 +784,13 @@ def ann_index_append(
     assigned = _assign_cells(
         batch, seeds, assign_side="auto", n_cells=meta["n_cells"]
     )
+    # pin the batch BEFORE deriving anything from it: the cells list,
+    # the dup check, and the segment write must all see the same rows
+    # even if the source directory is still being written to — an
+    # unpinned plan would re-list the source per job and a row landing
+    # in a cell outside the stale cells list would bypass the pruned
+    # dup check entirely
+    assigned = assigned.localCheckpoint(eager=True)
     # dedupe gate: batch-internal, then vs the affected cells only
     n_batch = assigned.count()
     if n_batch == 0:
@@ -764,12 +806,10 @@ def ann_index_append(
     if if_exists == "skip":
         # the skipped-id scan is the same cell-pruned join as the error
         # check — cost still scales with the batch's cells. Re-count and
-        # bail on all-skipped (the replayed-committed-batch no-op).
+        # bail on all-skipped (the replayed-committed-batch no-op). The
+        # batch side is already pinned above; the index side is stable
+        # (reads only manifest-listed segments).
         assigned = assigned.join(existing, "vec_id", "left_anti")
-        # re-plan note: assigned is re-evaluated below for the write;
-        # localCheckpoint pins the post-filter rows so the write and the
-        # count can't diverge if the store changes between jobs
-        assigned = assigned.localCheckpoint(eager=True)
         n_batch = assigned.count()
         if n_batch == 0:
             return meta
@@ -913,24 +953,30 @@ def _probes_driver_2l(
         ), []
     Q = np.array([r.embedding for r in qrows], dtype=np.float64)
     qn2 = _np_n2(Q)
-    i1 = _np_nearest(Q, qn2, ids1, C1, C1n2, min(n_probe, len(ids1)))
+    p1 = min(n_probe, len(ids1))
+    p2 = min(n_probe2, len(ids2))
+    i1 = _np_nearest(Q, qn2, ids1, C1, C1n2, p1)
+    # ONE stacked residual GEMM for all (query, coarse-probe) pairs —
+    # row q*p1+j is query q's residual against its j-th probed coarse
+    # centroid (a per-pair loop here would be |Q| x p1 separate 1 x K2
+    # GEMMs, the driver-side bottleneck at the contract's
+    # thousands-of-searches rate)
+    R = np.repeat(Q, p1, axis=0) - C1[i1.reshape(-1)]
+    i2 = _np_nearest(R, _np_n2(R), ids2, C2, C2n2, p2)
+    coarse = ids1[i1.reshape(-1)]
     out = []
-    for i, r in enumerate(qrows):
-        qe = [float(x) for x in Q[i]]
-        for j in i1[i]:
-            res = (Q[i] - C1[j])[None, :]
-            i2 = _np_nearest(
-                res, _np_n2(res), ids2, C2, C2n2, min(n_probe2, len(ids2))
-            )[0]
-            for c2 in i2:
-                out.append(
-                    (
-                        int(r.query_id),
-                        qe,
-                        float(qn2[i]),
-                        int(ids1[j]) * k2 + int(ids2[c2]),
-                    )
+    for row in range(R.shape[0]):
+        q = row // p1
+        qe = [float(x) for x in Q[q]]
+        for c2 in i2[row]:
+            out.append(
+                (
+                    int(qrows[q].query_id),
+                    qe,
+                    float(qn2[q]),
+                    int(coarse[row]) * k2 + int(ids2[c2]),
                 )
+            )
     probes = spark.createDataFrame(
         out, "query_id long, qe array<double>, qn2 double, cell_id long"
     )
@@ -971,9 +1017,7 @@ def _probes_driver(
     qids = [r.query_id for r in qrows]
     Q = np.array([r.embedding for r in qrows], dtype=np.float64)
     # n2 via the same sequential fold (d loop), not np.dot's pairwise sum
-    qn2 = np.zeros(len(qrows), dtype=np.float64)
-    for d in range(Q.shape[1]):
-        qn2 += Q[:, d] * Q[:, d]
+    qn2 = _np_n2(Q)
     dist = (qn2[:, None] - 2.0 * _seq_dot(Q, CE)) + CN2[None, :]
     out = []
     for i, qid in enumerate(qids):

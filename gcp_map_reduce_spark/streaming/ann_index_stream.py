@@ -53,9 +53,24 @@ def run_streaming_index_maintenance(
     persisted index at ``index_dir``; returns the query handle (call
     ``awaitTermination()``). Raises up front if the index is missing —
     build it first (see module docstring for why there is no
-    first-batch bootstrap)."""
-    ann_index_meta(index_dir)  # fail fast: actionable FileNotFoundError
-    reader = spark.readStream.schema("vec_id bigint, embedding array<float>")
+    first-batch bootstrap).
+
+    Indexes with persisted attrs are supported: the manifest records
+    the attr DDL at build time, and the reader schema extends to match,
+    so arriving files must carry those columns (a pre-attrs-ddl index
+    with attrs fails HERE with guidance, not mid-stream inside
+    foreachBatch)."""
+    meta = ann_index_meta(index_dir)  # fail fast on a missing index
+    schema = "vec_id bigint, embedding array<float>"
+    if meta["attrs"]:
+        if not meta["attrs_ddl"]:
+            raise ValueError(
+                f"index persists attrs {meta['attrs']} but its manifest "
+                "predates attrs_ddl — rebuild the index so the stream "
+                "can type its reader schema"
+            )
+        schema += ", " + meta["attrs_ddl"]
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     vecs = reader.parquet(emb_dir)

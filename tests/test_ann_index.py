@@ -524,6 +524,97 @@ def test_filtered_search_pushdown_and_semantics(spark, tmp_path):
     assert post.filter(F.col("cand_id") >= 900000).count() > 0
 
 
+def test_collected_append_attrs_order_and_reserved_names(spark, tmp_path):
+    """Two regressions from review: (1) the collected append pairs its
+    explicit StructType with pandas columns POSITIONALLY, so attrs
+    declared in a different order than the batch's schema must still
+    land under their own names; (2) attrs shadowing ANY internal plan
+    column are rejected at build time."""
+    import duckdb
+
+    from gcp_map_reduce_spark.operators.ann_index import (
+        _load_vectors,
+        ann_index_append,
+    )
+
+    alt = tmp_path / "twoattr"
+    alt.mkdir()
+    duckdb.sql(
+        f"COPY (SELECT vec_id, embedding, label, "
+        f"CAST(vec_id % 7 AS INT) AS bucket "
+        f"FROM '{SF}/embeddings.parquet' WHERE vec_id < 300 ORDER BY vec_id) "
+        f"TO '{alt}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    d = str(tmp_path / "idx")
+    # attrs order (bucket, label) deliberately REVERSES the table's
+    # column order (label, bucket)
+    ann_index_build(spark, str(alt), d, n_cells=4, attrs=["bucket", "label"])
+    batch = (
+        spark.read.parquet(SF + "/embeddings.parquet")
+        .filter(F.col("vec_id") >= 300)
+        .select(
+            "vec_id", "embedding", "label",
+            (F.col("vec_id") % 7).cast("int").alias("bucket"),
+        )
+    )
+    ann_index_append(spark, d, batch, collected=True)
+    got = {
+        r.vec_id: (r.bucket, r.label)
+        for r in _load_vectors(spark, d)
+        .filter(F.col("vec_id") >= 300)
+        .select("vec_id", "bucket", "label")
+        .collect()
+    }
+    want = {
+        r.vec_id: (r.vec_id % 7, r.label)
+        for r in spark.read.parquet(SF + "/embeddings.parquet")
+        .filter(F.col("vec_id") >= 300)
+        .collect()
+    }
+    assert got == want  # a positional swap would scramble these
+    with pytest.raises(ValueError, match="reserved"):
+        ann_index_build(
+            spark, SF, str(tmp_path / "bad"), n_cells=4, attrs=["query_id"]
+        )
+
+
+def test_ids_mirror_invalidated_by_rebuild(spark, tmp_path, split_corpus):
+    """A rebuild restores segments==['vectors'] — identical to the tuple
+    that seeded the mirror — so the mirror must ALSO key on the index
+    generation (codebook publish), or a long-lived driver dup-checks the
+    new corpus against the old one's ids and silently double-appends."""
+    from gcp_map_reduce_spark.operators.ann_index import (
+        _load_vectors,
+        ann_index_append,
+    )
+
+    d = str(tmp_path / "idx")
+    ann_index_build(spark, split_corpus, d, n_cells=N_CELLS)
+    # seed the mirror under the first generation
+    ann_index_append(
+        spark, d,
+        _rest_batch(spark).filter(F.col("vec_id") < 450),
+        collected=True,
+    )
+    # rebuild over live from the FULL corpus (new generation, same
+    # segments tuple as a fresh index)
+    ann_index_build(spark, SF, d, n_cells=N_CELLS)
+    assert ann_index_meta(d)["n_vec"] == 500
+    # these ids exist ONLY in the new generation; a stale mirror
+    # (seeded pre-rebuild, ids < 450) would let them append again
+    meta = ann_index_append(
+        spark, d,
+        _rest_batch(spark).filter(F.col("vec_id") >= 450),
+        if_exists="skip", collected=True,
+    )
+    assert meta["n_vec"] == 500 and meta["segments"] == ["vectors"]
+    ids = [
+        r.vec_id
+        for r in _load_vectors(spark, d).select("vec_id").collect()
+    ]
+    assert len(ids) == len(set(ids)) == 500
+
+
 def test_two_level_index_end_to_end(spark, tmp_path, split_corpus):
     """levels=2 (coarse + residual codebook): composite home cells are
     reproducible from the persisted codebooks, the grown index equals a
