@@ -1092,6 +1092,61 @@ def ann_index_search(
     matches exist in un-probed ones — raise ``n_probe`` for selective
     filters.
     """
+    cand = _search_candidates(
+        spark, index_dir, queries, n_probe, probe_side, where, n_probe2
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def ann_index_range_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    threshold: float,
+    n_probe: int = 2,
+    probe_side: str = "driver",
+    where: str | None = None,
+    n_probe2: int = 2,
+) -> DataFrame:
+    """All candidates with exact ``cosine >= threshold`` within the
+    probed cells per query — the RANGE-query twin of
+    :func:`ann_index_search` ("everything similar enough", the shape
+    semantic decontamination and near-dup screens actually ask).
+    Returns (query_id, cand_id, cosine).
+
+    Deliberately has NO top-k window: a per-query row_number is a
+    shuffle over all candidates, and a range query doesn't rank — the
+    threshold filter runs where the cosine is computed, so this plan is
+    scan -> broadcast-join -> filter with zero exchanges after the
+    probe join. Same filtered-search (``where=``) and probe knobs; the
+    same IVF recall trade documented on the top-k search applies:
+    matches in un-probed cells are missed, raise ``n_probe`` to trade
+    cost for recall.
+    """
+    cand = _search_candidates(
+        spark, index_dir, queries, n_probe, probe_side, where, n_probe2
+    )
+    return cand.filter(F.col("cosine") >= threshold)
+
+
+def _search_candidates(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    n_probe: int,
+    probe_side: str,
+    where: str | None,
+    n_probe2: int,
+) -> DataFrame:
+    """(query_id, cand_id, cosine) over the probed cells — the shared
+    candidate plan under both the top-k and the range search."""
     meta = ann_index_meta(index_dir)
     # static pruning: the distinct probed-cell set is bounded by n_cells
     # (<= 65536 longs) and usually far smaller — known for free on the
@@ -1136,16 +1191,8 @@ def ann_index_search(
     cosine = _dot(F.col("qe"), F.col("e")) / F.sqrt(
         F.col("qn2") * F.col("n2")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("cand_id")
-    )
-    return (
-        cand.select(
-            "query_id",
-            F.col("vec_id").alias("cand_id"),
-            cosine.alias("cosine"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
+    return cand.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        cosine.alias("cosine"),
     )

@@ -100,3 +100,59 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("eval_doc").alias("sample_eval_doc"),
         )
     )
+
+
+def semantic_decontam(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float | None = None,
+    n_probe: int = 2,
+    index_dir: str | None = None,
+) -> DataFrame:
+    """SEMANTIC decontamination over the embeddings table: flag training
+    vectors whose cosine to ANY eval vector clears ``threshold`` — the
+    embedding-space complement of the n-gram ``corpus_decontamination``
+    (paraphrased benchmark leakage shares no shingles but sits next to
+    the eval point in embedding space; modern pipelines run both).
+
+    Eval set: the module's deterministic stand-in, ``vec_id % EVAL_MOD
+    == 0`` (a real benchmark would arrive as its own table — pass its
+    vectors as the query side of :func:`ann_index.ann_index_range_search`
+    directly). Plan shape: eval vectors are the tiny broadcast query
+    side of a RANGE search against the shared persisted IVF index
+    (:func:`ann_index.ann_index_for_corpus` — built once per corpus
+    version, reused by every ANN consumer), so the train side is read
+    cell-pruned and never shuffles; eval-eval pairs are filtered out
+    AFTER the range search (the index holds all vectors). Returns one
+    row per contaminated train vector: (train_vec, n_eval_hits,
+    max_cosine, sample_eval_vec). Recall is probe-bounded — the same
+    documented IVF trade as ``dedup_embedding_cosine``: true near-dups
+    (cosine >= 0.8) share a nearest cell essentially always, wide-angle
+    thresholds may need a larger ``n_probe``.
+
+    ``threshold`` defaults to ``similarity.NEAR_DUP_COSINE`` (this
+    synthetic corpus's near-dup angle); production benchmark screens
+    run much tighter (0.9+).
+    """
+    from gcp_map_reduce_spark.operators.ann_index import (
+        ann_index_for_corpus,
+        ann_index_range_search,
+    )
+    from gcp_map_reduce_spark.operators.similarity import NEAR_DUP_COSINE
+
+    if threshold is None:
+        threshold = NEAR_DUP_COSINE
+    idx = index_dir or ann_index_for_corpus(spark, sf_dir)
+    eval_q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % EVAL_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    hits = ann_index_range_search(
+        spark, idx, eval_q, threshold=threshold, n_probe=n_probe
+    ).filter(F.col("cand_id") % EVAL_MOD != 0)
+    return hits.groupBy(F.col("cand_id").alias("train_vec")).agg(
+        F.count("*").alias("n_eval_hits"),
+        F.max("cosine").alias("max_cosine"),
+        F.min("query_id").alias("sample_eval_vec"),
+    )

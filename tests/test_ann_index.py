@@ -703,6 +703,98 @@ def test_two_level_index_end_to_end(spark, tmp_path, split_corpus):
     )
 
 
+def test_range_search_exact_on_full_probe_and_subset_on_partial(
+    spark, tmp_path
+):
+    """ann_index_range_search with n_probe == n_cells covers every cell,
+    so it must equal the exact all-pairs threshold filter; a partial
+    probe must return a SUBSET (the documented recall trade) with the
+    same exact cosines. The plan has no Window/global exchange after
+    the probe join — that's the point of a range query."""
+    import numpy as np
+
+    from gcp_map_reduce_spark.operators.ann_index import (
+        ann_index_range_search,
+    )
+
+    d = str(tmp_path / "idx")
+    ann_index_build(spark, SF, d, n_cells=N_CELLS)
+    t = 0.4
+    full = sorted(
+        map(
+            tuple,
+            ann_index_range_search(
+                spark, d, _queries(spark), threshold=t, n_probe=N_CELLS
+            ).collect(),
+        )
+    )
+    emb = (
+        spark.read.parquet(SF + "/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    E = np.array([r.embedding for r in emb], dtype=np.float64)
+    ids = [r.vec_id for r in emb]
+    n2 = (E * E).sum(axis=1)
+    want = []
+    for q in range(N_QUERIES):
+        cos = (E @ E[q]) / np.sqrt(n2 * n2[q])
+        for j, c in enumerate(cos):
+            if ids[j] != ids[q] and c >= t:
+                want.append((ids[q], ids[j]))
+    got_pairs = {(a, b) for a, b, _ in full}
+    assert got_pairs == set(want)
+    partial = {
+        (r.query_id, r.cand_id)
+        for r in ann_index_range_search(
+            spark, d, _queries(spark), threshold=t, n_probe=2
+        ).collect()
+    }
+    assert partial <= got_pairs
+    plan = (
+        ann_index_range_search(spark, d, _queries(spark), threshold=t)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan
+
+
+def test_semantic_decontam_exact_at_driver_scale(spark):
+    """semantic_decontam vs a numpy exact replay: the sf0.01 corpus
+    index has ONE cell (probe-scaled sizing), so the range search is
+    full-coverage and the operator must match the exact threshold
+    screen train-vector-for-train-vector."""
+    import numpy as np
+
+    from gcp_map_reduce_spark.operators.decontam import (
+        EVAL_MOD,
+        semantic_decontam,
+    )
+    from gcp_map_reduce_spark.operators.similarity import NEAR_DUP_COSINE
+
+    got = {
+        r.train_vec: (r.n_eval_hits, r.sample_eval_vec)
+        for r in semantic_decontam(spark, SF).collect()
+    }
+    emb = (
+        spark.read.parquet(SF + "/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    E = np.array([r.embedding for r in emb], dtype=np.float64)
+    ids = np.array([r.vec_id for r in emb])
+    n2 = (E * E).sum(axis=1)
+    is_eval = ids % EVAL_MOD == 0
+    want: dict[int, list] = {}
+    for qi in np.nonzero(is_eval)[0]:
+        cos = (E @ E[qi]) / np.sqrt(n2 * n2[qi])
+        for j in np.nonzero((cos >= NEAR_DUP_COSINE) & ~is_eval)[0]:
+            if ids[j] != ids[qi]:
+                want.setdefault(int(ids[j]), []).append(int(ids[qi]))
+    assert got == {
+        t: (len(v), min(v)) for t, v in want.items()
+    } and len(got) > 0
+
+
 def test_version_gate(spark, tmp_path):
     d = str(tmp_path / "idx")
     ann_index_build(spark, SF, d, n_cells=2)
