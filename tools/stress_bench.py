@@ -36,6 +36,10 @@ from pyspark.sql import functions as F
 
 
 def _stages(spark, after_stage: int) -> list[dict]:
+    from tools.rest_metrics import _settle
+
+    _settle(spark)  # drain the async listener bus or undercount the
+    # newest stages' metrics on a busy box (rest_metrics docstring)
     ui = spark.sparkContext.uiWebUrl
     appid = spark.sparkContext.applicationId
     url = (
@@ -50,16 +54,31 @@ def _stages(spark, after_stage: int) -> list[dict]:
 
 
 def _task_stats(stages: list[dict]) -> dict:
-    """Max and median-of-maxstage single-task executorRunTime (ms)."""
+    """Max and median-of-maxstage single-task executorRunTime (ms), plus
+    the CPU twins (r12): executorCpuTime excludes scheduler wait, IO
+    wait and GC pauses, so external box contention inflates the wall
+    numbers while leaving these ~flat — stress_ci uses the pairing to
+    adjudicate wall trips as load instead of failing the gate (the same
+    wall-vs-cpu rule bench.py's regression gate applies)."""
     max_ms, med_ms, ntasks = 0.0, 0.0, 0
+    max_cpu_ms, cpu_ns = 0.0, 0
     for s in stages:
         tmd = s.get("taskMetricsDistributions") or {}
         q = tmd.get("executorRunTime") or []
         if q:
             if q[-1] > max_ms:
                 max_ms, med_ms = q[-1], q[0]
+                qc = tmd.get("executorCpuTime") or []
+                max_cpu_ms = round(qc[-1] / 1e6, 1) if qc else 0.0
+        cpu_ns += s.get("executorCpuTime", 0)
         ntasks += s.get("numTasks", 0)
-    return {"max_task_ms": max_ms, "stage_median_ms": med_ms, "tasks": ntasks}
+    return {
+        "max_task_ms": max_ms,
+        "stage_median_ms": med_ms,
+        "tasks": ntasks,
+        "cpu_sec": round(cpu_ns / 1e9, 3),
+        "max_task_cpu_ms": max_cpu_ms,
+    }
 
 
 def _last_stage(spark) -> int:
