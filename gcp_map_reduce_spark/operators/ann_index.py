@@ -129,8 +129,10 @@ def _attrs_ddl(feats, attrs: list[str]) -> str:
     recorded in the manifest so a streaming maintainer can extend its
     reader schema without guessing types."""
     by_name = {f.name: f for f in feats.schema.fields}
+    # backtick-quote: a legal-but-nonidentifier attr name ("my-label")
+    # would otherwise build fine and break the stream at schema parse
     return ", ".join(
-        f"{c} {by_name[c].dataType.simpleString()}" for c in attrs
+        f"`{c}` {by_name[c].dataType.simpleString()}" for c in attrs
     )
 
 
@@ -604,9 +606,12 @@ _IDS_MIRROR: dict = {}
 
 
 def _mirror_key(index_dir: str, segments) -> tuple:
+    # st_mtime_ns, not float seconds: on coarse-timestamp filesystems a
+    # rebuild landing in the same second would alias the old generation
+    # (the same reason ann_index_for_corpus fingerprints with mtime_ns)
     return (
         index_dir,
-        os.path.getmtime(os.path.join(index_dir, "codebook")),
+        os.stat(os.path.join(index_dir, "codebook")).st_mtime_ns,
         tuple(segments),
     )
 
@@ -877,7 +882,10 @@ def _codebook_driver(spark: SparkSession, index_dir: str):
     cell_id, collected once per published index."""
     import numpy as np
 
-    key = (index_dir, os.path.getmtime(os.path.join(index_dir, "codebook")))
+    key = (
+        index_dir,
+        os.stat(os.path.join(index_dir, "codebook")).st_mtime_ns,
+    )
     hit = _CODEBOOK_CACHE.get(index_dir)
     if hit and hit[0] == key:
         return hit[1]
@@ -903,7 +911,7 @@ def _codebook_2l_driver(spark: SparkSession, index_dir: str, meta: dict):
 
     key = (
         index_dir,
-        os.path.getmtime(os.path.join(index_dir, "codebook")),
+        os.stat(os.path.join(index_dir, "codebook")).st_mtime_ns,
         "2l",
     )
     hit = _CODEBOOK_CACHE.get(index_dir + "#2l")
@@ -964,10 +972,11 @@ def _probes_driver_2l(
     R = np.repeat(Q, p1, axis=0) - C1[i1.reshape(-1)]
     i2 = _np_nearest(R, _np_n2(R), ids2, C2, C2n2, p2)
     coarse = ids1[i1.reshape(-1)]
+    qes = [[float(x) for x in row] for row in Q]  # once per query
     out = []
     for row in range(R.shape[0]):
         q = row // p1
-        qe = [float(x) for x in Q[q]]
+        qe = qes[q]
         for c2 in i2[row]:
             out.append(
                 (

@@ -108,6 +108,7 @@ def semantic_decontam(
     threshold: float | None = None,
     n_probe: int = 2,
     index_dir: str | None = None,
+    probe_side: str = "driver",
 ) -> DataFrame:
     """SEMANTIC decontamination over the embeddings table: flag training
     vectors whose cosine to ANY eval vector clears ``threshold`` — the
@@ -148,8 +149,14 @@ def semantic_decontam(
         .filter(F.col("vec_id") % EVAL_MOD == 0)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
+    # probe_side: "driver" is right while the eval side is benchmark-
+    # sized; this module's 1/50 stand-in is 2% OF THE CORPUS, so at real
+    # scale the collected-probe contract breaks — pass "plan" to keep
+    # eval probing in the plan (one codebook scan per call instead of a
+    # driver collect of every eval vector)
     hits = ann_index_range_search(
-        spark, idx, eval_q, threshold=threshold, n_probe=n_probe
+        spark, idx, eval_q, threshold=threshold, n_probe=n_probe,
+        probe_side=probe_side,
     ).filter(F.col("cand_id") % EVAL_MOD != 0)
     return hits.groupBy(F.col("cand_id").alias("train_vec")).agg(
         F.count("*").alias("n_eval_hits"),
