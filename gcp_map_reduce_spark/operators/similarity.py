@@ -213,7 +213,11 @@ IVF_DEDUP_CELL_TARGET = 640
 # stay bounded: 65536 cells x 64 dims x 8 B = 32 MB, the practical
 # broadcast ceiling. Linearity therefore holds up to cap*target/n_probe
 # ~ 21M vectors per dedup scope; beyond that, shard the corpus or train a
-# two-level (coarse -> residual) codebook — the documented 100 TB path.
+# two-level (coarse -> residual) codebook — IMPLEMENTED for the persisted
+# index as ann_index_build(levels=2) (operators/ann_index.py:
+# _build_two_level — K1 + K2 collected rows cover K1 x K2 composite
+# cells); the one-shot dedup plan keeps the single-level codebook
+# because its SQL oracle mirrors this exact expression.
 IVF_DEDUP_CELLS_CAP = 65536
 
 
