@@ -679,3 +679,64 @@ def test_publish_atomic_swaps_and_sweeps_every_crash_window(spark, tmp_path):
     with pytest.raises(RuntimeError, match="commit marker"):
         publish_atomic(live, write_v(60))
     assert os.path.isdir(old)  # rollback copy survived the refusal
+
+
+def test_stress_gate_load_adjudication_rules():
+    """The r12 wall-vs-cpu arbitration, pinned as pure logic: a wall
+    trip with steady cpu adjudicates as load; grown cpu (beyond the
+    TIGHT CPU_STEADY_FACTOR, not the loose wall ratio) fails; missing
+    cpu keeps the strict gate; and max_task trips — the spill/wait
+    backstop — adjudicate only under BROAD load evidence (>=
+    BROAD_LOAD_MIN_QUERIES other cpu-steady wall trips), never on their
+    own row alone."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "stress_ci2",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "stress_ci.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    def row(sec, task, cpu=None):
+        r = {"sec": sec, "max_task_ms": task}
+        if cpu is not None:
+            r["cpu_sec"] = cpu
+        return r
+
+    def run(base_q, cur_q):
+        return mod.diff(
+            {"queries": base_q}, {"queries": cur_q},
+            ratio=1.5, min_sec=0.0, min_task_ms=0.0,
+        )
+
+    # 1: wall trip, cpu steady -> adjudicated
+    reg, load = run({"a": row(1, 100, cpu=10)}, {"a": row(3, 120, cpu=10.5)})
+    assert not reg and [r["kind"] for r in load] == ["wall_sec"]
+    # 2: wall trip, cpu grown 1.4x (> CPU_STEADY_FACTOR, < wall ratio)
+    #    -> REGRESSION (the loose wall ratio must not leak into cpu)
+    reg, load = run({"a": row(1, 100, cpu=10)}, {"a": row(3, 120, cpu=14)})
+    assert [r["kind"] for r in reg] == ["wall_sec"] and not load
+    # 3: wall trip, no cpu reference on the base row -> strict gate
+    reg, load = run({"a": row(1, 100)}, {"a": row(3, 120, cpu=10)})
+    assert [r["kind"] for r in reg] == ["wall_sec"] and not load
+    # 4: SOLO max_task trip with steady cpu -> regression (a spill/lock
+    #    regression has flat cpu by nature; one inflated row is local
+    #    evidence, not load)
+    reg, load = run({"a": row(1, 100, cpu=10)}, {"a": row(1.2, 400, cpu=10)})
+    assert [r["kind"] for r in reg] == ["max_task_ms"] and not load
+    # 5: max_task trip during BROAD load (>= 3 other cpu-steady wall
+    #    trips) -> adjudicated along with the wall trips
+    base = {n: row(1, 100, cpu=10) for n in ("a", "b", "c", "d")}
+    cur = {n: row(3, 120, cpu=10) for n in ("b", "c", "d")}
+    cur["a"] = row(3, 400, cpu=10)
+    reg, load = run(base, cur)
+    assert not reg
+    kinds = sorted((r["query"], r["kind"]) for r in load)
+    assert ("a", "max_task_ms") in kinds and ("a", "wall_sec") in kinds
+    assert len([k for k in kinds if k[1] == "wall_sec"]) == 4
+    # 6: broad load but THIS query's cpu grew -> its rows still fail
+    cur["a"] = row(3, 400, cpu=20)
+    reg, load = run(base, cur)
+    assert sorted(r["kind"] for r in reg) == ["max_task_ms", "wall_sec"]
+    assert all(r["query"] == "a" for r in reg)
