@@ -65,7 +65,7 @@ def _scale_mode(args) -> None:
             # rebuild over live: publish_atomic swaps, so the kept index
             # is always the LAST completed build
             t0 = time.monotonic()
-            meta = ann_index_build(spark, sf, idx)
+            meta = ann_index_build(spark, sf, idx, levels=args.levels)
             build_times.append(time.monotonic() - t0)
         build_s = min(build_times)
         queries = (
@@ -118,6 +118,7 @@ def _scale_mode(args) -> None:
 
     print(json.dumps({
         "metric": "ann_index_scale",
+        "levels": args.levels,
         "append_rows": args.append_rows,
         "runs_best_of": args.runs,
         "points": points,
@@ -144,6 +145,9 @@ def main() -> None:
                     default=["/root/testdata/sf0.1", "stress/sf1",
                              "stress/sf3"])
     ap.add_argument("--append-rows", type=int, default=1000)
+    ap.add_argument("--levels", type=int, default=1, choices=[1, 2],
+                    help="scale mode: build single- or two-level "
+                    "(coarse+residual) indexes per point")
     args = ap.parse_args()
     if args.mode == "scale":
         _scale_mode(args)
