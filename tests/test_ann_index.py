@@ -795,6 +795,27 @@ def test_semantic_decontam_exact_at_driver_scale(spark):
     } and len(got) > 0
 
 
+def test_two_level_with_attrs_filtered_search(spark, tmp_path):
+    """attrs ride through the two-level build kernel and filtered search
+    works on composite cells — closing the levels x attrs matrix."""
+    d = str(tmp_path / "idx2la")
+    ann_index_build(
+        spark, SF, d, n_cells=4, n_cells2=4, levels=2, attrs=["label"]
+    )
+    meta = ann_index_meta(d)
+    assert meta["levels"] == 2 and meta["attrs"] == ["label"]
+    res = ann_index_search(
+        spark, d, _queries(spark), k=5, where="label = 3"
+    ).collect()
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(SF + "/embeddings.parquet")
+        .select("vec_id", "label").collect()
+    }
+    assert len(res) > 0
+    assert all(labels[r.cand_id] == 3 for r in res)
+
+
 def test_version_gate(spark, tmp_path):
     d = str(tmp_path / "idx")
     ann_index_build(spark, SF, d, n_cells=2)
