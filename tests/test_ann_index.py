@@ -816,6 +816,29 @@ def test_two_level_with_attrs_filtered_search(spark, tmp_path):
     assert all(labels[r.cand_id] == 3 for r in res)
 
 
+def test_search_plan_isolated_from_concurrent_append(
+    spark, tmp_path, split_corpus
+):
+    """Reader isolation through the manifest: a search PLANNED before an
+    append reads only the segments listed when it was built — collecting
+    it after the append returns exactly the pre-append results, and a
+    fresh search sees the grown index. This is the 'readers see
+    before-batch or after-batch, never between' claim, observed."""
+    from gcp_map_reduce_spark.operators.ann_index import ann_index_append
+
+    d = str(tmp_path / "idx")
+    ann_index_build(spark, split_corpus, d, n_cells=N_CELLS)
+    pre_plan = ann_index_search(spark, d, _queries(spark))
+    pre_expected = sorted(map(tuple, pre_plan.collect()))
+    ann_index_append(spark, d, _rest_batch(spark))
+    assert sorted(map(tuple, pre_plan.collect())) == pre_expected
+    post = sorted(
+        map(tuple, ann_index_search(spark, d, _queries(spark)).collect())
+    )
+    assert post != pre_expected  # the appended half changes top-k
+    assert {c for _, c, _ in post} & set(range(400, 500))
+
+
 def test_version_gate(spark, tmp_path):
     d = str(tmp_path / "idx")
     ann_index_build(spark, SF, d, n_cells=2)
