@@ -37,9 +37,27 @@ key="vec_id")`` applies unchanged.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
+
+log = logging.getLogger(__name__)
+
+
+def _is_missing_path(exc: AnalysisException) -> bool:
+    """True iff ``exc`` is the path-does-not-exist analysis error — the
+    ONLY AnalysisException the codebook-existence probes may treat as
+    "no codebook yet". Anything else (schema mismatch, corrupt footer
+    surfacing at analysis, permission failures wrapped by the catalog)
+    means the store EXISTS but is unreadable — silently reseeding the
+    codebook over it would fork the cell space and disable dedup against
+    everything accepted so far, so those re-raise."""
+    cls = exc.getCondition() if hasattr(exc, "getCondition") else None
+    return cls == "PATH_NOT_FOUND" or (
+        cls is None and "Path does not exist" in str(exc)
+    )
 
 from gcp_map_reduce_spark.operators.similarity import (
     IVF_DEDUP_CELLS,
@@ -76,8 +94,10 @@ def _codebook(ss: SparkSession, store_dir: str, batch_feats: DataFrame,
         cb = ss.read.schema(schema).parquet(path)
         if cb.limit(1).count() > 0:
             return cb
-    except AnalysisException:
-        pass
+    except AnalysisException as exc:
+        if not _is_missing_path(exc):
+            raise
+        log.debug("no codebook at %s yet; seeding from this batch", path)
     seeds = (
         batch_feats.orderBy("vec_id")
         .limit(n_cells)
@@ -242,8 +262,10 @@ def _driver_codebook(ss: SparkSession, store_dir: str, feats_pdf,
             )
             _CODEBOOK_CACHE[store_dir] = cb
             return cb
-    except AnalysisException:
-        pass
+    except AnalysisException as exc:
+        if not _is_missing_path(exc):
+            raise
+        log.debug("no codebook at %s yet; seeding from this batch", path)
     if len(feats_pdf) == 0:
         raise ValueError(
             "run_streaming_embedding_near_dup: the first batch is empty — "
