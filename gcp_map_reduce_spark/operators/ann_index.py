@@ -71,10 +71,13 @@ build-once/query-many shape its one-shot plans lack.
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import json
 import os
 import tempfile
+import time
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -87,7 +90,7 @@ from gcp_map_reduce_spark.operators.similarity import (
     ivf_dedup_n_cells,
     ivf_probe_cells,
 )
-from gcp_map_reduce_spark.sinks.writers import publish_atomic
+from gcp_map_reduce_spark.sinks.writers import _pid_alive, publish_atomic
 
 INDEX_VERSION = 1
 META_FILE = "_index_meta.json"
@@ -121,7 +124,21 @@ def ann_index_meta(index_dir: str) -> dict:
     meta.setdefault("attrs", [])
     meta.setdefault("attrs_ddl", "")
     meta.setdefault("levels", 1)
+    # pre-r13 manifests predate the recorded source type; array<float>
+    # is what every such index was built over (the synthetic corpus) —
+    # the default keeps their streams starting, not silently lying: a
+    # mismatch still fails at the first trigger exactly as before
+    meta.setdefault("embedding_ddl", "array<float>")
     return meta
+
+
+def _embedding_ddl(spark: SparkSession, sf_dir: str) -> str:
+    """The SOURCE corpus's embedding column type (e.g. "array<float>"),
+    recorded in the manifest so the streaming maintainer can type its
+    file reader from the manifest instead of hardcoding array<float> —
+    an index built over array<double> otherwise starts the stream fine
+    and misreads inside the first trigger (r12 ADVICE)."""
+    return _emb(spark, sf_dir).schema["embedding"].dataType.simpleString()
 
 
 def _attrs_ddl(feats, attrs: list[str]) -> str:
@@ -146,6 +163,66 @@ def _meta_write(index_dir: str, meta: dict) -> None:
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
     os.replace(tmp, path)
+
+
+WRITE_LOCK_TIMEOUT_S = 300.0
+
+
+@contextlib.contextmanager
+def _write_lock(index_dir: str, timeout: float | None = None):
+    """Exclusive inter-process WRITER lock for one index (appends and
+    compactions; readers never take it). O_EXCL-create a pid-stamped
+    lock file BESIDE the index dir — beside, not inside, so it survives
+    compaction's whole-directory publish swap and exists even while the
+    dir is mid-rename. Mutating an index concurrently without this was
+    the r12 ADVICE lost-update: two appenders computing the same next
+    segment slot, one rmtree-ing the other's in-flight write, and the
+    last manifest replace silently dropping the other's committed rows.
+
+    A lock whose recorded pid is dead is a crashed holder and is broken
+    (re-checked immediately before the unlink to shrink the window where
+    a fresh holder could reuse the slot — same best-effort class as
+    every pid-liveness protocol on a local FS; object stores need a
+    lease service instead, same caveat as the module's other local-FS
+    contracts). Waiters poll; exceeding ``timeout`` raises rather than
+    deadlocking a stream forever."""
+    if timeout is None:
+        timeout = WRITE_LOCK_TIMEOUT_S  # read at call time: patchable
+    path = index_dir.rstrip("/") + ".writer-lock"
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as fh:
+                fh.write(str(os.getpid()))
+            break
+        except FileExistsError:
+            stamp = _lock_pid(path)
+            if stamp is not None and not _pid_alive(stamp):
+                if _lock_pid(path) == stamp:  # re-check, then break it
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(path)
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"could not acquire the writer lock {path} within "
+                    f"{timeout:.0f}s — held by live pid {stamp}; if that "
+                    "process is not a legitimate writer, remove the file"
+                )
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(path)
+
+
+def _lock_pid(path: str) -> int | None:
+    try:
+        with open(path) as fh:
+            return int(fh.read().strip() or "0")
+    except (OSError, ValueError):
+        return None
 
 
 def _np_n2(E):
@@ -294,6 +371,38 @@ def _assign_cells(
 ARROW_ASSIGN_MIN_CELLS = 32
 
 
+def _assign_cells_2l(feats: DataFrame, cb2l) -> DataFrame:
+    """Distributed composite-cell assignment for a two-level codebook:
+    mapInPandas over the SAME :func:`_np_assign_2l` kernel the build and
+    the collected append run — one shared numpy definition, so the
+    distributed path cannot drift from either (there is deliberately no
+    separate JVM expression to keep in sync). The ``K1 + K2`` centroid
+    arrays ride the closure (bounded by the same broadcast ceiling that
+    sizes the codebook), so this is a zero-shuffle map — the two-level
+    twin of ``_assign_cells(assign_side="arrow")``, and what lets
+    batches too large to collect append to exactly the index variant
+    built for the largest corpora."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(feats.schema.fields) + [StructField("cell_id", LongType())]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf):
+                E = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+                cell, _ = _np_assign_2l(E, cb2l)
+                pdf = pdf.assign(cell_id=cell)
+            else:
+                pdf = pdf.assign(cell_id=np.array([], dtype=np.int64))
+            yield pdf
+
+    return feats.mapInPandas(kernel, schema=out_schema)
+
+
 def _build_two_level(
     spark: SparkSession,
     sf_dir: str,
@@ -356,23 +465,7 @@ def _build_two_level(
     feats = _with_norm2(_emb(spark, sf_dir)).select(
         "vec_id", "e", "n2", *attrs
     )
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    out_schema = StructType(
-        list(feats.schema.fields) + [StructField("cell_id", LongType())]
-    )
-
-    def kernel(batches):
-        for pdf in batches:
-            if len(pdf):
-                E = np.stack(pdf["e"].to_numpy()).astype(np.float64)
-                cell, _ = _np_assign_2l(E, cb2l)
-                pdf = pdf.assign(cell_id=cell)
-            else:
-                pdf = pdf.assign(cell_id=np.array([], dtype=np.int64))
-            yield pdf
-
-    assigned = feats.mapInPandas(kernel, schema=out_schema)
+    assigned = _assign_cells_2l(feats, cb2l)
     dim = int(C1.shape[1])
     meta = {
         "version": INDEX_VERSION,
@@ -386,6 +479,7 @@ def _build_two_level(
         "segments": ["vectors"],
         "attrs": attrs,
         "attrs_ddl": _attrs_ddl(feats, attrs),
+        "embedding_ddl": _embedding_ddl(spark, sf_dir),
     }
 
     def cb_df(ids, C, Cn2):
@@ -491,6 +585,7 @@ def ann_index_build(
         "segments": ["vectors"],
         "attrs": attrs,
         "attrs_ddl": _attrs_ddl(feats, attrs),
+        "embedding_ddl": _embedding_ddl(spark, sf_dir),
     }
 
     def write(staging: str) -> None:
@@ -521,11 +616,15 @@ def ann_index_for_corpus(
     The cache key is a fingerprint of the corpus file itself (realpath,
     size, mtime_ns), baked into the directory NAME — a changed corpus
     can never alias a stale index, and staleness needs no sidecar
-    state. Concurrent builders are safe: both write to private staging
-    dirs and :func:`publish_atomic` serializes the swap (same-content
-    winners, since the build is deterministic). Local-FS keying only —
-    on object stores key on the ingest snapshot id instead (mtimes are
-    not a contract there; same caveat class as read_store's docstring).
+    state. Concurrent resolvers are safe: the build runs under the
+    index's exclusive writer lock (:func:`_write_lock` on the digest
+    dir), so the first caller builds while losers wait on the lock,
+    re-check the manifest, and reuse the winner's published index —
+    they never write at all (r12 ADVICE: two unsynchronized builders
+    could previously cross-delete staging writes). Local-FS keying only
+    — on object stores key on the ingest snapshot id instead (mtimes
+    are not a contract there; same caveat class as read_store's
+    docstring).
     """
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
@@ -542,8 +641,13 @@ def ann_index_for_corpus(
         ann_index_meta(index_dir)
         return index_dir
     except (FileNotFoundError, ValueError):
-        ann_index_build(spark, sf_dir, index_dir)
-        return index_dir
+        pass
+    with _write_lock(index_dir):
+        try:
+            ann_index_meta(index_dir)  # a concurrent winner built it
+        except (FileNotFoundError, ValueError):
+            ann_index_build(spark, sf_dir, index_dir)
+    return index_dir
 
 
 def _load_vectors(
@@ -571,7 +675,18 @@ def _commit_segment(
 ) -> dict:
     """Write ``assigned`` as the next segment dir and commit it into the
     manifest (atomic replace = the commit point; a pre-existing dir at
-    the slot is an unregistered crash leftover and is swept)."""
+    the slot is an unregistered crash leftover and is swept). Callers
+    hold the writer lock; the manifest re-read below turns a
+    NON-locking external mutation (which the lock cannot see) into a
+    loud error instead of a silent lost update."""
+    on_disk = ann_index_meta(index_dir)
+    if on_disk["segments"] != meta["segments"]:
+        raise RuntimeError(
+            f"index at {index_dir} was mutated outside the writer lock "
+            f"during this append (manifest segments changed "
+            f"{meta['segments']} -> {on_disk['segments']}) — aborting "
+            "before overwriting its commit; retry the append"
+        )
     seg = f"vectors-seg{len(meta['segments']):04d}"
     seg_dir = os.path.join(index_dir, seg)
     if os.path.exists(seg_dir):
@@ -589,20 +704,73 @@ def _commit_segment(
     return meta
 
 
-# driver-side ids mirror for the collected append path: the dup check
-# needs ONLY membership of vec_ids, and between appends the id set
-# changes exactly by the batches THIS process committed — so one seeding
-# scan per index generation serves every later append with a set update
-# instead of a per-trigger index scan (the embedding_near_dup stream's
-# driver-mirror pattern). Keyed on the manifest's segment tuple (any
+# driver-side PER-CELL ids mirror for the collected append path: the
+# dup check needs ONLY membership of vec_ids within the batch's HOME
+# CELLS — the same cell-pruned semantics as the plan path's check join
+# (ann_index_append): a replayed batch carries the same embeddings,
+# hence the same home cells under the fixed codebook, so every
+# already-present id is found there; a vec_id reused with a DIFFERENT
+# embedding violates the append contract on both paths alike (vec_ids
+# are unique by contract — appends are inserts, not upserts).
+# So the mirror holds id sets for TOUCHED CELLS only, seeded lazily by
+# one cell-pruned ids-only scan per newly-touched cell set
+# (_ids_scan_df: the cell restriction is a static PartitionFilters IN
+# on every segment leg — scanned bytes scale with the batch's cells,
+# not n_vec; plan- and file-gated in tests). Between appends the sets
+# change exactly by the batches THIS process committed, so commits
+# update the cache in place. Keyed on the manifest's segment tuple (any
 # external append or compaction changes it) PLUS the codebook dir's
 # mtime as the generation fingerprint — a REBUILD restores
 # segments==['vectors'], identical to a fresh index's tuple, and only
 # the republished codebook mtime distinguishes the generations (without
 # it a long-lived driver would dup-check a new corpus against the old
-# one's ids). Driver memory is 8 B x n_vec — the documented bound; past
-# ~1e8 ids fall back to collected=False (the cell-pruned scan path).
+# one's ids). Driver memory is bounded by IDS_MIRROR_MAX_IDS cached ids
+# (LRU over cells, batch's own cells never evicted mid-append) — a
+# long-running stream that eventually touches every cell of a huge
+# index re-fetches cold cells instead of mirroring the corpus.
 _IDS_MIRROR: dict = {}
+
+# ~60 B/entry as a Python int set -> ~120 MB ceiling; cells evict LRU
+# past it. Raise for dedicated maintenance drivers with RAM to spare.
+IDS_MIRROR_MAX_IDS = 2_000_000
+
+
+def _ids_scan_df(
+    spark: SparkSession, index_dir: str, meta: dict, cells
+) -> DataFrame:
+    """(vec_id, cell_id) of ONLY the given cells across every committed
+    segment — the dup-check's read. The isin pushes into each segment
+    leg's PartitionFilters (cell_id is the partition column), so
+    un-listed cells' files are never opened."""
+    return (
+        _load_vectors(spark, index_dir, meta)
+        .where(F.col("cell_id").isin([int(c) for c in cells]))
+        .select("vec_id", "cell_id")
+    )
+
+
+def _ids_for_cells(
+    spark: SparkSession, index_dir: str, meta: dict, cells
+) -> dict:
+    """{cell_id: set(vec_ids)} for the given cells via one cell-pruned
+    collect. Cells with no rows yet come back as empty sets (they are
+    KNOWN-empty, not unknown — the cache must remember that)."""
+    out = {int(c): set() for c in cells}
+    if out:
+        for r in _ids_scan_df(spark, index_dir, meta, cells).collect():
+            out[int(r.cell_id)].add(int(r.vec_id))
+    return out
+
+
+def _ids_mirror_evict(by_cell: "OrderedDict") -> None:
+    """Drop least-recently-touched cells until the cached id count fits
+    IDS_MIRROR_MAX_IDS — the driver-memory bound of the collected
+    append path (evicted cells re-fetch via _ids_for_cells on next
+    touch)."""
+    total = sum(len(s) for s in by_cell.values())
+    while total > IDS_MIRROR_MAX_IDS and len(by_cell) > 1:
+        _, dropped = by_cell.popitem(last=False)
+        total -= len(dropped)
 
 
 def _mirror_key(index_dir: str, segments) -> tuple:
@@ -627,11 +795,15 @@ def _append_collected(
     streaming/embedding_near_dup.py): collect the batch once, assign in
     numpy against the session-cached codebook (``_seq_dot`` +
     ``lexsort`` — the arithmetic ``_probes_driver`` already pins
-    bit-identical to the plan), dup-check against ONE cell-pruned
-    ids-only scan, write the segment. Two Spark jobs per append instead
-    of ~six — the difference between 148 and streaming-worthy trigger
-    rates. Contract: batches that fit on the driver (a micro-batch, by
-    construction)."""
+    bit-identical to the plan), dup-check against the per-cell ids
+    mirror (cold cells fetched by ONE cell-pruned ids-only scan of the
+    batch's home cells — PartitionFilters on every segment leg, so the
+    check's read scales with the batch's cells, never ``n_vec``; warm
+    cells cost zero jobs), write the segment. Two Spark jobs per cold
+    append, one per warm — the difference between 148 and
+    streaming-worthy trigger rates. Contract: batches that fit on the
+    driver (a micro-batch, by construction); driver memory is bounded
+    by IDS_MIRROR_MAX_IDS (LRU over cells), not the index size."""
     import numpy as np
 
     attrs = meta["attrs"]
@@ -654,15 +826,18 @@ def _append_collected(
     mirror_key = _mirror_key(index_dir, meta["segments"])
     hit = _IDS_MIRROR.get(index_dir)
     if hit and hit[0] == mirror_key:
-        existing = hit[1]
+        by_cell = hit[1]
     else:
-        existing = {
-            r.vec_id
-            for r in _load_vectors(spark, index_dir, meta)
-            .select("vec_id")
-            .collect()
-        }
-        _IDS_MIRROR[index_dir] = (mirror_key, existing)
+        by_cell = OrderedDict()
+        _IDS_MIRROR[index_dir] = (mirror_key, by_cell)
+    batch_cells = sorted({int(c) for c in home})
+    missing = [c for c in batch_cells if c not in by_cell]
+    if missing:
+        by_cell.update(_ids_for_cells(spark, index_dir, meta, missing))
+    existing = set()
+    for c in batch_cells:
+        by_cell.move_to_end(c)  # newest = last to evict
+        existing |= by_cell[c]
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     if existing:
         clash = np.isin(
@@ -713,9 +888,11 @@ def _append_collected(
         out[["vec_id", "e", "n2", *attrs, "cell_id"]], schema=schema
     )
     new_meta = _commit_segment(index_dir, meta, assigned, int(keep.sum()))
+    for c, v in zip(home[keep], ids[keep]):
+        by_cell[int(c)].add(int(v))
+    _ids_mirror_evict(by_cell)
     _IDS_MIRROR[index_dir] = (
-        _mirror_key(index_dir, new_meta["segments"]),
-        existing | {int(v) for v in ids[keep]},
+        _mirror_key(index_dir, new_meta["segments"]), by_cell
     )
     return new_meta
 
@@ -733,14 +910,23 @@ def ann_index_append(
     batch is scanned/assigned/written.
 
     Mechanics (LSM-style segments): the batch is assigned against the
-    published codebook via the SHARED :func:`similarity.ivf_probe_cells`
-    expression — bit-identical to the build-time assignment, so an
-    index grown by appends equals a fresh build over the same rows with
-    the same codebook (pytest-gated) — and written as a NEW
+    published codebook via the SHARED assignment definition —
+    :func:`similarity.ivf_probe_cells` for single-level indexes,
+    :func:`_np_assign_2l` via :func:`_assign_cells_2l` for two-level —
+    bit-identical to the build-time assignment, so an index grown by
+    appends equals a fresh build over the same rows with the same
+    codebook (pytest-gated) — and written as a NEW
     ``partitionBy(cell_id)`` segment directory; the manifest update
     (atomic ``os.replace``) is the commit point. Crash anywhere before
     it leaves the old index intact; an unregistered leftover segment
     dir is swept by the next append to that slot.
+
+    Concurrency: the whole append (manifest read -> dup check -> segment
+    write -> manifest commit) holds the index's exclusive writer lock
+    (:func:`_write_lock`) — two appenders, or an appender racing a
+    compaction, serialize instead of computing the same segment slot and
+    silently dropping each other's rows (r12 ADVICE). Readers take no
+    lock: they see whichever manifest the last commit published.
 
     Duplicate vec_ids are rejected up front — checked against the
     batch itself and against ONLY the batch's home cells (the check
@@ -754,9 +940,10 @@ def ann_index_append(
 
     ``collected=True`` runs the driver-centric fast path for
     driver-sized batches (:func:`_append_collected`: cached codebook,
-    numpy assignment, one ids-only dup-check job + one write job) —
+    numpy assignment, per-cell ids mirror for the dup check) —
     bit-identical results, pytest-gated; the default plan path remains
-    for batches too large to collect.
+    for batches too large to collect, on BOTH index variants (two-level
+    assignment distributes through the shared numpy kernel).
 
     The fixed codebook is the documented trade: cell populations grow
     ~uniformly (expected target+N_appended/n_cells rows/cell), so
@@ -770,6 +957,17 @@ def ann_index_append(
         raise ValueError(
             f"if_exists must be 'error' or 'skip', got {if_exists!r}"
         )
+    with _write_lock(index_dir):
+        return _append_locked(spark, index_dir, vectors, if_exists, collected)
+
+
+def _append_locked(
+    spark: SparkSession,
+    index_dir: str,
+    vectors: DataFrame,
+    if_exists: str,
+    collected: bool,
+) -> dict:
     meta = ann_index_meta(index_dir)
     attrs = meta["attrs"]
     missing = [c for c in attrs if c not in vectors.columns]
@@ -778,17 +976,20 @@ def ann_index_append(
             f"index persists attrs {attrs} but the append batch lacks "
             f"{missing} — every segment must carry the same columns"
         )
-    if collected or meta["levels"] == 2:
-        # two-level assignment is numpy-only (no expression twin), so
-        # 2-level appends always take the collected path
+    if collected:
         return _append_collected(spark, index_dir, meta, vectors, if_exists)
-    seeds = spark.read.parquet(os.path.join(index_dir, "codebook"))
     batch = _with_norm2(
         vectors.select("vec_id", "embedding", *attrs)
     ).select("vec_id", "e", "n2", *attrs)
-    assigned = _assign_cells(
-        batch, seeds, assign_side="auto", n_cells=meta["n_cells"]
-    )
+    if meta["levels"] == 2:
+        assigned = _assign_cells_2l(
+            batch, _codebook_2l_driver(spark, index_dir, meta)
+        )
+    else:
+        seeds = spark.read.parquet(os.path.join(index_dir, "codebook"))
+        assigned = _assign_cells(
+            batch, seeds, assign_side="auto", n_cells=meta["n_cells"]
+        )
     # pin the batch BEFORE deriving anything from it: the cells list,
     # the dup check, and the segment write must all see the same rows
     # even if the source directory is still being written to — an
@@ -831,12 +1032,40 @@ def ann_index_append(
     return _commit_segment(index_dir, meta, assigned, n_batch)
 
 
+def ann_index_rebuild_due(
+    meta: dict, cell_target: int | None = None
+) -> bool:
+    """True when the grown index has outrun its fixed codebook:
+    ``n_vec > 2 x n_cells x cell_target`` — the rebuild criterion the
+    append docstring documents. Appends keep the codebook FIXED, so
+    expected rows scanned per probe grow ~``n_vec / n_cells``; past 2x
+    the sizing target a rebuild (which re-derives ``n_cells`` from the
+    new corpus size) is cheaper than the accumulated per-search
+    overscan. Compaction does NOT reset this — it folds segments but
+    keeps the same cells; only a rebuild re-sizes the codebook."""
+    if cell_target is None:
+        from gcp_map_reduce_spark.operators.similarity import (
+            IVF_DEDUP_CELL_TARGET,
+        )
+
+        cell_target = IVF_DEDUP_CELL_TARGET
+    return int(meta["n_vec"]) > 2 * int(meta["n_cells"]) * cell_target
+
+
 def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
     """Fold every appended segment back into a single base segment
     (same codebook, same rows, atomically published) — the reindex-lite
     that caps segment-count growth between full rebuilds. Search
     results are unchanged by construction: assignment lives in the
-    stored rows, and compaction only re-partitions them."""
+    stored rows, and compaction only re-partitions them. Holds the
+    index's writer lock for the duration: a compaction racing an append
+    would otherwise republish a manifest that drops the append's
+    freshly committed segment."""
+    with _write_lock(index_dir):
+        return _compact_locked(spark, index_dir)
+
+
+def _compact_locked(spark: SparkSession, index_dir: str) -> dict:
     meta = ann_index_meta(index_dir)
     if meta["segments"] == ["vectors"]:
         return meta

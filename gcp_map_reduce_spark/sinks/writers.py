@@ -18,9 +18,22 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def _pid_alive(pid: int) -> bool:
+    if pid <= 0:
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
 
 
 def write_sorted_single_json(df: DataFrame, path: str, sort_col: str) -> None:
@@ -502,11 +515,39 @@ def publish_atomic(path: str, write_fn) -> None:
 
     The marker is a dotfile, so Spark/Hadoop readers (which skip paths
     starting with ``.`` or ``_``) never see it as data.
+
+    Staging dirs are UNIQUE per call (pid + random suffix): two
+    publishers writing the same ``path`` can no longer rmtree each
+    other's in-flight staging write and merge into one corrupted dir
+    (r12 ADVICE). Entry sweeps only ABANDONED staging dirs — the legacy
+    fixed name, and unique ones whose recorded pid is dead; a live
+    sibling's staging is left alone. The swap itself (rename/rename) is
+    still last-writer-wins: concurrent publishers to the same path must
+    be serialized by the caller when the builds could differ
+    (``ann_index_for_corpus`` takes the index writer lock; the build
+    there is deterministic anyway, so even the races it closes were
+    same-content).
     """
-    staging = path + ".staging-publish"
+    parent, base = os.path.split(path.rstrip("/"))
+    prefix = base + ".staging-publish"
+    staging = os.path.join(
+        parent, f"{prefix}-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    )
     old = path + ".old-publish"
     marker = ".publish-complete"
-    shutil.rmtree(staging, ignore_errors=True)
+    for name in os.listdir(parent or "."):
+        if not name.startswith(prefix):
+            continue
+        tail = name[len(prefix):]
+        if tail == "":  # legacy fixed-name leftover: always a crash relic
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+            continue
+        try:
+            pid = int(tail.split("-")[1])
+        except (IndexError, ValueError):
+            continue
+        if not _pid_alive(pid):
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
     if os.path.isdir(old):
         if not os.path.isdir(path):
             os.rename(old, path)
@@ -521,11 +562,18 @@ def publish_atomic(path: str, write_fn) -> None:
                 "delete the rollback copy. Keep whichever dir you "
                 "trust, remove the other, and rerun."
             )
-    write_fn(staging)
-    if not os.path.isdir(staging):
-        raise RuntimeError(
-            f"write_fn completed but produced no directory at {staging}"
-        )
+    try:
+        write_fn(staging)
+        if not os.path.isdir(staging):
+            raise RuntimeError(
+                f"write_fn completed but produced no directory at {staging}"
+            )
+    except BaseException:
+        # a failed write's staging dir would otherwise outlive this call
+        # for the whole process lifetime (the pid-dead sweep can't claim
+        # it while we're alive)
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     # our own completion marker: written only after write_fn fully
     # returned, inside the staging dir, so post-swap its presence in the
     # live dir PROVES the swap completed regardless of committer config

@@ -17,10 +17,15 @@ searcher. This stream is a thin trigger around
   wiped checkpoint, crash between manifest commit and checkpoint
   commit) skips every already-present vec_id and no-ops instead of
   corrupting or raising;
-- segment growth is the caller's compaction budget:
-  :func:`operators.ann_index.compact_ann_index` folds segments between
-  drains (atomic publish, search results unchanged), the same
-  store-compaction discipline as the near-dup streams.
+- segment growth is bounded in-stream when asked
+  (``compact_at_segments=K`` folds segments back to one base the moment
+  the manifest holds K — atomic publish, search results unchanged) or
+  between drains by calling
+  :func:`operators.ann_index.compact_ann_index` directly, the same
+  store-compaction discipline as the near-dup streams; and the
+  codebook-outgrown condition a compaction CANNOT fix surfaces through
+  ``on_rebuild_due`` (r12 verdict: the manifest carried ``n_vec`` and
+  the docstring named the trigger, but nothing acted on it).
 
 The index must exist before the stream starts (built from the initial
 corpus snapshot — the realistic deployment: nightly build, daytime
@@ -39,6 +44,8 @@ from pyspark.sql import SparkSession
 from gcp_map_reduce_spark.operators.ann_index import (
     ann_index_append,
     ann_index_meta,
+    ann_index_rebuild_due,
+    compact_ann_index,
 )
 
 
@@ -48,6 +55,9 @@ def run_streaming_index_maintenance(
     index_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    compact_at_segments: int | None = None,
+    on_rebuild_due=None,
+    rebuild_cell_target: int | None = None,
 ):
     """Drain pending embedding files (availableNow trigger) into the
     persisted index at ``index_dir``; returns the query handle (call
@@ -59,9 +69,34 @@ def run_streaming_index_maintenance(
     the attr DDL at build time, and the reader schema extends to match,
     so arriving files must carry those columns (a pre-attrs-ddl index
     with attrs fails HERE with guidance, not mid-stream inside
-    foreachBatch)."""
+    foreachBatch).
+
+    Maintenance hooks (opt-in — a long-running ingest otherwise grows
+    segment count and per-probe scan cost forever):
+
+    - ``compact_at_segments=K``: after any append that leaves the
+      manifest holding >= K segments, fold them back into one base
+      segment (:func:`compact_ann_index` — atomic publish, search
+      results unchanged, so a reader mid-drain never notices beyond
+      fewer files opened). Compaction bounds the per-search file count
+      at K x probed cells instead of (triggers elapsed) x probed cells.
+    - ``on_rebuild_due=callback``: invoked with the post-append manifest
+      whenever :func:`ann_index_rebuild_due` says the corpus has outrun
+      the FIXED codebook (``n_vec > 2 x n_cells x cell_target``) —
+      compaction cannot fix that (same cells, fatter), only a rebuild
+      re-sizes ``n_cells``. The callback decides: flag a metric, kick a
+      nightly rebuild, or rebuild inline if it owns the corpus snapshot.
+      The stream itself never rebuilds — it does not know the corpus
+      dir, and an implicit rebuild mid-ingest would swap the index under
+      the operator's feet. ``rebuild_cell_target`` overrides the sizing
+      target the criterion assumes (default: the module's
+      IVF_DEDUP_CELL_TARGET)."""
     meta = ann_index_meta(index_dir)  # fail fast on a missing index
-    schema = "vec_id bigint, embedding array<float>"
+    # the manifest records the BUILD corpus's embedding element type
+    # (pre-r13 manifests default to array<float>, what they were all
+    # built over) — typing the reader from it means an array<double>
+    # index fails nowhere: the stream reads doubles as doubles
+    schema = f"vec_id bigint, embedding {meta['embedding_ddl']}"
     if meta["attrs"]:
         if not meta["attrs_ddl"]:
             raise ValueError(
@@ -79,10 +114,19 @@ def run_streaming_index_maintenance(
         # collected=True: micro-batches are driver-sized by construction,
         # and the driver-centric append is the difference between ~6 and
         # 2 Spark jobs per trigger (this repo's streaming-trigger rule)
-        ann_index_append(
+        new_meta = ann_index_append(
             batch_df.sparkSession, index_dir, batch_df,
             if_exists="skip", collected=True,
         )
+        if (
+            compact_at_segments is not None
+            and len(new_meta["segments"]) >= compact_at_segments
+        ):
+            new_meta = compact_ann_index(batch_df.sparkSession, index_dir)
+        if on_rebuild_due is not None and ann_index_rebuild_due(
+            new_meta, cell_target=rebuild_cell_target
+        ):
+            on_rebuild_due(new_meta)
 
     return (
         vecs.writeStream.foreachBatch(process)

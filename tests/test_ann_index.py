@@ -853,3 +853,207 @@ def test_version_gate(spark, tmp_path):
     os.remove(meta_path)
     with pytest.raises(FileNotFoundError, match="no ANN index"):
         ann_index_search(spark, d, _queries(spark, 2))
+
+
+def test_dup_check_scan_prunes_to_batch_cells(spark, tmp_path, split_corpus):
+    """The collected append's dup check reads ONLY the batch's home
+    cells (r13, closing the r12 full-index vec_id collect): the
+    ids-only scan carries a cell_id PartitionFilters gate on every
+    segment leg, opens strictly the probed cells' files, and the driver
+    mirror caches ids for touched cells only — O(batch cells), never
+    O(n_vec)."""
+    from gcp_map_reduce_spark.operators.ann_index import (
+        _IDS_MIRROR,
+        _ids_scan_df,
+        ann_index_append,
+        ann_index_meta,
+    )
+
+    d = str(tmp_path / "idx")
+    ann_index_build(spark, split_corpus, d, n_cells=N_CELLS)
+    # grow one segment so the scan spans a multi-segment index
+    rest = _rest_batch(spark)
+    ann_index_append(spark, d, rest.filter(F.col("vec_id") < 450))
+    meta = ann_index_meta(d)
+    assert len(meta["segments"]) == 2
+    all_cells = sorted(
+        r.cell_id
+        for r in spark.read.parquet(os.path.join(d, "vectors"))
+        .select("cell_id").distinct().collect()
+    )
+    subset = all_cells[:2]
+    scan = _ids_scan_df(spark, d, meta, subset)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    gates = [
+        line for line in plan.splitlines()
+        if "PartitionFilters" in line and "cell_id" in line and " IN (" in line
+    ]
+    assert len(gates) == len(meta["segments"]), plan
+    # file-level: only the subset cells' files are opened, across BOTH
+    # segments — the full per-segment dir count stays untouched
+    n_read = pruned_files(scan)
+    n_total = sum(
+        pruned_files(spark.read.parquet(os.path.join(d, seg)))
+        for seg in meta["segments"]
+    )
+    assert n_read < n_total
+    per_seg_subset = sum(
+        1
+        for seg in meta["segments"]
+        for c in subset
+        if os.path.isdir(os.path.join(d, seg, f"cell_id={c}"))
+    )
+    assert n_read == per_seg_subset
+    # collected append touching a few cells seeds the mirror with
+    # exactly those cells, not the whole id space
+    _IDS_MIRROR.clear()
+    batch = rest.filter(F.col("vec_id") >= 450)
+    ann_index_append(spark, d, batch, collected=True)
+    key, by_cell = _IDS_MIRROR[d]
+    stored = spark.read.parquet(os.path.join(d, "vectors-seg0002"))
+    touched = {r.cell_id for r in stored.select("cell_id").distinct().collect()}
+    assert set(by_cell) == touched
+    assert len(touched) < len(all_cells) or len(all_cells) <= len(touched)
+    n_vec = ann_index_meta(d)["n_vec"]
+    cached_ids = sum(len(s) for s in by_cell.values())
+    assert cached_ids < n_vec  # not the O(index) mirror of r12
+    # the cached sets are still a correct dup gate: full replay no-ops
+    meta_after = ann_index_append(
+        spark, d, batch, if_exists="skip", collected=True
+    )
+    assert meta_after["segments"] == ann_index_meta(d)["segments"]
+
+
+def test_ids_mirror_evicts_past_cap(spark, tmp_path, split_corpus, monkeypatch):
+    """Driver memory of the collected path is bounded: past
+    IDS_MIRROR_MAX_IDS cached ids, least-recently-touched cells evict
+    (and later re-fetch via the cell-pruned scan, still correct)."""
+    import gcp_map_reduce_spark.operators.ann_index as ai
+    from gcp_map_reduce_spark.operators.ann_index import ann_index_append
+
+    d = str(tmp_path / "idx")
+    ann_index_build(spark, split_corpus, d, n_cells=N_CELLS)
+    monkeypatch.setattr(ai, "IDS_MIRROR_MAX_IDS", 20)
+    ai._IDS_MIRROR.clear()
+    rest = _rest_batch(spark)
+    ann_index_append(spark, d, rest, collected=True, if_exists="skip")
+    _, by_cell = ai._IDS_MIRROR[d]
+    total = sum(len(s) for s in by_cell.values())
+    # eviction leaves at most the cap plus the single newest cell
+    assert total <= 20 + max(len(s) for s in by_cell.values())
+    assert len(by_cell) >= 1
+    # correctness after eviction: a replay of evicted ids still skips
+    meta_after = ann_index_append(
+        spark, d, rest, collected=True, if_exists="skip"
+    )
+    assert meta_after["n_vec"] == 500
+
+
+def test_two_level_plan_append_distributes(spark, tmp_path, split_corpus):
+    """r13: two-level appends no longer force the collected path — the
+    default (plan) path distributes the composite assignment through
+    the shared _np_assign_2l kernel via mapInPandas, bit-identical to
+    the collected path and to a fresh build."""
+    from gcp_map_reduce_spark.operators.ann_index import (
+        _load_vectors,
+        ann_index_append,
+    )
+
+    K1 = K2 = 4
+    a = str(tmp_path / "plan2l")
+    b = str(tmp_path / "coll2l")
+    for d in (a, b):
+        ann_index_build(
+            spark, split_corpus, d, n_cells=K1, n_cells2=K2, levels=2
+        )
+    rest = _rest_batch(spark)
+    ann_index_append(spark, a, rest)  # plan path (no collect)
+    ann_index_append(spark, b, rest, collected=True)
+    rows = lambda d: sorted(  # noqa: E731
+        map(
+            tuple,
+            _load_vectors(spark, d).select("vec_id", "n2", "cell_id").collect(),
+        )
+    )
+    assert rows(a) == rows(b)
+    res = lambda d: sorted(  # noqa: E731
+        map(tuple, ann_index_search(spark, d, _queries(spark)).collect())
+    )
+    assert res(a) == res(b)
+    # the plan-path assignment runs as a distributed map (no driver
+    # collect of the batch): its physical plan carries mapInPandas
+    from gcp_map_reduce_spark.operators.ann_index import (
+        _assign_cells_2l,
+        _codebook_2l_driver,
+        ann_index_meta,
+    )
+    from gcp_map_reduce_spark.operators.similarity import _with_norm2
+
+    meta = ann_index_meta(a)
+    batch = _with_norm2(rest).select("vec_id", "e", "n2")
+    assigned = _assign_cells_2l(
+        batch, _codebook_2l_driver(spark, a, meta)
+    )
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+
+
+def test_writer_lock_serializes_breaks_stale_and_cleans_up(
+    spark, tmp_path, split_corpus, monkeypatch
+):
+    """Appends/compactions hold an exclusive pid-stamped writer lock
+    (r12 ADVICE: unlocked appenders could drop each other's segments):
+    a lock held by a LIVE pid times the waiter out; a dead holder's
+    lock is broken; a finished append removes its lock."""
+    import subprocess
+
+    import gcp_map_reduce_spark.operators.ann_index as ai
+    from gcp_map_reduce_spark.operators.ann_index import ann_index_append
+
+    d = str(tmp_path / "idx")
+    ann_index_build(spark, split_corpus, d, n_cells=N_CELLS)
+    lock = d + ".writer-lock"
+    rest = _rest_batch(spark)
+    # live holder -> TimeoutError, lock untouched
+    with open(lock, "w") as fh:
+        fh.write(str(os.getpid()))
+    monkeypatch.setattr(ai, "WRITE_LOCK_TIMEOUT_S", 0.3)
+    with pytest.raises(TimeoutError, match="writer lock"):
+        ann_index_append(spark, d, rest)
+    assert os.path.exists(lock)
+    # dead holder -> broken, append proceeds, lock removed after
+    dead_pid = subprocess.Popen(["true"])  # a pid guaranteed dead
+    dead_pid.wait()
+    with open(lock, "w") as fh:
+        fh.write(str(dead_pid.pid))
+    meta = ann_index_append(spark, d, rest)
+    assert meta["n_vec"] == 500
+    assert not os.path.exists(lock)
+    # compaction also locks (and releases)
+    from gcp_map_reduce_spark.operators.ann_index import compact_ann_index
+
+    compact_ann_index(spark, d)
+    assert not os.path.exists(lock)
+
+
+def test_commit_detects_external_mutation(spark, tmp_path, split_corpus):
+    """A NON-locking external mutation between an append's manifest read
+    and its commit raises instead of silently dropping the other
+    writer's segment (the lock can only serialize lock-takers; the
+    manifest re-read catches everything else)."""
+    from gcp_map_reduce_spark.operators.ann_index import (
+        _commit_segment,
+        _load_vectors,
+        _meta_write,
+        ann_index_meta,
+    )
+
+    d = str(tmp_path / "idx")
+    ann_index_build(spark, split_corpus, d, n_cells=N_CELLS)
+    meta = ann_index_meta(d)
+    assigned = _load_vectors(spark, d, meta).limit(1).localCheckpoint()
+    # simulate: another process committed a segment after our read
+    forged = {**meta, "segments": ["vectors", "vectors-seg0001"]}
+    _meta_write(d, forged)
+    with pytest.raises(RuntimeError, match="mutated outside"):
+        _commit_segment(d, meta, assigned, 1)

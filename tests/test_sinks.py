@@ -740,3 +740,45 @@ def test_stress_gate_load_adjudication_rules():
     reg, load = run(base, cur)
     assert sorted(r["kind"] for r in reg) == ["max_task_ms", "wall_sec"]
     assert all(r["query"] == "a" for r in reg)
+
+
+def test_publish_atomic_staging_unique_and_pid_swept(spark, tmp_path):
+    """r12 ADVICE: concurrent publishers shared one fixed staging path
+    and rmtree'd each other's in-flight write. Staging is now unique per
+    call (pid + random suffix); entry sweeps the legacy fixed name and
+    dead-pid leftovers but leaves a LIVE sibling's staging alone; a
+    failed write_fn cleans its own staging up."""
+    import subprocess
+
+    import pytest
+
+    from gcp_map_reduce_spark.sinks.writers import publish_atomic
+
+    live = str(tmp_path / "ds")
+    legacy = live + ".staging-publish"
+    os.makedirs(os.path.join(legacy, "junk"))
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    dead_dir = f"{live}.staging-publish-{dead.pid}-deadbeef"
+    os.makedirs(dead_dir)
+    alive_dir = f"{live}.staging-publish-{os.getpid()}-cafef00d"
+    os.makedirs(alive_dir)
+
+    publish_atomic(live, lambda p: spark.range(7).write.parquet(p))
+    assert spark.read.parquet(live).count() == 7
+    assert not os.path.isdir(legacy)      # legacy relic swept
+    assert not os.path.isdir(dead_dir)    # crashed sibling swept
+    assert os.path.isdir(alive_dir)       # live sibling untouched
+    os.rmdir(alive_dir)
+
+    # failed write_fn: no staging leftover for this process's lifetime
+    with pytest.raises(RuntimeError, match="boom"):
+        publish_atomic(
+            live, lambda p: (_ for _ in ()).throw(RuntimeError("boom"))
+        )
+    leftovers = [
+        n for n in os.listdir(str(tmp_path))
+        if n.startswith(os.path.basename(live) + ".staging-publish")
+    ]
+    assert leftovers == []
+    assert spark.read.parquet(live).count() == 7  # live dataset intact

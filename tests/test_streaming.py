@@ -1153,3 +1153,155 @@ def test_streaming_index_maintenance_parity_and_replay(spark, tmp_path):
     meta2 = ann_index_meta(idx)
     assert meta2["n_vec"] == 500
     assert meta2["segments"] == meta["segments"]  # no new segment
+
+
+def test_streaming_index_compaction_and_rebuild_hook(spark, tmp_path):
+    """r13 maintenance hooks: a 16-batch drain with
+    compact_at_segments=4 fires in-stream compaction repeatedly, the
+    final index holds the SAME rows/results as a fresh build, and its
+    physical file count returns to the fresh-build floor (the
+    deterministic form of 'search wall returns to its pre-append
+    floor': files opened per probed cell is what segment growth
+    inflates). The rebuild criterion — which compaction cannot satisfy
+    — surfaces through on_rebuild_due."""
+    import glob
+    import os
+
+    import duckdb
+
+    from gcp_map_reduce_spark.operators.ann_index import (
+        _load_vectors,
+        ann_index_build,
+        ann_index_meta,
+        ann_index_search,
+    )
+    from gcp_map_reduce_spark.streaming import run_streaming_index_maintenance
+
+    SF = "/root/testdata/sf0.01"
+    base = tmp_path / "basesf"
+    base.mkdir()
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{SF}/embeddings.parquet' WHERE vec_id < 400 "
+        f"ORDER BY vec_id) TO '{base}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    src = tmp_path / "arriving"
+    src.mkdir()
+    for i in range(16):
+        lo, hi = 400 + 6 * i, 406 + 6 * i
+        duckdb.sql(
+            f"COPY (SELECT * FROM '{SF}/embeddings.parquet' "
+            f"WHERE vec_id >= {lo} AND vec_id < {hi}) "
+            f"TO '{src}/f{i:02d}.parquet' (FORMAT PARQUET)"
+        )
+    idx = str(tmp_path / "idx")
+    ann_index_build(spark, str(base), idx, n_cells=8)
+
+    flagged = []
+    q = run_streaming_index_maintenance(
+        spark, str(src), idx, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        compact_at_segments=4,
+        on_rebuild_due=flagged.append,
+        rebuild_cell_target=2,  # 2*8*2=32 < n_vec: due from the start
+    )
+    q.awaitTermination(600)
+    meta = ann_index_meta(idx)
+    assert meta["n_vec"] == 496
+    # 16 appended segments were folded down mid-drain; never >= 4 left
+    assert len(meta["segments"]) < 4, meta["segments"]
+    # rebuild-due fired (every trigger here) with the live manifest
+    assert flagged and flagged[-1]["n_vec"] == 496
+
+    # the floor: same rows, same search results, same FILE COUNT as a
+    # fresh build over the identical 496-row corpus + codebook
+    full = tmp_path / "fullsf"
+    full.mkdir()
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{SF}/embeddings.parquet' WHERE vec_id < 496 "
+        f"ORDER BY vec_id) TO '{full}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    fresh = str(tmp_path / "fresh")
+    ann_index_build(spark, str(full), fresh, n_cells=8)
+    rows = lambda d: sorted(  # noqa: E731
+        (r.vec_id, r.cell_id)
+        for r in _load_vectors(spark, d).select("vec_id", "cell_id").collect()
+    )
+    assert rows(idx) == rows(fresh)
+
+    def queries():
+        return (
+            spark.read.parquet(SF + "/embeddings.parquet")
+            .filter(F.col("vec_id") < 10)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+
+    assert sorted(
+        map(tuple, ann_index_search(spark, idx, queries()).collect())
+    ) == sorted(
+        map(tuple, ann_index_search(spark, fresh, queries()).collect())
+    )
+    n_files = lambda d: len(  # noqa: E731
+        glob.glob(os.path.join(d, "vectors*", "cell_id=*", "*.parquet"))
+    )
+    if meta["segments"] == ["vectors"]:
+        assert n_files(idx) == n_files(fresh)
+    else:  # drain ended 1-2 triggers past the last fold
+        assert n_files(idx) <= n_files(fresh) + 2 * 8
+
+
+def test_streaming_index_maintenance_double_typed_corpus(spark, tmp_path):
+    """r12 ADVICE: the stream reader schema was hardcoded array<float>;
+    an index built over array<double> started the stream fine and
+    misread inside the first trigger. The manifest now records the
+    build corpus's embedding type and the reader is typed from it."""
+    import duckdb
+
+    from gcp_map_reduce_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_meta,
+        ann_index_search,
+    )
+    from gcp_map_reduce_spark.streaming import run_streaming_index_maintenance
+
+    SF = "/root/testdata/sf0.01"
+    base = tmp_path / "dblsf"
+    base.mkdir()
+    duckdb.sql(
+        f"COPY (SELECT vec_id, embedding::DOUBLE[] AS embedding "
+        f"FROM '{SF}/embeddings.parquet' WHERE vec_id < 400 ORDER BY vec_id) "
+        f"TO '{base}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    src = tmp_path / "arriving"
+    src.mkdir()
+    duckdb.sql(
+        f"COPY (SELECT vec_id, embedding::DOUBLE[] AS embedding "
+        f"FROM '{SF}/embeddings.parquet' WHERE vec_id >= 400) "
+        f"TO '{src}/a.parquet' (FORMAT PARQUET)"
+    )
+    idx = str(tmp_path / "idx")
+    ann_index_build(spark, str(base), idx, n_cells=8)
+    assert ann_index_meta(idx)["embedding_ddl"] == "array<double>"
+    q = run_streaming_index_maintenance(
+        spark, str(src), idx, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    meta = ann_index_meta(idx)
+    assert meta["n_vec"] == 500
+    res = ann_index_search(
+        spark, idx,
+        spark.read.parquet(str(base) + "/embeddings.parquet")
+        .filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding"),
+    ).collect()
+    assert len(res) == 25
+    # the drained half is searchable (doubles read as doubles, not junk)
+    assert {r.cand_id for r in res} | {
+        r.cand_id
+        for r in ann_index_search(
+            spark, idx,
+            spark.sql("SELECT 900 AS query_id").crossJoin(
+                spark.read.parquet(str(src) + "/a.parquet")
+                .filter(F.col("vec_id") == 450).select("embedding")
+            ),
+        ).collect()
+    }

@@ -116,7 +116,7 @@ def _scale_mode(args) -> None:
         ratio = b["n_vec"] / a["n_vec"]
         return round(math.log(b[key] / a[key]) / math.log(ratio), 2)
 
-    print(json.dumps({
+    _emit({
         "metric": "ann_index_scale",
         "levels": args.levels,
         "append_rows": args.append_rows,
@@ -125,13 +125,25 @@ def _scale_mode(args) -> None:
         "search_exponent": expo("search_sec"),
         "append_exponent": expo("append_1k_sec"),
         "build_exponent": expo("build_sec"),
-    }))
+    }, args.out)
 
 
 def _timed(fn) -> float:
     t0 = time.monotonic()
     fn()
     return time.monotonic() - t0
+
+
+def _emit(payload: dict, out: str | None) -> None:
+    """Print the one-line JSON AND (with --out) json.dump it straight to
+    the artifact file — r12's committed artifact was created by shell
+    redirect and carried 1.8 kB of Spark console-progress junk ahead of
+    the JSON, failing any json.load consumer."""
+    line = json.dumps(payload)
+    print(line)
+    if out:
+        with open(out, "w") as fh:
+            fh.write(line + "\n")
 
 
 def main() -> None:
@@ -145,6 +157,9 @@ def main() -> None:
                     default=["/root/testdata/sf0.1", "stress/sf1",
                              "stress/sf3"])
     ap.add_argument("--append-rows", type=int, default=1000)
+    ap.add_argument("--out", default=None,
+                    help="also json.dump the result line to this file "
+                    "(the artifact path; avoids stdout-redirect junk)")
     ap.add_argument("--levels", type=int, default=1, choices=[1, 2],
                     help="scale mode: build single- or two-level "
                     "(coarse+residual) indexes per point")
@@ -199,7 +214,7 @@ def main() -> None:
 
     rebuild_s = best(rebuild_loop)
     indexed_s = best(indexed_loop)
-    print(json.dumps({
+    _emit({
         "metric": "ann_index_query_many",
         "sf_dir": sf,
         "n_searches": args.searches,
@@ -214,7 +229,7 @@ def main() -> None:
         "breakeven_searches": round(
             build_s / max(1e-9, rebuild_s / args.searches
                           - indexed_s / args.searches), 1),
-    }))
+    }, args.out)
 
 
 if __name__ == "__main__":
