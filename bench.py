@@ -133,6 +133,7 @@ def build_overrides() -> dict:
     from gcp_map_reduce_spark.operators.relational_subq import q21_waiting_suppliers
     from gcp_map_reduce_spark.operators.sampling import corpus_shards
     from gcp_map_reduce_spark.operators.similarity import (
+        ann_screen_recent_half,
         semantic_search_docs,
         similarity_ivf_ann,
         similarity_lsh_ann,
@@ -154,6 +155,10 @@ def build_overrides() -> dict:
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "udf_wordcount_grouped": udf_plugin.udf_wordcount_grouped,
         "text_tfidf": text_tfidf,
+        # library leg: the r13 index-accelerated batch screening join
+        # (registered as the similarity_ann_suite 'screen' branch);
+        # named here so tools/scale_exponents.py can measure it solo
+        "ann_screen_batch": ann_screen_recent_half,
     }
 
 

@@ -1374,6 +1374,149 @@ def ann_index_range_search(
     return cand.filter(F.col("cosine") >= threshold)
 
 
+def ann_index_screen_batch(
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+    threshold: float,
+    n_probe: int = 2,
+    n_probe2: int = 2,
+    where: str | None = None,
+) -> DataFrame:
+    """Screen an ARBITRARY-size incoming batch against the persisted
+    index — the join form of :func:`ann_index_range_search`, and the
+    ingest-gatekeeper shape a training-data platform runs hourly: "which
+    of these N new vectors are near-dups (cosine >= threshold) of
+    anything already indexed?". ``batch`` carries ``vec_id`` (long) and
+    ``embedding``; returns (query_id, cand_id, cosine) with
+    ``query_id`` = the batch vec_id, self-matches excluded.
+
+    Why a separate entry point: the search functions broadcast the
+    query relation by contract (driver-sized probe batches), so a
+    corpus-scale batch through them would either OOM the broadcast or
+    collect the batch. Here nothing about the batch ever reaches the
+    driver except its DISTINCT probed-cell ids (bounded by ``n_cells``
+    longs, the same compile-time pruning trick as the search): cell
+    assignment runs in the plan — the shared
+    :func:`similarity.ivf_probe_cells` expression for single-level
+    indexes, the shared :func:`_np_assign_2l` numpy math distributed
+    per Arrow batch for two-level — and candidates form by a plain
+    ``cell_id`` equi-join that AQE is free to execute as shuffle or
+    broadcast by the ACTUAL relation sizes (skewed hot cells are AQE
+    skew-join territory; the per-probe row carries its query vector so
+    the join is the only exchange). The probed segments are still
+    partition-pruned: a batch that only touches some cells reads only
+    those cells' files on every segment leg (same PartitionFilters gate
+    as the search; a batch spread over every cell legitimately reads
+    every cell — that is the work, not a missed optimization).
+
+    ``where`` filters the INDEX side on persisted attrs, pushed to the
+    probed cells' scans like the filtered search."""
+    meta = ann_index_meta(index_dir)
+    feats = _with_norm2(
+        batch.select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    if meta["levels"] == 2:
+        probes = _probe_cells_2l_plan(
+            spark, index_dir, meta, feats, n_probe, n_probe2
+        )
+    else:
+        cb = (
+            spark.read.parquet(os.path.join(index_dir, "codebook"))
+            .agg(F.collect_list(F.struct("cell_id", "ce", "cn2")).alias("cb"))
+        )
+        probes = feats.crossJoin(F.broadcast(cb)).select(
+            "query_id",
+            F.col("e").alias("qe"),
+            F.col("n2").alias("qn2"),
+            F.explode(ivf_probe_cells(n_probe)).alias("cell_id"),
+        )
+    cells = sorted(
+        r.cell_id for r in probes.select("cell_id").distinct().collect()
+    )
+    vecs = _load_vectors(spark, index_dir, meta)
+    if where is not None:
+        if not meta["attrs"]:
+            raise ValueError(
+                "where= needs attrs persisted at build time "
+                "(ann_index_build(attrs=[...])) — this index has none"
+            )
+        vecs = vecs.where(F.expr(where))
+    if len(cells) < meta["n_cells"]:
+        vecs = vecs.where(F.col("cell_id").isin(cells))
+    cand = vecs.join(probes, "cell_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cosine = _dot(F.col("qe"), F.col("e")) / F.sqrt(
+        F.col("qn2") * F.col("n2")
+    )
+    return cand.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        cosine.alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
+def _probe_cells_2l_plan(
+    spark: SparkSession,
+    index_dir: str,
+    meta: dict,
+    feats: DataFrame,
+    n_probe: int,
+    n_probe2: int,
+) -> DataFrame:
+    """(query_id, qe, qn2, cell_id) probe pairs for a two-level index,
+    computed PER ARROW BATCH in the plan — the distributed twin of
+    :func:`_probes_driver_2l`, built from the same ``_np_nearest`` /
+    ``_np_n2`` primitives so composite probe ranking cannot drift
+    between the driver and plan paths. Emits ``n_probe x n_probe2``
+    rows per input row."""
+    import numpy as np
+
+    cb2l = _codebook_2l_driver(spark, index_dir, meta)
+    ids1, C1, C1n2, ids2, C2, C2n2, k2 = cb2l
+    p1 = min(n_probe, len(ids1))
+    p2 = min(n_probe2, len(ids2))
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {"query_id": pd.Series([], dtype="int64"),
+                     "qe": pd.Series([], dtype="object"),
+                     "qn2": pd.Series([], dtype="float64"),
+                     "cell_id": pd.Series([], dtype="int64")}
+                )
+                continue
+            Q = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            qn2 = pdf["n2"].to_numpy(dtype=np.float64)
+            i1 = _np_nearest(Q, qn2, ids1, C1, C1n2, p1)
+            R = np.repeat(Q, p1, axis=0) - C1[i1.reshape(-1)]
+            i2 = _np_nearest(R, _np_n2(R), ids2, C2, C2n2, p2)
+            coarse = ids1[i1.reshape(-1)]
+            comps = (
+                coarse[:, None] * np.int64(k2) + ids2[i2]
+            )  # (rows*p1, p2)
+            rep = p1 * p2
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        pdf["query_id"].to_numpy(dtype=np.int64), rep
+                    ),
+                    "qe": np.repeat(pdf["e"].to_numpy(), rep),
+                    "qn2": np.repeat(qn2, rep),
+                    "cell_id": comps.reshape(len(pdf), rep).reshape(-1),
+                }
+            )
+
+    return feats.mapInPandas(
+        kernel,
+        schema="query_id long, qe array<double>, qn2 double, cell_id long",
+    )
+
+
 def _search_candidates(
     spark: SparkSession,
     index_dir: str,

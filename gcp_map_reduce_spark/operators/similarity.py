@@ -1146,6 +1146,99 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) 
 """
 
 
+# SQL replica of the index-accelerated BATCH SCREENING join
+# (ann_index.ann_index_screen_batch over the persisted corpus index):
+# the most recent half of the corpus (vec_id >= count//2) plays the
+# incoming batch; every batch vector probes its ANN_INDEX_NPROBE
+# nearest cells of the SAME probe-scaled codebook as the persisted
+# search, and every indexed vector sharing a probed cell with exact
+# cosine >= NEAR_DUP_COSINE is reported (self-matches excluded). No
+# top-k window — screening is a range predicate, not a ranking.
+_ANN_SCREEN_ORACLE = f"""
+WITH params AS (
+  SELECT greatest(1, least({{cells_cap}},
+    (count(*) + {{cell_target_m1}}) // {{cell_target}})) AS n_cells,
+    count(*) // 2 AS mid
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS cell_id, embedding AS ce FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY vec_id)
+    <= (SELECT n_cells FROM params)
+),
+dists AS (
+  SELECT v.vec_id, s.cell_id,
+    {{dot_vv}}
+      - 2 * {{dot_vc}}
+      + {{dot_cc}} AS d
+  FROM embeddings v CROSS JOIN seeds s
+),
+assign AS (
+  SELECT vec_id, cell_id FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) = 1
+),
+probes AS (
+  SELECT vec_id, cell_id FROM dists
+  WHERE vec_id >= (SELECT mid FROM params)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id)
+    <= {{n_probe}}
+),
+cand AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS cand_id
+  FROM probes p JOIN assign a ON p.cell_id = a.cell_id AND a.vec_id <> p.vec_id
+)
+SELECT query_id, cand_id, cosine FROM (
+  SELECT query_id, cand_id,
+    {{dot_qc}}
+      / sqrt({{dot_qq}} * {{dot_cc2}}) AS cosine
+  FROM cand JOIN embeddings q ON query_id = q.vec_id
+            JOIN embeddings c ON cand_id = c.vec_id
+)
+WHERE cosine >= {{threshold}}
+"""
+
+
+def _ann_screen_oracle() -> str:
+    return _ANN_SCREEN_ORACLE.format(
+        cells_cap=IVF_DEDUP_CELLS_CAP,
+        cell_target_m1=IVF_DEDUP_CELL_TARGET - 1,
+        cell_target=IVF_DEDUP_CELL_TARGET,
+        n_probe=ANN_INDEX_NPROBE,
+        threshold=NEAR_DUP_COSINE,
+        dot_vv=_SQL_DOT.format(a="v.embedding", b="v.embedding"),
+        dot_vc=_SQL_DOT.format(a="v.embedding", b="s.ce"),
+        dot_cc=_SQL_DOT.format(a="s.ce", b="s.ce"),
+        dot_qc=_SQL_DOT.format(a="q.embedding", b="c.embedding"),
+        dot_qq=_SQL_DOT.format(a="q.embedding", b="q.embedding"),
+        dot_cc2=_SQL_DOT.format(a="c.embedding", b="c.embedding"),
+    )
+
+
+def ann_screen_recent_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered shape of index-accelerated batch screening
+    (:func:`ann_index.ann_index_screen_batch`): the most recent half of
+    the corpus plays the hourly incoming batch, screened for near-dups
+    (exact cosine >= NEAR_DUP_COSINE within probed cells) against the
+    persisted corpus index. Unlike the search branches nothing
+    batch-sized reaches the driver — assignment stays in the plan and
+    candidates form by a cell_id equi-join AQE sizes at runtime, which
+    is what lets the same plan screen a corpus-scale batch."""
+    from gcp_map_reduce_spark.operators.ann_index import (
+        ann_index_for_corpus,
+        ann_index_screen_batch,
+    )
+
+    idx = ann_index_for_corpus(spark, sf_dir)
+    mid = corpus_vec_count(spark, sf_dir) // 2
+    batch = _emb(spark, sf_dir).filter(F.col("vec_id") >= mid).select(
+        "vec_id", "embedding"
+    )
+    return ann_index_screen_batch(
+        spark, idx, batch,
+        threshold=NEAR_DUP_COSINE, n_probe=ANN_INDEX_NPROBE,
+    )
+
+
 def similarity_ivf_ann(
     spark: SparkSession,
     sf_dir: str,
@@ -1650,6 +1743,9 @@ FROM ({_lsh_oracle(multiprobe=True)})
 UNION ALL
 SELECT 'ivf_persisted', query_id, cand_id, cosine, NULL, NULL
 FROM ({_IVF_PERSISTED_ORACLE})
+UNION ALL
+SELECT 'screen', query_id, cand_id, cosine, NULL, NULL
+FROM ({_ann_screen_oracle()})
 """,
 )
 def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1666,8 +1762,13 @@ def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`ann_index.ann_index_for_corpus` — the first run per corpus
     version pays the build, later runs (and other sessions on the same
     box) reuse the published files, which is the operator's actual
-    production shape. Branches are independent plans; the union is a
-    shuffle-free concatenation."""
+    production shape. r13 adds the 'screen' branch: the JOIN form
+    (:func:`ann_screen_recent_half` /
+    :func:`ann_index.ann_index_screen_batch`) that gates an
+    arbitrary-size incoming batch against the same persisted index —
+    the driver never sees the batch, only its probed-cell id set.
+    Branches are independent plans; the union is a shuffle-free
+    concatenation."""
     null_s = F.lit(None).cast("string")
     null_l = F.lit(None).cast("bigint")
 
@@ -1704,4 +1805,7 @@ def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             norm(similarity_lsh_ann(spark, sf_dir, multiprobe=True), "lsh", False)
         )
         .unionByName(norm(persisted, "ivf_persisted", False))
+        .unionByName(
+            norm(ann_screen_recent_half(spark, sf_dir), "screen", False)
+        )
     )

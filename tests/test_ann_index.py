@@ -1057,3 +1057,95 @@ def test_commit_detects_external_mutation(spark, tmp_path, split_corpus):
     _meta_write(d, forged)
     with pytest.raises(RuntimeError, match="mutated outside"):
         _commit_segment(d, meta, assigned, 1)
+
+
+def test_screen_batch_matches_range_search_and_prunes(
+    spark, tmp_path, split_corpus
+):
+    """r13 batch screening (the JOIN form): for a driver-sized batch the
+    screen's (query, cand, cosine) set equals ann_index_range_search's
+    over the same probes/threshold (the two share assignment arithmetic
+    by construction); the plan contains no Scan ExistingRDD (nothing
+    batch-sized ever round-trips through the driver) and keeps the
+    static cell PartitionFilters when the batch's probes cover a strict
+    subset of cells."""
+    from gcp_map_reduce_spark.operators.ann_index import (
+        ann_index_range_search,
+        ann_index_screen_batch,
+    )
+
+    d = str(tmp_path / "idx")
+    ann_index_build(spark, SF, d, n_cells=N_CELLS)
+    thr = 0.2
+    small = (
+        spark.read.parquet(SF + "/embeddings.parquet")
+        .filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+    )
+    screened = ann_index_screen_batch(spark, d, small, thr, n_probe=2)
+    ranged = ann_index_range_search(
+        spark, d,
+        small.select(F.col("vec_id").alias("query_id"), "embedding"),
+        thr, n_probe=2,
+    )
+    assert sorted(map(tuple, screened.collect())) == sorted(
+        map(tuple, ranged.collect())
+    )
+    plan = screened._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" not in plan, plan
+    gates = [
+        line for line in plan.splitlines()
+        if "PartitionFilters" in line and "cell_id" in line and " IN (" in line
+    ]
+    assert gates, plan
+    # file-level: a localized batch reads only its probed cells' files
+    from gcp_map_reduce_spark.operators.ann_index import (
+        _load_vectors,
+        ann_index_meta,
+    )
+
+    probed = {
+        r.cell_id
+        for r in _probe_assign(spark, d, small.select(
+            F.col("vec_id").alias("query_id"), "embedding"), 2).collect()
+    }
+    assert len(probed) < N_CELLS
+    scan = _load_vectors(spark, d, ann_index_meta(d)).where(
+        F.col("cell_id").isin(sorted(probed))
+    )
+    assert pruned_files(scan) == len(probed)
+
+
+def test_screen_batch_two_level_matches_driver_probes(
+    spark, tmp_path
+):
+    """Two-level screening distributes the composite probe enumeration
+    (mapInPandas over the same _np_nearest math as _probes_driver_2l);
+    results equal the driver-probed range search bit-for-bit."""
+    from gcp_map_reduce_spark.operators.ann_index import (
+        ann_index_range_search,
+        ann_index_screen_batch,
+    )
+
+    d = str(tmp_path / "idx2l")
+    ann_index_build(spark, SF, d, n_cells=4, n_cells2=4, levels=2)
+    thr = 0.15
+    small = (
+        spark.read.parquet(SF + "/embeddings.parquet")
+        .filter(F.col("vec_id") < 4)
+        .select("vec_id", "embedding")
+    )
+    screened = ann_index_screen_batch(
+        spark, d, small, thr, n_probe=2, n_probe2=2
+    )
+    ranged = ann_index_range_search(
+        spark, d,
+        small.select(F.col("vec_id").alias("query_id"), "embedding"),
+        thr, n_probe=2, n_probe2=2,
+    )
+    assert sorted(map(tuple, screened.collect())) == sorted(
+        map(tuple, ranged.collect())
+    )
+    plan = screened._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" not in plan, plan
+    assert "MapInPandas" in plan, plan

@@ -683,12 +683,14 @@ def test_publish_atomic_swaps_and_sweeps_every_crash_window(spark, tmp_path):
 
 def test_stress_gate_load_adjudication_rules():
     """The r12 wall-vs-cpu arbitration, pinned as pure logic: a wall
-    trip with steady cpu adjudicates as load; grown cpu (beyond the
-    TIGHT CPU_STEADY_FACTOR, not the loose wall ratio) fails; missing
-    cpu keeps the strict gate; and max_task trips — the spill/wait
-    backstop — adjudicate only under BROAD load evidence (>=
-    BROAD_LOAD_MIN_QUERIES other cpu-steady wall trips), never on their
-    own row alone."""
+    trip with steady cpu adjudicates as load only when CORROBORATED by
+    another query's steady wall trip (r13, closing the r12 ADVICE gap:
+    a solo steady wall trip can be a local wait-time regression and now
+    fails); grown cpu (beyond the TIGHT CPU_STEADY_FACTOR, not the
+    loose wall ratio) fails; missing cpu keeps the strict gate; and
+    max_task trips — the spill/wait backstop — adjudicate only under
+    BROAD load evidence (>= BROAD_LOAD_MIN_QUERIES other cpu-steady
+    wall trips), never on their own row alone."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -710,9 +712,16 @@ def test_stress_gate_load_adjudication_rules():
             ratio=1.5, min_sec=0.0, min_task_ms=0.0,
         )
 
-    # 1: wall trip, cpu steady -> adjudicated
+    # 1: SOLO wall trip, cpu steady -> regression (r13: no corroborating
+    #    steady wall trip elsewhere = local evidence, not box load)
     reg, load = run({"a": row(1, 100, cpu=10)}, {"a": row(3, 120, cpu=10.5)})
-    assert not reg and [r["kind"] for r in load] == ["wall_sec"]
+    assert [r["kind"] for r in reg] == ["wall_sec"] and not load
+    # 1b: the same trip WITH a second steady wall trip -> both adjudicated
+    reg, load = run(
+        {"a": row(1, 100, cpu=10), "b": row(1, 100, cpu=10)},
+        {"a": row(3, 120, cpu=10.5), "b": row(3, 120, cpu=10.2)},
+    )
+    assert not reg and sorted(r["kind"] for r in load) == ["wall_sec"] * 2
     # 2: wall trip, cpu grown 1.4x (> CPU_STEADY_FACTOR, < wall ratio)
     #    -> REGRESSION (the loose wall ratio must not leak into cpu)
     reg, load = run({"a": row(1, 100, cpu=10)}, {"a": row(3, 120, cpu=14)})
