@@ -1382,6 +1382,7 @@ def ann_index_screen_batch(
     n_probe: int = 2,
     n_probe2: int = 2,
     where: str | None = None,
+    tile_target: int | None = None,
 ) -> DataFrame:
     """Screen an ARBITRARY-size incoming batch against the persisted
     index — the join form of :func:`ann_index_range_search`, and the
@@ -1400,18 +1401,39 @@ def ann_index_screen_batch(
     assignment runs in the plan — the shared
     :func:`similarity.ivf_probe_cells` expression for single-level
     indexes, the shared :func:`_np_assign_2l` numpy math distributed
-    per Arrow batch for two-level — and candidates form by a plain
-    ``cell_id`` equi-join that AQE is free to execute as shuffle or
-    broadcast by the ACTUAL relation sizes (skewed hot cells are AQE
-    skew-join territory; the per-probe row carries its query vector so
-    the join is the only exchange). The probed segments are still
+    per Arrow batch for two-level. The probed segments are still
     partition-pruned: a batch that only touches some cells reads only
     those cells' files on every segment leg (same PartitionFilters gate
     as the search; a batch spread over every cell legitimately reads
     every cell — that is the work, not a missed optimization).
 
+    Scoring is the grouped-GEMM kernel, not a pair join: candidate
+    volume is |batch| x n_probe x rows/cell pairs, and both plumbing
+    alternatives measured badly at the 60k-vector stress point — a
+    per-pair expression cosine is CodegenFallback (pairs x dim
+    interpreted ops: adjudicated e=1.16, 11.7 s max task), and a
+    per-pair Arrow UDF ships BOTH vectors to Python per pair (~pairs x
+    2d x 8 B socket bytes: 21 s max tasks). Instead both sides shuffle
+    ONCE on (cell, sub-block) and each group runs one numpy GEMM over
+    its cell's batch rows x index rows — each vector crosses the wire
+    once per sub-block pairing, not once per pair (the
+    ``embedding_near_dup_pairs_ivf`` kernel shape, d-sequential chunked
+    fold, so every emitted cosine is bit-identical to the expression
+    form). Sub-blocking bounds a hot cell's worst task at
+    ~``tile_target`` rows per side (default
+    ``similarity.DEDUP_TILE_TARGET``). A (query, candidate) pair emits
+    at most once: the candidate lives in exactly one home cell, and the
+    (query-block, index-block) grid covers each (cell, q, v) triple
+    exactly once — no dedup pass needed.
+
     ``where`` filters the INDEX side on persisted attrs, pushed to the
     probed cells' scans like the filtered search."""
+    import math
+
+    from gcp_map_reduce_spark.operators.similarity import DEDUP_TILE_TARGET
+
+    if tile_target is None:
+        tile_target = DEDUP_TILE_TARGET
     meta = ann_index_meta(index_dir)
     feats = _with_norm2(
         batch.select(F.col("vec_id").alias("query_id"), "embedding")
@@ -1444,17 +1466,86 @@ def ann_index_screen_batch(
         vecs = vecs.where(F.expr(where))
     if len(cells) < meta["n_cells"]:
         vecs = vecs.where(F.col("cell_id").isin(cells))
-    cand = vecs.join(probes, "cell_id").filter(
-        F.col("vec_id") != F.col("query_id")
+    # sub-block counts from EXPECTED per-cell populations (index side:
+    # manifest n_vec over all cells; batch side: one cheap count) — the
+    # same bound-the-worst-task arithmetic as the near-dup tiles
+    n_q = feats.count()
+    per_cell_v = meta["n_vec"] / max(1, meta["n_cells"])
+    per_cell_q = n_q * n_probe / max(1, len(cells) or 1)
+    n_sub_v = max(1, math.ceil(per_cell_v / tile_target))
+    n_sub_q = max(1, math.ceil(per_cell_q / tile_target))
+    q_side = probes.select(
+        F.col("query_id").alias("id"),
+        F.col("qe").alias("e"),
+        F.col("qn2").alias("n2"),
+        "cell_id",
+        F.lit(True).alias("is_q"),
+        F.pmod(F.xxhash64("query_id"), F.lit(n_sub_q)).alias("bq"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub_v - 1))).alias("bv"),
     )
-    cosine = _dot(F.col("qe"), F.col("e")) / F.sqrt(
-        F.col("qn2") * F.col("n2")
+    v_side = vecs.select(
+        F.col("vec_id").alias("id"),
+        "e",
+        "n2",
+        "cell_id",
+        F.lit(False).alias("is_q"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub_q - 1))).alias("bq"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_sub_v)).alias("bv"),
     )
-    return cand.select(
-        "query_id",
-        F.col("vec_id").alias("cand_id"),
-        cosine.alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+    from pyspark.sql.types import (
+        DoubleType as _D,
+        LongType as _L,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    out_schema = _ST(
+        [_SF("query_id", _L()), _SF("cand_id", _L()), _SF("cosine", _D())]
+    )
+    thr = float(threshold)
+
+    def kernel(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        q = pdf[pdf["is_q"]]
+        v = pdf[~pdf["is_q"]]
+        if len(q) == 0 or len(v) == 0:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "cand_id": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        Q = np.stack(q["e"].to_numpy())
+        V = np.stack(v["e"].to_numpy())
+        # d-sequential chunked fold — bit-identical to _dot / the tiles
+        # kernel, which is what keeps the SQL oracle exact
+        acc = np.empty((len(q), len(v)), dtype=np.float64)
+        _CH = 256
+        for lo in range(0, len(q), _CH):
+            hi = min(lo + _CH, len(q))
+            Qch = Q[lo:hi]
+            sub = np.zeros((hi - lo, len(v)), dtype=np.float64)
+            for d in range(Q.shape[1]):
+                sub += Qch[:, d][:, None] * V[:, d][None, :]
+            acc[lo:hi] = sub
+        qn2 = q["n2"].to_numpy(dtype=np.float64)
+        vn2 = v["n2"].to_numpy(dtype=np.float64)
+        cos = acc / np.sqrt(qn2[:, None] * vn2[None, :])
+        qi = q["id"].to_numpy(dtype=np.int64)
+        vi = v["id"].to_numpy(dtype=np.int64)
+        qm = np.broadcast_to(qi[:, None], cos.shape)
+        vm = np.broadcast_to(vi[None, :], cos.shape)
+        keep = (cos >= thr) & (qm != vm)
+        return pd.DataFrame(
+            {"query_id": qm[keep], "cand_id": vm[keep], "cosine": cos[keep]}
+        )
+
+    return (
+        q_side.unionByName(v_side)
+        .groupBy("cell_id", "bq", "bv")
+        .applyInPandas(kernel, schema=out_schema)
+    )
 
 
 def _probe_cells_2l_plan(
