@@ -535,7 +535,11 @@ def publish_atomic(path: str, write_fn) -> None:
     )
     old = path + ".old-publish"
     marker = ".publish-complete"
-    for name in os.listdir(parent or "."):
+    try:
+        siblings = os.listdir(parent or ".")
+    except FileNotFoundError:
+        siblings = []  # brand-new parent: write_fn creates it
+    for name in siblings:
         if not name.startswith(prefix):
             continue
         tail = name[len(prefix):]
