@@ -171,56 +171,67 @@ WRITE_LOCK_TIMEOUT_S = 300.0
 @contextlib.contextmanager
 def _write_lock(index_dir: str, timeout: float | None = None):
     """Exclusive inter-process WRITER lock for one index (appends and
-    compactions; readers never take it). O_EXCL-create a pid-stamped
-    lock file BESIDE the index dir — beside, not inside, so it survives
-    compaction's whole-directory publish swap and exists even while the
-    dir is mid-rename. Mutating an index concurrently without this was
-    the r12 ADVICE lost-update: two appenders computing the same next
-    segment slot, one rmtree-ing the other's in-flight write, and the
-    last manifest replace silently dropping the other's committed rows.
+    compactions; readers never take it), implemented as a kernel
+    ``flock`` on a lock file BESIDE the index dir — beside, not inside,
+    so it survives compaction's whole-directory publish swap and exists
+    even while the dir is mid-rename. Mutating an index concurrently
+    without this was the r12 ADVICE lost-update: two appenders
+    computing the same next segment slot, one rmtree-ing the other's
+    in-flight write, and the last manifest replace silently dropping
+    the other's committed rows.
 
-    A lock whose recorded pid is dead is a crashed holder and is broken
-    (re-checked immediately before the unlink to shrink the window where
-    a fresh holder could reuse the slot — same best-effort class as
-    every pid-liveness protocol on a local FS; object stores need a
-    lease service instead, same caveat as the module's other local-FS
-    contracts). Waiters poll; exceeding ``timeout`` raises rather than
-    deadlocking a stream forever."""
+    Why ``flock`` and not an O_EXCL pid file: the kernel releases the
+    lock the instant the holder dies (crash, kill -9, clean exit
+    alike), so there is NO stale-lock state and therefore no breaking
+    protocol — and every pid-file breaking protocol this module tried
+    had an unfixable race (the r13 review catch: a bare unlink could
+    discard a fresh holder's lock whose pid write hadn't flushed, and
+    even a rename-claim breaker could clobber a newer waiter on
+    restore). The lock file itself persists empty-or-pid-stamped
+    between holds — its EXISTENCE means nothing, only the kernel lock
+    state does. Local-FS semantics (flock over NFS is not a contract);
+    object stores need a lease service instead, same caveat as the
+    module's other local-FS contracts. Waiters poll non-blocking;
+    exceeding ``timeout`` raises rather than deadlocking a stream
+    forever."""
+    import fcntl
+
     if timeout is None:
         timeout = WRITE_LOCK_TIMEOUT_S  # read at call time: patchable
     path = index_dir.rstrip("/") + ".writer-lock"
     deadline = time.monotonic() + timeout
-    while True:
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as fh:
-                fh.write(str(os.getpid()))
-            break
-        except FileExistsError:
-            stamp = _lock_pid(path)
-            if stamp is not None and not _pid_alive(stamp):
-                if _lock_pid(path) == stamp:  # re-check, then break it
-                    with contextlib.suppress(FileNotFoundError):
-                        os.unlink(path)
-                continue
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"could not acquire the writer lock {path} within "
-                    f"{timeout:.0f}s — held by live pid {stamp}; if that "
-                    "process is not a legitimate writer, remove the file"
-                )
-            time.sleep(0.05)
+    fd = os.open(path, os.O_CREAT | os.O_RDWR)
     try:
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire the writer lock {path} "
+                        f"within {timeout:.0f}s — held by pid "
+                        f"{_lock_pid(path)}; if that process is not a "
+                        "legitimate writer of this index, investigate it "
+                        "(the lock dies with it)"
+                    )
+                time.sleep(0.05)
+        # pid stamp is DIAGNOSTIC only (the timeout message above);
+        # correctness lives entirely in the kernel lock
+        os.ftruncate(fd, 0)
+        os.write(fd, str(os.getpid()).encode())
         yield
     finally:
-        with contextlib.suppress(FileNotFoundError):
-            os.unlink(path)
+        os.close(fd)  # releases the flock
 
 
 def _lock_pid(path: str) -> int | None:
+    """The pid stamped in the lock file by its last holder — purely
+    diagnostic (see _write_lock: kernel flock state is the lock)."""
     try:
         with open(path) as fh:
-            return int(fh.read().strip() or "0")
+            txt = fh.read().strip()
+        return int(txt) if txt else None
     except (OSError, ValueError):
         return None
 
@@ -1453,9 +1464,23 @@ def ann_index_screen_batch(
             F.col("n2").alias("qn2"),
             F.explode(ivf_probe_cells(n_probe)).alias("cell_id"),
         )
-    cells = sorted(
-        r.cell_id for r in probes.select("cell_id").distinct().collect()
-    )
+    # pin the probes BEFORE deriving anything from them (the same
+    # hazard ann_index_append pins against): the probed-cells list, the
+    # sizing counts, and the returned plan must all see the same rows —
+    # an unpinned landing-directory source re-lists per job, and a file
+    # arriving between the cells collect and execution would have its
+    # rows in the final plan but its home cells missing from the prune
+    # list, silently screening them against NOTHING (r13 review catch).
+    # The eager checkpoint also materializes the assignment once
+    # instead of recomputing it in every downstream job.
+    probes = probes.localCheckpoint(eager=True)
+    # one bounded job yields the probed-cell list AND exact per-cell
+    # probe counts (<= n_cells rows): sizing no longer guesses from a
+    # separate batch count — which also undercounted two-level probes
+    # by the n_probe2 factor (r13 review catch)
+    count_rows = probes.groupBy("cell_id").count().collect()
+    cells = sorted(int(r["cell_id"]) for r in count_rows)
+    total_probes = sum(int(r["count"]) for r in count_rows)
     vecs = _load_vectors(spark, index_dir, meta)
     if where is not None:
         if not meta["attrs"]:
@@ -1466,12 +1491,13 @@ def ann_index_screen_batch(
         vecs = vecs.where(F.expr(where))
     if len(cells) < meta["n_cells"]:
         vecs = vecs.where(F.col("cell_id").isin(cells))
-    # sub-block counts from EXPECTED per-cell populations (index side:
-    # manifest n_vec over all cells; batch side: one cheap count) — the
-    # same bound-the-worst-task arithmetic as the near-dup tiles
-    n_q = feats.count()
+    # sub-block counts from MEAN per-cell populations (index side:
+    # manifest n_vec over all cells; batch side: the exact probe count
+    # above) — the same bound-the-worst-task arithmetic as the near-dup
+    # tiles: a cell K x hotter than the mean is bounded by its own
+    # population, not re-split (documented trade there too)
     per_cell_v = meta["n_vec"] / max(1, meta["n_cells"])
-    per_cell_q = n_q * n_probe / max(1, len(cells) or 1)
+    per_cell_q = total_probes / max(1, len(cells))
     n_sub_v = max(1, math.ceil(per_cell_v / tile_target))
     n_sub_q = max(1, math.ceil(per_cell_q / tile_target))
     q_side = probes.select(
@@ -1516,19 +1542,13 @@ def ann_index_screen_batch(
                  "cand_id": pd.Series(dtype="int64"),
                  "cosine": pd.Series(dtype="float64")}
             )
-        Q = np.stack(q["e"].to_numpy())
-        V = np.stack(v["e"].to_numpy())
-        # d-sequential chunked fold — bit-identical to _dot / the tiles
-        # kernel, which is what keeps the SQL oracle exact
-        acc = np.empty((len(q), len(v)), dtype=np.float64)
-        _CH = 256
-        for lo in range(0, len(q), _CH):
-            hi = min(lo + _CH, len(q))
-            Qch = Q[lo:hi]
-            sub = np.zeros((hi - lo, len(v)), dtype=np.float64)
-            for d in range(Q.shape[1]):
-                sub += Qch[:, d][:, None] * V[:, d][None, :]
-            acc[lo:hi] = sub
+        Q = np.stack(q["e"].to_numpy()).astype(np.float64)
+        V = np.stack(v["e"].to_numpy()).astype(np.float64)
+        # the module's ONE shared d-sequential fold (_seq_dot) — the
+        # same definition the driver probes and the JVM _dot expression
+        # pin bit-identical, so the SQL oracle stays exact with no
+        # fourth hand copy of the accumulation order to drift
+        acc = _seq_dot(Q, V)
         qn2 = q["n2"].to_numpy(dtype=np.float64)
         vn2 = v["n2"].to_numpy(dtype=np.float64)
         cos = acc / np.sqrt(qn2[:, None] * vn2[None, :])

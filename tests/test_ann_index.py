@@ -998,14 +998,18 @@ def test_two_level_plan_append_distributes(spark, tmp_path, split_corpus):
     assert "MapInPandas" in plan, plan
 
 
-def test_writer_lock_serializes_breaks_stale_and_cleans_up(
+def test_writer_lock_serializes_and_releases_on_death(
     spark, tmp_path, split_corpus, monkeypatch
 ):
-    """Appends/compactions hold an exclusive pid-stamped writer lock
-    (r12 ADVICE: unlocked appenders could drop each other's segments):
-    a lock held by a LIVE pid times the waiter out; a dead holder's
-    lock is broken; a finished append removes its lock."""
+    """Appends/compactions hold an exclusive kernel flock beside the
+    index (r12 ADVICE: unlocked appenders could drop each other's
+    segments; r13 review: pid-file breaking protocols race, flock does
+    not): a held lock times the waiter out; a holder's DEATH releases
+    it with no stale state; a finished append leaves the lock
+    immediately re-acquirable."""
+    import fcntl
     import subprocess
+    import sys
 
     import gcp_map_reduce_spark.operators.ann_index as ai
     from gcp_map_reduce_spark.operators.ann_index import ann_index_append
@@ -1014,26 +1018,36 @@ def test_writer_lock_serializes_breaks_stale_and_cleans_up(
     ann_index_build(spark, split_corpus, d, n_cells=N_CELLS)
     lock = d + ".writer-lock"
     rest = _rest_batch(spark)
-    # live holder -> TimeoutError, lock untouched
-    with open(lock, "w") as fh:
-        fh.write(str(os.getpid()))
+    # live holder (separate fd in this process) -> TimeoutError
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
     monkeypatch.setattr(ai, "WRITE_LOCK_TIMEOUT_S", 0.3)
     with pytest.raises(TimeoutError, match="writer lock"):
         ann_index_append(spark, d, rest)
-    assert os.path.exists(lock)
-    # dead holder -> broken, append proceeds, lock removed after
-    dead_pid = subprocess.Popen(["true"])  # a pid guaranteed dead
-    dead_pid.wait()
-    with open(lock, "w") as fh:
-        fh.write(str(dead_pid.pid))
+    os.close(fd)  # release
+    # dead holder: a subprocess takes the flock and EXITS mid-hold —
+    # the kernel releases it, so the next append needs no breaking
+    subprocess.run(
+        [sys.executable, "-c",
+         "import fcntl, os, sys\n"
+         f"fd = os.open({lock!r}, os.O_CREAT | os.O_RDWR)\n"
+         "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+         "os._exit(0)\n"],
+        check=True,
+    )
     meta = ann_index_append(spark, d, rest)
     assert meta["n_vec"] == 500
-    assert not os.path.exists(lock)
+    # lock re-acquirable immediately after the append returns
+    fd2 = os.open(lock, os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd2, fcntl.LOCK_EX | fcntl.LOCK_NB)  # must not raise
+    os.close(fd2)
     # compaction also locks (and releases)
     from gcp_map_reduce_spark.operators.ann_index import compact_ann_index
 
     compact_ann_index(spark, d)
-    assert not os.path.exists(lock)
+    fd3 = os.open(lock, os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd3, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    os.close(fd3)
 
 
 def test_commit_detects_external_mutation(spark, tmp_path, split_corpus):
@@ -1092,7 +1106,11 @@ def test_screen_batch_matches_range_search_and_prunes(
         map(tuple, ranged.collect())
     )
     plan = screened._jdf.queryExecution().executedPlan().toString()
-    assert "Scan ExistingRDD" not in plan, plan
+    # scoring is the grouped-GEMM kernel, and the index side reaches it
+    # from the pruned parquet scan (the probes side is the pinned
+    # checkpoint — executor storage, not a driver round-trip: the only
+    # collect in the operator is the bounded per-cell count)
+    assert "FlatMapGroupsInPandas" in plan, plan
     gates = [
         line for line in plan.splitlines()
         if "PartitionFilters" in line and "cell_id" in line and " IN (" in line
@@ -1147,5 +1165,4 @@ def test_screen_batch_two_level_matches_driver_probes(
         map(tuple, ranged.collect())
     )
     plan = screened._jdf.queryExecution().executedPlan().toString()
-    assert "Scan ExistingRDD" not in plan, plan
-    assert "MapInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
