@@ -129,6 +129,7 @@ def ann_index_meta(index_dir: str) -> dict:
     # the default keeps their streams starting, not silently lying: a
     # mismatch still fails at the first trigger exactly as before
     meta.setdefault("embedding_ddl", "array<float>")
+    meta.setdefault("storage", "float64")
     return meta
 
 
@@ -382,6 +383,50 @@ def _assign_cells(
 ARROW_ASSIGN_MIN_CELLS = 32
 
 
+def _quantize_stored(assigned: DataFrame, attrs: list[str]) -> DataFrame:
+    """Int8-quantize the float rows a build/append is about to persist:
+    per-vector ``scale = max|e| / 127``, ``ec = floor(e / scale)``
+    (tinyint codes), ``n2`` = the DECODED squared norm — the storage
+    side of the ``embedding_quantize_error`` audit, applied. Everything
+    downstream ranks on ``decode(ec) = ec * scale`` exactly: floor,
+    divide and multiply are single correctly-rounded IEEE ops, so the
+    quantized index is a DETERMINISTIC function of its inputs and the
+    SQL oracle can replicate it bit-for-bit (unlike true approximate
+    storage). A zero vector quantizes to zero codes with scale 0; any
+    NONZERO vector keeps a nonzero decoded norm (its max element's code
+    is ±127 by construction), so quantization can never create new
+    zero-norm candidates."""
+    scale = (
+        F.aggregate(
+            F.transform("e", lambda x: F.abs(x)),
+            F.lit(0.0),
+            lambda a, b: F.when(b > a, b).otherwise(a),
+        )
+        / 127
+    ).alias("scale")
+    staged = assigned.select(
+        "vec_id", "e", scale, *attrs, "cell_id"
+    )
+    ec = F.when(
+        F.col("scale") == 0,
+        F.transform("e", lambda x: F.lit(0).cast("byte")),
+    ).otherwise(
+        F.transform("e", lambda x: F.floor(x / F.col("scale")).cast("byte"))
+    )
+    staged = staged.select(
+        "vec_id", ec.alias("ec"), "scale", *attrs, "cell_id"
+    )
+    decoded = F.transform("ec", lambda c: c.cast("double") * F.col("scale"))
+    return staged.select(
+        "vec_id",
+        "ec",
+        "scale",
+        _dot(decoded, decoded).alias("n2"),
+        *attrs,
+        "cell_id",
+    )
+
+
 def _assign_cells_2l(feats: DataFrame, cb2l) -> DataFrame:
     """Distributed composite-cell assignment for a two-level codebook:
     mapInPandas over the SAME :func:`_np_assign_2l` kernel the build and
@@ -421,6 +466,7 @@ def _build_two_level(
     n_cells1: int | None,
     n_cells2: int | None,
     attrs: list[str],
+    storage: str = "float64",
 ) -> dict:
     """Two-level (coarse + residual) IVF build — the escape hatch past
     the single-broadcast codebook cap: ``K1 + K2`` collected centroid
@@ -491,7 +537,10 @@ def _build_two_level(
         "attrs": attrs,
         "attrs_ddl": _attrs_ddl(feats, attrs),
         "embedding_ddl": _embedding_ddl(spark, sf_dir),
+        "storage": storage,
     }
+    if storage == "int8":
+        assigned = _quantize_stored(assigned, attrs)
 
     def cb_df(ids, C, Cn2):
         return spark.createDataFrame(
@@ -532,6 +581,7 @@ def ann_index_build(
     assign_side: str = "auto",
     levels: int = 1,
     n_cells2: int | None = None,
+    storage: str = "float64",
 ) -> dict:
     """Build and atomically publish the IVF index for ``sf_dir``'s
     embeddings table; return the written meta dict.
@@ -560,10 +610,15 @@ def ann_index_build(
     reserved = {
         "vec_id", "e", "n2", "cell_id", "embedding", "cb",
         "query_id", "qe", "qn2", "cand_id", "cosine", "rn",
+        "ec", "scale",
     }
     if reserved & set(attrs):
         raise ValueError(
             f"attrs may not shadow index columns; reserved: {sorted(reserved)}"
+        )
+    if storage not in ("float64", "int8"):
+        raise ValueError(
+            f"storage must be 'float64' or 'int8', got {storage!r}"
         )
     if levels == 2:
         if codebook != "sampled":
@@ -572,7 +627,7 @@ def ann_index_build(
                 "seeds are defined off the sampled coarse centroids)"
             )
         return _build_two_level(
-            spark, sf_dir, index_dir, n_cells, n_cells2, attrs
+            spark, sf_dir, index_dir, n_cells, n_cells2, attrs, storage
         )
     if levels != 1:
         raise ValueError(f"levels must be 1 or 2, got {levels!r}")
@@ -597,7 +652,10 @@ def ann_index_build(
         "attrs": attrs,
         "attrs_ddl": _attrs_ddl(feats, attrs),
         "embedding_ddl": _embedding_ddl(spark, sf_dir),
+        "storage": storage,
     }
+    if storage == "int8":
+        assigned = _quantize_stored(assigned, attrs)
 
     def write(staging: str) -> None:
         seeds.coalesce(1).write.parquet(os.path.join(staging, "codebook"))
@@ -617,6 +675,7 @@ def ann_index_for_corpus(
     spark: SparkSession,
     sf_dir: str,
     cache_root: str | None = None,
+    storage: str = "float64",
 ) -> str:
     """Resolve (building if needed) the persisted index for ``sf_dir``'s
     embeddings corpus and return its index_dir — the session-spanning
@@ -641,7 +700,10 @@ def ann_index_for_corpus(
     st = os.stat(src)
     digest = hashlib.sha1(
         f"{os.path.realpath(src)}|{st.st_size}|{st.st_mtime_ns}|"
-        f"v{INDEX_VERSION}".encode()
+        f"v{INDEX_VERSION}"
+        # storage variants are distinct indexes of the same corpus;
+        # the float64 tag is elided so pre-r13 cache dirs stay valid
+        f"{'' if storage == 'float64' else '|' + storage}".encode()
     ).hexdigest()[:16]
     root = cache_root or os.path.join(
         tempfile.gettempdir(), "gcp_mrs_ann_index"
@@ -657,12 +719,15 @@ def ann_index_for_corpus(
         try:
             ann_index_meta(index_dir)  # a concurrent winner built it
         except (FileNotFoundError, ValueError):
-            ann_index_build(spark, sf_dir, index_dir)
+            ann_index_build(spark, sf_dir, index_dir, storage=storage)
     return index_dir
 
 
 def _load_vectors(
-    spark: SparkSession, index_dir: str, meta: dict | None = None
+    spark: SparkSession,
+    index_dir: str,
+    meta: dict | None = None,
+    decode: bool = True,
 ) -> DataFrame:
     """(vec_id, e, n2, cell_id) over every COMMITTED segment (base +
     appended batches, per the manifest). cell_id comes back as the
@@ -670,7 +735,16 @@ def _load_vectors(
     against the probe column never insert a cast above the scan. The
     union is segment-wise scans of identically-partitioned layouts, so
     a downstream cell_id filter pushes into EVERY leg's
-    PartitionFilters (Catalyst pushes filters through Union)."""
+    PartitionFilters (Catalyst pushes filters through Union).
+
+    Int8 indexes (``storage="int8"``) store codes, not floats; with
+    ``decode=True`` (the default every consumer wants) the stored
+    ``(ec, scale)`` pair decodes to ``e = ec * scale`` IN THE PLAN —
+    one expression above the pruned scan, so search/screen/dup-check
+    code is storage-agnostic and column pruning still drops the decode
+    entirely for ids-only reads. ``decode=False`` returns the raw
+    stored columns — compaction MUST use it, or it would silently
+    rewrite a quantized index as float64."""
     meta = meta or ann_index_meta(index_dir)
     df = None
     for seg in meta["segments"]:
@@ -678,6 +752,17 @@ def _load_vectors(
             "cell_id", F.col("cell_id").cast("long")
         )
         df = leg if df is None else df.unionByName(leg)
+    if decode and meta["storage"] == "int8":
+        decoded = F.transform(
+            "ec", lambda c: c.cast("double") * F.col("scale")
+        )
+        df = df.select(
+            "vec_id",
+            decoded.alias("e"),
+            "n2",
+            *meta["attrs"],
+            "cell_id",
+        )
     return df
 
 
@@ -869,11 +954,10 @@ def _append_collected(
     if not keep.any():
         return meta
     out = pdf.loc[keep].copy()
-    out["e"] = [list(map(float, row)) for row in E[keep]]
-    out["n2"] = n2[keep]
     out["cell_id"] = home[keep]
     from pyspark.sql.types import (
         ArrayType,
+        ByteType,
         DoubleType,
         LongType,
         StructField,
@@ -886,18 +970,47 @@ def _append_collected(
     # otherwise silently persist each attr under the other's name
     fields_by_name = {f.name: f for f in vectors.schema.fields}
     attr_fields = [fields_by_name[c] for c in attrs]
-    schema = StructType(
-        [
-            StructField("vec_id", LongType()),
-            StructField("e", ArrayType(DoubleType())),
-            StructField("n2", DoubleType()),
-            *attr_fields,
-            StructField("cell_id", LongType()),
+    if meta["storage"] == "int8":
+        # numpy mirror of _quantize_stored — max, /127, floor, * are
+        # all single correctly-rounded IEEE ops, so codes and decoded
+        # norms are bit-identical to the expression path (pytest-gated
+        # collected == plan parity on int8 indexes)
+        Ek = E[keep]
+        scale = np.max(np.abs(Ek), axis=1) / 127
+        safe = np.where(scale == 0, 1.0, scale)
+        codes = np.floor(Ek / safe[:, None])
+        codes[scale == 0] = 0.0
+        decoded = codes * scale[:, None]
+        out["ec"] = [
+            [int(c) for c in row] for row in codes.astype(np.int64)
         ]
-    )
-    assigned = spark.createDataFrame(
-        out[["vec_id", "e", "n2", *attrs, "cell_id"]], schema=schema
-    )
+        out["scale"] = scale
+        out["n2"] = _np_n2(decoded)
+        schema = StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("ec", ArrayType(ByteType())),
+                StructField("scale", DoubleType()),
+                StructField("n2", DoubleType()),
+                *attr_fields,
+                StructField("cell_id", LongType()),
+            ]
+        )
+        cols = ["vec_id", "ec", "scale", "n2", *attrs, "cell_id"]
+    else:
+        out["e"] = [list(map(float, row)) for row in E[keep]]
+        out["n2"] = n2[keep]
+        schema = StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("e", ArrayType(DoubleType())),
+                StructField("n2", DoubleType()),
+                *attr_fields,
+                StructField("cell_id", LongType()),
+            ]
+        )
+        cols = ["vec_id", "e", "n2", *attrs, "cell_id"]
+    assigned = spark.createDataFrame(out[cols], schema=schema)
     new_meta = _commit_segment(index_dir, meta, assigned, int(keep.sum()))
     for c, v in zip(home[keep], ids[keep]):
         by_cell[int(c)].add(int(v))
@@ -1040,6 +1153,12 @@ def _append_locked(
                 "appends are inserts, not upserts; rebuild to replace "
                 "(or pass if_exists='skip' for idempotent ingest)"
             )
+    if meta["storage"] == "int8":
+        # quantize ONLY what survives the dup gate, with the same
+        # expression pipeline the build used — a segment's stored form
+        # is a pure function of its rows regardless of which path
+        # wrote it
+        assigned = _quantize_stored(assigned, attrs)
     return _commit_segment(index_dir, meta, assigned, n_batch)
 
 
@@ -1080,7 +1199,10 @@ def _compact_locked(spark: SparkSession, index_dir: str) -> dict:
     meta = ann_index_meta(index_dir)
     if meta["segments"] == ["vectors"]:
         return meta
-    vecs = _load_vectors(spark, index_dir, meta)
+    # decode=False: compaction re-partitions the STORED representation
+    # verbatim — decoding here would silently rewrite an int8 index as
+    # float64 (and 5x its footprint)
+    vecs = _load_vectors(spark, index_dir, meta, decode=False)
     cb = spark.read.parquet(os.path.join(index_dir, "codebook"))
     cb2 = (
         spark.read.parquet(os.path.join(index_dir, "codebook2"))

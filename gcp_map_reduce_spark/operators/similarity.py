@@ -1103,7 +1103,11 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) 
 # which rows qualify.
 ANN_INDEX_NPROBE = 2
 
-_IVF_PERSISTED_ORACLE = f"""
+# shared CTE stack for the persisted-index oracles: probe-scaled
+# codebook, full-precision assignment and probe ranking, candidate
+# pairs — the quantized variant differs ONLY in the candidate-side
+# vectors the final cosine reads
+_IVF_PERSISTED_CTES = f"""
 WITH params AS (
   SELECT greatest(1, least({IVF_DEDUP_CELLS_CAP},
     (count(*) + {IVF_DEDUP_CELL_TARGET - 1}) // {IVF_DEDUP_CELL_TARGET}))
@@ -1135,13 +1139,47 @@ probes AS (
 cand AS (
   SELECT p.vec_id AS query_id, a.vec_id AS cand_id
   FROM probes p JOIN assign a ON p.cell_id = a.cell_id AND a.vec_id <> p.vec_id
-)
+)"""
+
+_IVF_PERSISTED_ORACLE = f"""
+{_IVF_PERSISTED_CTES}
 SELECT query_id, cand_id,
   {_SQL_DOT.format(a='q.embedding', b='c.embedding')}
     / sqrt({_SQL_DOT.format(a='q.embedding', b='q.embedding')}
            * {_SQL_DOT.format(a='c.embedding', b='c.embedding')}) AS cosine
 FROM cand JOIN embeddings q ON query_id = q.vec_id
           JOIN embeddings c ON cand_id = c.vec_id
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) <= {TOP_K}
+"""
+
+# int8-storage variant (ann_index_build(storage="int8")): assignment,
+# probing and the QUERY side stay full-precision; only the stored
+# candidate payload is quantized, so the oracle decodes each candidate
+# exactly as the engine does — scale = max|x|/127, code = floor(x /
+# scale), decoded = code * scale, every step a single correctly-rounded
+# IEEE double op — and ranks by the decoded cosine. Quantized storage
+# is therefore a DETERMINISTIC transform with a full value-hash oracle,
+# not an approximation the gate must wave through.
+_IVF_Q8_ORACLE = f"""
+{_IVF_PERSISTED_CTES},
+dec AS (
+  SELECT vec_id,
+    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0.0)
+         ELSE list_transform(embedding,
+                x -> floor(CAST(x AS DOUBLE) / scale) * scale) END AS ed
+  FROM (
+    SELECT vec_id, embedding,
+      list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                  (a, b) -> CASE WHEN b > a THEN b ELSE a END) / 127 AS scale
+    FROM embeddings
+  )
+)
+SELECT query_id, cand_id,
+  {_SQL_DOT.format(a='q.embedding', b='c.ed')}
+    / sqrt({_SQL_DOT.format(a='q.embedding', b='q.embedding')}
+           * {_SQL_DOT.format(a='c.ed', b='c.ed')}) AS cosine
+FROM cand JOIN embeddings q ON query_id = q.vec_id
+          JOIN dec c ON cand_id = c.vec_id
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) <= {TOP_K}
 """
 
@@ -1744,6 +1782,9 @@ UNION ALL
 SELECT 'ivf_persisted', query_id, cand_id, cosine, NULL, NULL
 FROM ({_IVF_PERSISTED_ORACLE})
 UNION ALL
+SELECT 'ivf_q8', query_id, cand_id, cosine, NULL, NULL
+FROM ({_IVF_Q8_ORACLE})
+UNION ALL
 SELECT 'screen', query_id, cand_id, cosine, NULL, NULL
 FROM ({_ann_screen_oracle()})
 """,
@@ -1762,7 +1803,12 @@ def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`ann_index.ann_index_for_corpus` — the first run per corpus
     version pays the build, later runs (and other sessions on the same
     box) reuse the published files, which is the operator's actual
-    production shape. r13 adds the 'screen' branch: the JOIN form
+    production shape. r13 adds two branches: 'ivf_q8' — the SAME
+    persisted search over int8-quantized storage
+    (``ann_index_build(storage="int8")``: 3.4x smaller vector files,
+    candidates ranked on exactly-decoded ``floor(x/scale)*scale``
+    doubles, so the branch carries a full value-hash oracle rather
+    than an approximation waiver) — and 'screen': the JOIN form
     (:func:`ann_screen_recent_half` /
     :func:`ann_index.ann_index_screen_batch`) that gates an
     arbitrary-size incoming batch against the same persisted index —
@@ -1792,11 +1838,15 @@ def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     idx = ann_index_for_corpus(spark, sf_dir)
+    idx_q8 = ann_index_for_corpus(spark, sf_dir, storage="int8")
     qvecs = _emb(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     persisted = ann_index_search(
         spark, idx, qvecs, k=TOP_K, n_probe=ANN_INDEX_NPROBE
+    )
+    quantized = ann_index_search(
+        spark, idx_q8, qvecs, k=TOP_K, n_probe=ANN_INDEX_NPROBE
     )
     return (
         norm(semantic_search_docs(spark, sf_dir), "bruteforce_docs", True)
@@ -1805,6 +1855,7 @@ def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             norm(similarity_lsh_ann(spark, sf_dir, multiprobe=True), "lsh", False)
         )
         .unionByName(norm(persisted, "ivf_persisted", False))
+        .unionByName(norm(quantized, "ivf_q8", False))
         .unionByName(
             norm(ann_screen_recent_half(spark, sf_dir), "screen", False)
         )

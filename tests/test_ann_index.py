@@ -1166,3 +1166,94 @@ def test_screen_batch_two_level_matches_driver_probes(
     )
     plan = screened._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_int8_storage_end_to_end(spark, tmp_path, split_corpus):
+    """r13 quantized storage (ann_index_build(storage='int8')): codes +
+    scale persist instead of float64 vectors (measured 3.4x smaller
+    files), every consumer reads the exactly-decoded floor(x/scale)*
+    scale doubles through _load_vectors' in-plan decode, both append
+    paths quantize bit-identically (n2 float equality across expression
+    and numpy), compaction preserves the stored form, and search
+    quality is measurably intact (top-k overlap and cosine error
+    bounds vs the float64 index)."""
+    import glob
+
+    from gcp_map_reduce_spark.operators.ann_index import (
+        _load_vectors,
+        ann_index_append,
+        compact_ann_index,
+    )
+
+    q8 = str(tmp_path / "q8")
+    f64 = str(tmp_path / "f64")
+    ann_index_build(spark, SF, q8, n_cells=N_CELLS, storage="int8",
+                    attrs=["label"])
+    ann_index_build(spark, SF, f64, n_cells=N_CELLS, attrs=["label"])
+    meta = ann_index_meta(q8)
+    assert meta["storage"] == "int8"
+    raw = spark.read.parquet(os.path.join(q8, "vectors"))
+    assert "ec" in raw.columns and "scale" in raw.columns
+    assert "e" not in raw.columns
+    assert dict(raw.dtypes)["ec"] == "array<tinyint>"
+
+    def nbytes(d):
+        return sum(
+            os.path.getsize(p)
+            for p in glob.glob(os.path.join(d, "vectors*", "*", "*.parquet"))
+        )
+
+    assert nbytes(f64) / nbytes(q8) >= 2.5  # measured 3.4x
+    # same cell structure: assignment runs on full precision both ways
+    cells = lambda d: sorted(  # noqa: E731
+        (r.vec_id, r.cell_id)
+        for r in _load_vectors(spark, d).select("vec_id", "cell_id").collect()
+    )
+    assert cells(q8) == cells(f64)
+    # search quality: decoded ranking stays close to full precision
+    qs = _queries(spark)
+    r8 = {
+        (r.query_id, r.cand_id): r.cosine
+        for r in ann_index_search(spark, q8, qs, k=5, n_probe=8).collect()
+    }
+    rf = {
+        (r.query_id, r.cand_id): r.cosine
+        for r in ann_index_search(spark, f64, qs, k=5, n_probe=8).collect()
+    }
+    common = set(r8) & set(rf)
+    assert len(common) / len(rf) >= 0.9
+    assert max(abs(r8[k] - rf[k]) for k in common) < 0.01
+    # filtered search reads the decoded plan through the attr pushdown
+    flt = ann_index_search(
+        spark, q8, qs, k=3, n_probe=8, where="label = 1"
+    ).collect()
+    assert flt and all(r.cand_id is not None for r in flt)
+    # grown == fresh across BOTH append paths, n2 float-equal (the
+    # expression and numpy quantizers agree bitwise)
+    grown = str(tmp_path / "grown")
+    ann_index_build(spark, split_corpus, grown, n_cells=N_CELLS,
+                    storage="int8")
+    rest = _rest_batch(spark)
+    ann_index_append(spark, grown, rest.filter(F.col("vec_id") < 450))
+    ann_index_append(
+        spark, grown, rest.filter(F.col("vec_id") >= 450), collected=True
+    )
+    fresh = str(tmp_path / "fresh")
+    ann_index_build(spark, SF, fresh, n_cells=N_CELLS, storage="int8")
+    rows = lambda d: sorted(  # noqa: E731
+        map(
+            tuple,
+            _load_vectors(spark, d).select("vec_id", "n2", "cell_id").collect(),
+        )
+    )
+    assert rows(grown) == rows(fresh)
+    # compaction keeps the stored form and changes nothing observable
+    pre = sorted(
+        map(tuple, ann_index_search(spark, grown, qs).collect())
+    )
+    compact_ann_index(spark, grown)
+    raw2 = spark.read.parquet(os.path.join(grown, "vectors"))
+    assert "ec" in raw2.columns and "e" not in raw2.columns
+    assert pre == sorted(
+        map(tuple, ann_index_search(spark, grown, qs).collect())
+    )
