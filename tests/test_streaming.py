@@ -1305,3 +1305,50 @@ def test_streaming_index_maintenance_double_typed_corpus(spark, tmp_path):
             ),
         ).collect()
     }
+
+
+def test_streaming_index_maintenance_int8_storage(spark, tmp_path):
+    """The maintenance stream grows an int8-quantized index with exact
+    parity to a fresh int8 build: the collected append's numpy
+    quantizer matches the build's expression quantizer bit-for-bit
+    (n2 float equality), and the stored form stays tinyint codes."""
+    import duckdb
+
+    from gcp_map_reduce_spark.operators.ann_index import (
+        _load_vectors,
+        ann_index_build,
+        ann_index_meta,
+    )
+    from gcp_map_reduce_spark.streaming import run_streaming_index_maintenance
+
+    SF = "/root/testdata/sf0.01"
+    base = tmp_path / "basesf"
+    base.mkdir()
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{SF}/embeddings.parquet' WHERE vec_id < 400 "
+        f"ORDER BY vec_id) TO '{base}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    src = tmp_path / "arriving"
+    src.mkdir()
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{SF}/embeddings.parquet' WHERE vec_id >= 400) "
+        f"TO '{src}/a.parquet' (FORMAT PARQUET)"
+    )
+    idx = str(tmp_path / "idx")
+    ann_index_build(spark, str(base), idx, n_cells=8, storage="int8")
+    q = run_streaming_index_maintenance(
+        spark, str(src), idx, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    assert ann_index_meta(idx)["n_vec"] == 500
+    seg = spark.read.parquet(idx + "/vectors-seg0001")
+    assert "ec" in seg.columns and "e" not in seg.columns
+    fresh = str(tmp_path / "fresh")
+    ann_index_build(spark, SF, fresh, n_cells=8, storage="int8")
+    rows = lambda d: sorted(  # noqa: E731
+        map(
+            tuple,
+            _load_vectors(spark, d).select("vec_id", "n2", "cell_id").collect(),
+        )
+    )
+    assert rows(idx) == rows(fresh)

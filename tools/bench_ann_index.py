@@ -65,7 +65,8 @@ def _scale_mode(args) -> None:
             # rebuild over live: publish_atomic swaps, so the kept index
             # is always the LAST completed build
             t0 = time.monotonic()
-            meta = ann_index_build(spark, sf, idx, levels=args.levels)
+            meta = ann_index_build(spark, sf, idx, levels=args.levels,
+                                   storage=args.storage)
             build_times.append(time.monotonic() - t0)
         build_s = min(build_times)
         queries = (
@@ -100,6 +101,12 @@ def _scale_mode(args) -> None:
                 _timed(lambda: ann_index_append(spark, idx, batch))
             )
         append_s = min(append_times)
+        import glob as _glob
+
+        vec_bytes = sum(
+            os.path.getsize(p)
+            for p in _glob.glob(os.path.join(idx, "vectors*", "*", "*.parquet"))
+        )
         points.append({
             "sf_dir": sf,
             "n_vec": meta["n_vec"],
@@ -107,6 +114,7 @@ def _scale_mode(args) -> None:
             "build_sec": round(build_s, 3),
             "search_sec": round(search_s, 3),
             "append_1k_sec": round(append_s, 3),
+            "vector_bytes": vec_bytes,
         })
 
     def expo(key: str) -> float | None:
@@ -119,6 +127,7 @@ def _scale_mode(args) -> None:
     _emit({
         "metric": "ann_index_scale",
         "levels": args.levels,
+        "storage": args.storage,
         "append_rows": args.append_rows,
         "runs_best_of": args.runs,
         "points": points,
@@ -163,6 +172,9 @@ def main() -> None:
     ap.add_argument("--levels", type=int, default=1, choices=[1, 2],
                     help="scale mode: build single- or two-level "
                     "(coarse+residual) indexes per point")
+    ap.add_argument("--storage", default="float64",
+                    choices=["float64", "int8"],
+                    help="scale mode: vector storage variant to build")
     args = ap.parse_args()
     if args.mode == "scale":
         _scale_mode(args)
