@@ -90,9 +90,16 @@ from gcp_map_reduce_spark.operators.similarity import (
     ivf_dedup_n_cells,
     ivf_probe_cells,
 )
-from gcp_map_reduce_spark.sinks.writers import _pid_alive, publish_atomic
+from gcp_map_reduce_spark.sinks.writers import publish_atomic
 
 INDEX_VERSION = 1
+# int8-storage manifests carry a HIGHER version on purpose: their vector
+# schema (ec/scale instead of e) is unreadable by pre-r13 code, and the
+# version gate is what turns that into the designed "rebuild the index"
+# error instead of an unresolved-column crash deep in a search plan.
+# float64 indexes keep version 1 so pre-r13 readers stay compatible.
+INDEX_VERSION_INT8 = 2
+READER_VERSIONS = (INDEX_VERSION, INDEX_VERSION_INT8)
 META_FILE = "_index_meta.json"
 
 
@@ -111,10 +118,10 @@ def ann_index_meta(index_dir: str) -> dict:
         )
     with open(path) as fh:
         meta = json.load(fh)
-    if meta.get("version") != INDEX_VERSION:
+    if meta.get("version") not in READER_VERSIONS:
         raise ValueError(
             f"ANN index at {index_dir} has version {meta.get('version')!r}, "
-            f"this reader speaks {INDEX_VERSION} — rebuild the index"
+            f"this reader speaks {READER_VERSIONS} — rebuild the index"
         )
     # pre-append manifests carry no segment list; they are exactly the
     # single base segment (append always writes the key). Pre-attrs
@@ -525,7 +532,7 @@ def _build_two_level(
     assigned = _assign_cells_2l(feats, cb2l)
     dim = int(C1.shape[1])
     meta = {
-        "version": INDEX_VERSION,
+        "version": INDEX_VERSION if storage == "float64" else INDEX_VERSION_INT8,
         "levels": 2,
         "n_cells": int(n_cells1 * n_cells2),
         "n_cells1": int(n_cells1),
@@ -643,7 +650,7 @@ def ann_index_build(
         _emb(spark, sf_dir).select("embedding").head()["embedding"]
     )
     meta = {
-        "version": INDEX_VERSION,
+        "version": INDEX_VERSION if storage == "float64" else INDEX_VERSION_INT8,
         "n_cells": int(n_cells),
         "n_vec": int(n_vec),
         "dim": int(dim),
@@ -1572,7 +1579,7 @@ def ann_index_screen_batch(
         batch.select(F.col("vec_id").alias("query_id"), "embedding")
     )
     if meta["levels"] == 2:
-        probes = _probe_cells_2l_plan(
+        assigned_q = _probe_cells_2l_plan(
             spark, index_dir, meta, feats, n_probe, n_probe2
         )
     else:
@@ -1580,22 +1587,27 @@ def ann_index_screen_batch(
             spark.read.parquet(os.path.join(index_dir, "codebook"))
             .agg(F.collect_list(F.struct("cell_id", "ce", "cn2")).alias("cb"))
         )
-        probes = feats.crossJoin(F.broadcast(cb)).select(
+        assigned_q = feats.crossJoin(F.broadcast(cb)).select(
             "query_id",
             F.col("e").alias("qe"),
             F.col("n2").alias("qn2"),
-            F.explode(ivf_probe_cells(n_probe)).alias("cell_id"),
+            ivf_probe_cells(n_probe).alias("cells"),
         )
-    # pin the probes BEFORE deriving anything from them (the same
+    # pin the assignment BEFORE deriving anything from it (the same
     # hazard ann_index_append pins against): the probed-cells list, the
     # sizing counts, and the returned plan must all see the same rows —
     # an unpinned landing-directory source re-lists per job, and a file
     # arriving between the cells collect and execution would have its
     # rows in the final plan but its home cells missing from the prune
     # list, silently screening them against NOTHING (r13 review catch).
-    # The eager checkpoint also materializes the assignment once
-    # instead of recomputing it in every downstream job.
-    probes = probes.localCheckpoint(eager=True)
+    # Pinned PRE-explode — one row per query with its probe-cell ARRAY —
+    # so each embedding is materialized once, not n_probe (x n_probe2)
+    # times (second review catch); the eager checkpoint also computes
+    # the assignment once instead of per downstream job.
+    assigned_q = assigned_q.localCheckpoint(eager=True)
+    probes = assigned_q.select(
+        "query_id", "qe", "qn2", F.explode("cells").alias("cell_id")
+    )
     # one bounded job yields the probed-cell list AND exact per-cell
     # probe counts (<= n_cells rows): sizing no longer guesses from a
     # separate batch count — which also undercounted two-level probes
@@ -1698,12 +1710,14 @@ def _probe_cells_2l_plan(
     n_probe: int,
     n_probe2: int,
 ) -> DataFrame:
-    """(query_id, qe, qn2, cell_id) probe pairs for a two-level index,
-    computed PER ARROW BATCH in the plan — the distributed twin of
+    """(query_id, qe, qn2, cells) — one row per query carrying its
+    ``n_probe x n_probe2`` composite probe-cell ARRAY — computed PER
+    ARROW BATCH in the plan: the distributed twin of
     :func:`_probes_driver_2l`, built from the same ``_np_nearest`` /
     ``_np_n2`` primitives so composite probe ranking cannot drift
-    between the driver and plan paths. Emits ``n_probe x n_probe2``
-    rows per input row."""
+    between the driver and plan paths. Pre-explode on purpose: the
+    screen pins this relation, and an array row stores each embedding
+    once where exploded rows would store it rep times."""
     import numpy as np
 
     cb2l = _codebook_2l_driver(spark, index_dir, meta)
@@ -1720,7 +1734,7 @@ def _probe_cells_2l_plan(
                     {"query_id": pd.Series([], dtype="int64"),
                      "qe": pd.Series([], dtype="object"),
                      "qn2": pd.Series([], dtype="float64"),
-                     "cell_id": pd.Series([], dtype="int64")}
+                     "cells": pd.Series([], dtype="object")}
                 )
                 continue
             Q = np.stack(pdf["e"].to_numpy()).astype(np.float64)
@@ -1731,22 +1745,24 @@ def _probe_cells_2l_plan(
             coarse = ids1[i1.reshape(-1)]
             comps = (
                 coarse[:, None] * np.int64(k2) + ids2[i2]
-            )  # (rows*p1, p2)
+            )  # (rows*p1, p2), query-major
             rep = p1 * p2
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(
-                        pdf["query_id"].to_numpy(dtype=np.int64), rep
-                    ),
-                    "qe": np.repeat(pdf["e"].to_numpy(), rep),
-                    "qn2": np.repeat(qn2, rep),
-                    "cell_id": comps.reshape(len(pdf), rep).reshape(-1),
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "qe": pdf["e"].to_numpy(),
+                    "qn2": qn2,
+                    "cells": [
+                        [int(c) for c in row]
+                        for row in comps.reshape(len(pdf), rep)
+                    ],
                 }
             )
 
     return feats.mapInPandas(
         kernel,
-        schema="query_id long, qe array<double>, qn2 double, cell_id long",
+        schema="query_id long, qe array<double>, qn2 double, "
+               "cells array<bigint>",
     )
 
 

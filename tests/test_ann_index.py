@@ -1192,6 +1192,10 @@ def test_int8_storage_end_to_end(spark, tmp_path, split_corpus):
     ann_index_build(spark, SF, f64, n_cells=N_CELLS, attrs=["label"])
     meta = ann_index_meta(q8)
     assert meta["storage"] == "int8"
+    # int8 manifests carry version 2 ON PURPOSE: a pre-r13 reader's
+    # version gate then rejects them with the designed rebuild message
+    # instead of crashing on the changed vector schema
+    assert meta["version"] == 2
     raw = spark.read.parquet(os.path.join(q8, "vectors"))
     assert "ec" in raw.columns and "scale" in raw.columns
     assert "e" not in raw.columns
