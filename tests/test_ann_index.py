@@ -1261,3 +1261,22 @@ def test_int8_storage_end_to_end(spark, tmp_path, split_corpus):
     assert pre == sorted(
         map(tuple, ann_index_search(spark, grown, qs).collect())
     )
+    # batch screening over int8 storage: the GEMM kernel reads the
+    # decoded plan and equals the range search bit-for-bit
+    from gcp_map_reduce_spark.operators.ann_index import (
+        ann_index_range_search,
+        ann_index_screen_batch,
+    )
+
+    small = (
+        spark.read.parquet(SF + "/embeddings.parquet")
+        .filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+    )
+    scr = sorted(map(tuple, ann_index_screen_batch(
+        spark, q8, small, 0.2, n_probe=2).collect()))
+    rng = sorted(map(tuple, ann_index_range_search(
+        spark, q8,
+        small.select(F.col("vec_id").alias("query_id"), "embedding"),
+        0.2, n_probe=2).collect()))
+    assert scr == rng
