@@ -11,7 +11,11 @@ output) and ``GET /final_output`` fetches the merged result. Here the
   directory and persist the merged, key-sorted final output;
 - :func:`get_final_output` — read it back (E2);
 - :func:`create_app` — optional thin Flask façade with the same two
-  routes, for drop-in API parity. The engine never depends on it.
+  routes, for drop-in API parity, plus one clearly-marked EXTENSION
+  route (``POST /semantic_search``, serving top-k cosine search from
+  the persisted ANN index — the reference has no ANN surface at all;
+  enabled only when ``emb_sf_dir`` is configured). The engine never
+  depends on it.
 
 The reference's whole cluster lifecycle (O19/O20 barriers + VM create)
 has no analog here by design: Spark's scheduler owns stages and executors.
@@ -63,9 +67,21 @@ def get_final_output(spark: SparkSession, operation: str, store_dir: str) -> Dat
     return spark.read.json(os.path.join(store_dir, f"final-output-{operation}"))
 
 
-def create_app(spark: SparkSession, input_dir: str, store_dir: str):
-    """Thin Flask façade with the reference's two routes. Synchronous like
-    the original (the HTTP response returns after the job completes)."""
+def create_app(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    emb_sf_dir: str | None = None,
+):
+    """Thin Flask façade with the reference's two routes (synchronous
+    like the original — the HTTP response returns after the job
+    completes) and, when ``emb_sf_dir`` is given, the extension
+    ``POST /semantic_search`` route: body ``{"queries": [{"query_id":
+    long, "embedding": [float, ...]}, ...], "k": int}`` -> top-k cosine
+    candidates per query served from the persisted IVF index
+    (``ann_index_for_corpus``: the first call per corpus version pays
+    the build, every later request reads only probed cells' files —
+    the HTTP face of build-once/query-many)."""
     from flask import Flask, jsonify, request
 
     app = Flask("gcp_map_reduce_spark")
@@ -87,5 +103,38 @@ def create_app(spark: SparkSession, input_dir: str, store_dir: str):
             d = r.asDict(recursive=True)
             payload[d["word"]] = d.get("cnt", d.get("docs"))
         return jsonify(payload)
+
+    if emb_sf_dir is not None:
+
+        @app.post("/semantic_search")
+        def semantic_search():  # pragma: no cover - via test client
+            from gcp_map_reduce_spark.operators.ann_index import (
+                ann_index_for_corpus,
+                ann_index_search,
+            )
+
+            body = request.get_json(silent=True) or {}
+            queries = body.get("queries") or []
+            if not queries:
+                return jsonify({"error": "queries is required"}), 400
+            k = int(body.get("k", 5))
+            n_probe = int(body.get("n_probe", 2))
+            idx = ann_index_for_corpus(spark, emb_sf_dir)
+            qdf = spark.createDataFrame(
+                [
+                    (int(q["query_id"]), [float(x) for x in q["embedding"]])
+                    for q in queries
+                ],
+                "query_id long, embedding array<double>",
+            )
+            rows = ann_index_search(
+                spark, idx, qdf, k=k, n_probe=n_probe
+            ).collect()
+            out: dict = {}
+            for r in rows:
+                out.setdefault(str(r.query_id), []).append(
+                    {"cand_id": r.cand_id, "cosine": r.cosine}
+                )
+            return jsonify(out)
 
     return app

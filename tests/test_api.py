@@ -72,3 +72,51 @@ def test_cli_list_names_every_query(capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == len(registry.QUERIES)
     assert any(line.startswith("wordcount\t") for line in out)
+
+
+def test_semantic_search_route(spark, tmp_path):
+    """The r13 extension route: POST /semantic_search serves top-k
+    cosine candidates from the persisted corpus index and matches a
+    direct ann_index_search call (same k / n_probe / self-exclusion)."""
+    import pytest
+
+    flask = pytest.importorskip("flask")  # noqa: F841 - gate only
+
+    from pyspark.sql import functions as F
+
+    from gcp_map_reduce_spark.api import create_app
+    from gcp_map_reduce_spark.operators.ann_index import (
+        ann_index_for_corpus,
+        ann_index_search,
+    )
+
+    SF = "/root/testdata/sf0.01"
+    app = create_app(
+        spark, str(tmp_path / "in"), str(tmp_path / "store"), emb_sf_dir=SF
+    )
+    emb = spark.read.parquet(SF + "/embeddings.parquet").filter(
+        F.col("vec_id") < 2
+    )
+    queries = [
+        {"query_id": r.vec_id, "embedding": [float(x) for x in r.embedding]}
+        for r in emb.collect()
+    ]
+    client = app.test_client()
+    resp = client.post("/semantic_search", json={"queries": queries, "k": 3})
+    assert resp.status_code == 200
+    got = resp.get_json()
+    idx = ann_index_for_corpus(spark, SF)
+    direct = ann_index_search(
+        spark, idx,
+        emb.select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=3,
+    ).collect()
+    want: dict = {}
+    for r in direct:
+        want.setdefault(str(r.query_id), []).append(
+            {"cand_id": r.cand_id, "cosine": r.cosine}
+        )
+    assert {k: sorted(v, key=lambda d: d["cand_id"]) for k, v in got.items()} \
+        == {k: sorted(v, key=lambda d: d["cand_id"]) for k, v in want.items()}
+    # missing queries -> 400, not a stack trace
+    assert client.post("/semantic_search", json={}).status_code == 400
