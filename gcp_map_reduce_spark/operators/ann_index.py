@@ -20,9 +20,11 @@ Layout (all under one index dir, published atomically)::
       vectors-segNNNN/     appended batches, same layout (LSM-style;
                              see ann_index_append / compact_ann_index)
       _index_meta.json     {version, levels, n_cells, n_vec, dim,
-                             segments, attrs} — the manifest is the
-                             COMMIT POINT: a segment exists iff listed
-                             here
+                             segments, attrs, cell_counts} — the
+                             manifest is the COMMIT POINT: a segment
+                             exists iff listed here; cell_counts (r14)
+                             carries exact per-cell populations for the
+                             screening join's hot-cell sub-splitting
 
 Why ``partitionBy(cell_id)`` is the load-bearing choice: the partition
 column becomes a DIRECTORY level, so a search's cell restriction is a
@@ -137,6 +139,10 @@ def ann_index_meta(index_dir: str) -> dict:
     # mismatch still fails at the first trigger exactly as before
     meta.setdefault("embedding_ddl", "array<float>")
     meta.setdefault("storage", "float64")
+    # pre-r14 manifests carry no per-cell populations: None means
+    # UNKNOWN (consumers fall back to mean-based sizing), distinct from
+    # {} which would claim an empty index
+    meta.setdefault("cell_counts", None)
     return meta
 
 
@@ -242,6 +248,85 @@ def _lock_pid(path: str) -> int | None:
         return int(txt) if txt else None
     except (OSError, ValueError):
         return None
+
+
+# Cache-generation GC (ann_index_for_corpus): the resolved digest dir
+# plus this many most-recently-used OTHER generations survive a resolve;
+# older ones are swept (their corpora changed — nothing resolves to them
+# again). Without this a long-lived maintenance host leaks one full
+# index per corpus change/storage variant forever (r13 verdict).
+ANN_INDEX_KEEP_GENERATIONS = 3
+
+
+def _touch_last_used(index_dir: str) -> None:
+    """Stamp resolve-time recency on a sidecar BESIDE the dir (inside
+    would die with every publish swap) — what keep-last-K orders by."""
+    path = index_dir.rstrip("/") + ".last-used"
+    with open(path, "a"):
+        pass
+    os.utime(path, None)
+
+
+def _last_used_ns(root: str, name: str) -> int:
+    """A generation's recency: the resolve-time sidecar when present,
+    else the dir's own mtime (pre-GC generations never got a sidecar)."""
+    for p in (os.path.join(root, name + ".last-used"),
+              os.path.join(root, name)):
+        try:
+            return os.stat(p).st_mtime_ns
+        except OSError:
+            continue
+    return 0
+
+
+def _sweep_stale_generations(
+    root: str, keep_dir: str, keep: int | None = None
+) -> None:
+    """Delete superseded cache generations under ``root``, keeping the
+    just-resolved ``keep_dir`` plus the ``keep - 1`` most recently used
+    others. Each victim is claimed via its own writer lock NON-blocking
+    — a held lock means a live builder/appender owns it and it is
+    skipped this pass, never broken (flock dies with its holder, so a
+    skipped dir is reclaimable the moment that process exits). Only
+    pure 16-hex digest names with a manifest are candidates: staging /
+    rollback siblings (``.staging-publish-*``, ``.old-publish``) belong
+    to publish_atomic's own sweep, and lock/sidecar files are tiny and
+    deliberately never unlinked (unlinking a lock file a waiter is
+    blocked on would split the lock across two inodes — the r13 review
+    class of race this module refuses to reopen).
+
+    Readers take no lock by design, so a reader STILL scanning a
+    generation that has aged past keep-last-K can lose its files
+    mid-plan — the same contract as any cache eviction: consumers hold
+    the resolved path for one query burst and re-resolve per batch (the
+    façade and every operator here do)."""
+    if keep is None:
+        keep = ANN_INDEX_KEEP_GENERATIONS
+    keep_name = os.path.basename(keep_dir.rstrip("/"))
+    try:
+        names = os.listdir(root)
+    except FileNotFoundError:
+        return
+    gens = [
+        n
+        for n in names
+        if n != keep_name
+        and len(n) == 16
+        and all(c in "0123456789abcdef" for c in n)
+        and os.path.isfile(os.path.join(root, n, META_FILE))
+    ]
+    gens.sort(key=lambda n: _last_used_ns(root, n), reverse=True)
+    for name in gens[max(0, keep - 1):]:
+        victim = os.path.join(root, name)
+        import shutil
+
+        try:
+            with _write_lock(victim, timeout=0):
+                shutil.rmtree(victim, ignore_errors=True)
+                with contextlib.suppress(OSError):
+                    os.remove(victim + ".last-used")
+        except TimeoutError:
+            continue  # live writer owns it — not stale, skip this pass
 
 
 def _np_n2(E):
@@ -570,6 +655,9 @@ def _build_two_level(
             .write.partitionBy("cell_id")
             .parquet(os.path.join(staging, "vectors"))
         )
+        meta["cell_counts"] = _seg_cell_counts(
+            spark, os.path.join(staging, "vectors")
+        )
         with open(os.path.join(staging, META_FILE), "w") as fh:
             json.dump(meta, fh)
 
@@ -606,7 +694,40 @@ def ann_index_build(
     ``ann_index_search(where=...)``), so a filtered search reads even
     less than an unfiltered one, instead of post-filtering collected
     candidates.
+
+    Concurrency: the whole build holds the index's exclusive writer
+    lock, exactly like appends and compactions — a rebuild OVER A LIVE
+    index (the documented reindex pattern) otherwise races a locked
+    append: ``publish_atomic``'s dir swap can land mid-append, dropping
+    the append's committed segment or publishing a manifest that lists
+    a segment absent from the swapped-in dir (r13 ADVICE). Internal
+    callers that already hold the lock (``ann_index_for_corpus``,
+    ``ann_index_rebuild``) call :func:`_build_unlocked` instead — flock
+    is per-open-file-description, so a nested acquire in the same
+    process would deadlock until timeout, not recurse.
     """
+    with _write_lock(index_dir):
+        return _build_unlocked(
+            spark, sf_dir, index_dir, n_cells, codebook, kmeans_iters,
+            attrs, assign_side, levels, n_cells2, storage,
+        )
+
+
+def _build_unlocked(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    n_cells: int | None = None,
+    codebook: str = "sampled",
+    kmeans_iters: int = 2,
+    attrs: list[str] | None = None,
+    assign_side: str = "auto",
+    levels: int = 1,
+    n_cells2: int | None = None,
+    storage: str = "float64",
+) -> dict:
+    """:func:`ann_index_build` minus the writer lock — for callers that
+    already hold it (lock acquisition is non-reentrant by design)."""
     from gcp_map_reduce_spark.operators.similarity import corpus_vec_count
 
     attrs = list(attrs or [])
@@ -671,6 +792,9 @@ def ann_index_build(
             .write.partitionBy("cell_id")
             .parquet(os.path.join(staging, "vectors"))
         )
+        meta["cell_counts"] = _seg_cell_counts(
+            spark, os.path.join(staging, "vectors")
+        )
         with open(os.path.join(staging, META_FILE), "w") as fh:
             json.dump(meta, fh)
 
@@ -719,6 +843,8 @@ def ann_index_for_corpus(
     index_dir = os.path.join(root, digest)
     try:
         ann_index_meta(index_dir)
+        _touch_last_used(index_dir)
+        _sweep_stale_generations(root, index_dir)
         return index_dir
     except (FileNotFoundError, ValueError):
         pass
@@ -726,7 +852,13 @@ def ann_index_for_corpus(
         try:
             ann_index_meta(index_dir)  # a concurrent winner built it
         except (FileNotFoundError, ValueError):
-            ann_index_build(spark, sf_dir, index_dir, storage=storage)
+            # _build_unlocked: this frame already holds the writer lock
+            _build_unlocked(spark, sf_dir, index_dir, storage=storage)
+    # recency stamp + GC of superseded generations (keep-last-K, each
+    # victim claimed via its own writer lock non-blocking) — the sweep
+    # runs OUTSIDE our own dir's lock: it never touches index_dir
+    _touch_last_used(index_dir)
+    _sweep_stale_generations(root, index_dir)
     return index_dir
 
 
@@ -773,22 +905,59 @@ def _load_vectors(
     return df
 
 
+def _seg_cell_counts(spark: SparkSession, seg_dir: str) -> dict:
+    """{str(cell_id): rows} of ONE written segment dir, read from the
+    parquet FOOTERS (the projection is the partition column alone, so no
+    data page is ever decoded — one metadata-weight job). The manifest
+    accumulates these per commit into ``cell_counts``: the exact
+    per-cell populations the screening join sizes its sub-blocks from —
+    sizing from the MEAN left a Zipf-hot cell's worst task bounded by
+    its own population instead of the tile target (r13 verdict task 5),
+    and at 100 TB the hot cell IS the workload. JSON object keys are
+    strings by spec, hence str(cell_id)."""
+    rows = spark.read.parquet(seg_dir).groupBy("cell_id").count().collect()
+    return {str(int(r["cell_id"])): int(r["count"]) for r in rows}
+
+
+def _generation(index_dir: str) -> int:
+    """The published codebook dir's st_mtime_ns — the index GENERATION
+    fingerprint: appends never touch the codebook, so within one
+    generation it is constant, and every rebuild republishes it
+    (publish_atomic swaps the whole dir), so two generations can never
+    share it (ns resolution, same reason _mirror_key uses it)."""
+    return os.stat(os.path.join(index_dir, "codebook")).st_mtime_ns
+
+
 def _commit_segment(
-    index_dir: str, meta: dict, assigned: DataFrame, n_batch: int
+    index_dir: str,
+    meta: dict,
+    assigned: DataFrame,
+    n_batch: int,
+    expected_gen: int | None = None,
+    seg_counts: dict | None = None,
 ) -> dict:
     """Write ``assigned`` as the next segment dir and commit it into the
     manifest (atomic replace = the commit point; a pre-existing dir at
     the slot is an unregistered crash leftover and is swept). Callers
     hold the writer lock; the manifest re-read below turns a
     NON-locking external mutation (which the lock cannot see) into a
-    loud error instead of a silent lost update."""
+    loud error instead of a silent lost update. ``expected_gen`` is the
+    :func:`_generation` fingerprint captured when ``meta`` was read —
+    it catches the mutation the segments list alone cannot: an external
+    REBUILD that lands segments==['vectors'] while our stale meta also
+    reads ['vectors'] (first append on a fresh index) swapped the
+    codebook underneath, and committing would register rows assigned
+    against the OLD codebook (r13 ADVICE)."""
     on_disk = ann_index_meta(index_dir)
-    if on_disk["segments"] != meta["segments"]:
+    if on_disk["segments"] != meta["segments"] or (
+        expected_gen is not None and _generation(index_dir) != expected_gen
+    ):
         raise RuntimeError(
             f"index at {index_dir} was mutated outside the writer lock "
-            f"during this append (manifest segments changed "
-            f"{meta['segments']} -> {on_disk['segments']}) — aborting "
-            "before overwriting its commit; retry the append"
+            f"during this append (manifest segments {meta['segments']} "
+            f"-> {on_disk['segments']}, or the codebook generation "
+            "changed — an external rebuild) — aborting before "
+            "overwriting its commit; retry the append"
         )
     seg = f"vectors-seg{len(meta['segments']):04d}"
     seg_dir = os.path.join(index_dir, seg)
@@ -803,6 +972,19 @@ def _commit_segment(
     )
     meta["segments"] = list(meta["segments"]) + [seg]
     meta["n_vec"] = int(meta["n_vec"]) + int(n_batch)
+    # accumulate exact per-cell populations (the screening join's
+    # sub-split sizing). ``seg_counts`` lets the collected path pass its
+    # already-known driver-side histogram (zero extra jobs); the plan
+    # path reads the new segment's FOOTERS (metadata-weight). A pre-r14
+    # manifest (cell_counts None) stays unknown — one unknown base
+    # segment would poison every later exact count.
+    if meta.get("cell_counts") is not None:
+        if seg_counts is None:
+            seg_counts = _seg_cell_counts(assigned.sparkSession, seg_dir)
+        cc = dict(meta["cell_counts"])
+        for k, v in seg_counts.items():
+            cc[k] = cc.get(k, 0) + int(v)
+        meta["cell_counts"] = cc
     _meta_write(index_dir, meta)
     return meta
 
@@ -880,11 +1062,7 @@ def _mirror_key(index_dir: str, segments) -> tuple:
     # st_mtime_ns, not float seconds: on coarse-timestamp filesystems a
     # rebuild landing in the same second would alias the old generation
     # (the same reason ann_index_for_corpus fingerprints with mtime_ns)
-    return (
-        index_dir,
-        os.stat(os.path.join(index_dir, "codebook")).st_mtime_ns,
-        tuple(segments),
-    )
+    return (index_dir, _generation(index_dir), tuple(segments))
 
 
 def _append_collected(
@@ -893,6 +1071,7 @@ def _append_collected(
     meta: dict,
     vectors: DataFrame,
     if_exists: str,
+    expected_gen: int | None = None,
 ) -> dict:
     """Driver-centric append (the streaming triggers' pattern,
     streaming/embedding_near_dup.py): collect the batch once, assign in
@@ -1018,7 +1197,15 @@ def _append_collected(
         )
         cols = ["vec_id", "e", "n2", *attrs, "cell_id"]
     assigned = spark.createDataFrame(out[cols], schema=schema)
-    new_meta = _commit_segment(index_dir, meta, assigned, int(keep.sum()))
+    # per-cell histogram is already on the driver — no footer job needed
+    uniq, cnts = np.unique(home[keep], return_counts=True)
+    seg_counts = {
+        str(int(c)): int(n) for c, n in zip(uniq, cnts)
+    }
+    new_meta = _commit_segment(
+        index_dir, meta, assigned, int(keep.sum()), expected_gen,
+        seg_counts=seg_counts,
+    )
     for c, v in zip(home[keep], ids[keep]):
         by_cell[int(c)].add(int(v))
     _ids_mirror_evict(by_cell)
@@ -1100,6 +1287,9 @@ def _append_locked(
     collected: bool,
 ) -> dict:
     meta = ann_index_meta(index_dir)
+    # generation fingerprint captured WITH the manifest read: the two
+    # together define what "unchanged index" means to _commit_segment
+    expected_gen = _generation(index_dir)
     attrs = meta["attrs"]
     missing = [c for c in attrs if c not in vectors.columns]
     if missing:
@@ -1108,7 +1298,9 @@ def _append_locked(
             f"{missing} — every segment must carry the same columns"
         )
     if collected:
-        return _append_collected(spark, index_dir, meta, vectors, if_exists)
+        return _append_collected(
+            spark, index_dir, meta, vectors, if_exists, expected_gen
+        )
     batch = _with_norm2(
         vectors.select("vec_id", "embedding", *attrs)
     ).select("vec_id", "e", "n2", *attrs)
@@ -1166,7 +1358,7 @@ def _append_locked(
         # is a pure function of its rows regardless of which path
         # wrote it
         assigned = _quantize_stored(assigned, attrs)
-    return _commit_segment(index_dir, meta, assigned, n_batch)
+    return _commit_segment(index_dir, meta, assigned, n_batch, expected_gen)
 
 
 def ann_index_rebuild_due(
@@ -1187,6 +1379,46 @@ def ann_index_rebuild_due(
 
         cell_target = IVF_DEDUP_CELL_TARGET
     return int(meta["n_vec"]) > 2 * int(meta["n_cells"]) * cell_target
+
+
+def ann_index_rebuild(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> dict:
+    """Rebuild a published index over its (grown) corpus IN PLACE — the
+    action :func:`ann_index_rebuild_due` calls for, packaged so the
+    streaming maintainer's ``on_rebuild_due`` callback (or a nightly
+    cron) is one corpus-owning line instead of a hand-rolled build.
+
+    ``sf_dir`` is the FULL current corpus (the caller owns the snapshot
+    — the stream deliberately doesn't know it, see
+    ``run_streaming_index_maintenance``). The rebuild preserves the
+    published index's storage mode, level count, attrs, and codebook
+    kind, and RE-DERIVES ``n_cells`` from the new corpus size — the one
+    thing appends and compaction cannot do, and the whole point of a
+    rebuild: per-probe scan cost returns to the fresh-build
+    ``~cell_target`` rows instead of the grown ``n_vec / n_cells``.
+
+    Runs under the index's writer lock (calling the non-reentrant inner
+    build) and publishes atomically, so concurrent appenders fully
+    serialize around it: an in-flight append commits before the
+    rebuild's corpus scan, and one arriving after the swap reads the
+    NEW manifest and appends against the new codebook. Only a
+    NON-locking external writer can interleave, and the generation
+    guard in ``_commit_segment`` turns that into a loud abort."""
+    with _write_lock(index_dir):
+        meta = ann_index_meta(index_dir)
+        return _build_unlocked(
+            spark,
+            sf_dir,
+            index_dir,
+            attrs=meta["attrs"],
+            levels=meta["levels"],
+            # two-level codebooks are always sampled-residual; the
+            # manifest's "sampled-residual" tag is not a build arg
+            codebook=("sampled" if meta["levels"] == 2
+                      else meta.get("codebook", "sampled")),
+            storage=meta["storage"],
+        )
 
 
 def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
@@ -1625,32 +1857,74 @@ def ann_index_screen_batch(
         vecs = vecs.where(F.expr(where))
     if len(cells) < meta["n_cells"]:
         vecs = vecs.where(F.col("cell_id").isin(cells))
-    # sub-block counts from MEAN per-cell populations (index side:
-    # manifest n_vec over all cells; batch side: the exact probe count
-    # above) — the same bound-the-worst-task arithmetic as the near-dup
-    # tiles: a cell K x hotter than the mean is bounded by its own
-    # population, not re-split (documented trade there too)
-    per_cell_v = meta["n_vec"] / max(1, meta["n_cells"])
-    per_cell_q = total_probes / max(1, len(cells))
-    n_sub_v = max(1, math.ceil(per_cell_v / tile_target))
-    n_sub_q = max(1, math.ceil(per_cell_q / tile_target))
-    q_side = probes.select(
+    # PER-CELL sub-block counts (r14, verdict task 5): the batch side's
+    # probe count per cell is exact (the bounded job above); the index
+    # side's population per cell rides the manifest (``cell_counts``,
+    # accumulated at every build/append commit), so a Zipf-hot cell
+    # splits into proportionally more sub-blocks and its worst task is
+    # bounded by ~tile_target rows per side like everyone else's —
+    # sizing from the MEAN left the hot cell's task bounded by its own
+    # population, the 100 TB worst-task killer. Pre-r14 manifests
+    # (cell_counts unknown) fall back to the mean for the index side.
+    # The sizing relation is <= |probed cells| rows, broadcast onto both
+    # sides; coverage is unchanged — within one cell every (q, v) pair
+    # still meets in exactly one (bq, bv) group because both sides read
+    # THE SAME per-cell (n_sub_q, n_sub_v).
+    cell_counts = meta["cell_counts"]
+    per_cell_v_mean = meta["n_vec"] / max(1, meta["n_cells"])
+    probe_counts = {int(r["cell_id"]): int(r["count"]) for r in count_rows}
+    sizing = []
+    for c in cells:
+        vc = (
+            int(cell_counts.get(str(c), 0))
+            if cell_counts is not None
+            else per_cell_v_mean
+        )
+        sizing.append((
+            int(c),
+            max(1, math.ceil(probe_counts[c] / tile_target)),
+            max(1, math.ceil(vc / tile_target)),
+        ))
+    if not sizing:  # empty batch: nothing probed, nothing to screen
+        return spark.range(0).select(
+            F.col("id").alias("query_id"),
+            F.col("id").alias("cand_id"),
+            F.lit(0.0).alias("cosine"),
+        )
+    # a VALUES LocalRelation, not createDataFrame: the screen's plan
+    # gate asserts no Scan ExistingRDD (nothing batch-sized round-trips
+    # through the driver) — this relation is bounded by |probed cells|
+    # (<= n_cells, the same bound as the pruning list) and LocalRelation
+    # keeps it literal data instead of an RDD scan
+    rows_sql = ", ".join(f"({c}, {nq}, {nv})" for c, nq, nv in sizing)
+    sub = F.broadcast(
+        spark.sql(
+            f"SELECT * FROM VALUES {rows_sql} AS t(cell_id, n_sub_q, n_sub_v)"
+        ).select(
+            F.col("cell_id").cast("long").alias("cell_id"),
+            "n_sub_q",
+            "n_sub_v",
+        )
+    )
+    q_side = probes.join(sub, "cell_id").select(
         F.col("query_id").alias("id"),
         F.col("qe").alias("e"),
         F.col("qn2").alias("n2"),
         "cell_id",
         F.lit(True).alias("is_q"),
-        F.pmod(F.xxhash64("query_id"), F.lit(n_sub_q)).alias("bq"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_sub_v - 1))).alias("bv"),
+        F.pmod(F.xxhash64("query_id"), F.col("n_sub_q").cast("long"))
+        .cast("int").alias("bq"),
+        F.explode(F.sequence(F.lit(0), F.col("n_sub_v") - 1)).alias("bv"),
     )
-    v_side = vecs.select(
+    v_side = vecs.join(sub, "cell_id").select(
         F.col("vec_id").alias("id"),
         "e",
         "n2",
         "cell_id",
         F.lit(False).alias("is_q"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_sub_q - 1))).alias("bq"),
-        F.pmod(F.xxhash64("vec_id"), F.lit(n_sub_v)).alias("bv"),
+        F.explode(F.sequence(F.lit(0), F.col("n_sub_q") - 1)).alias("bq"),
+        F.pmod(F.xxhash64("vec_id"), F.col("n_sub_v").cast("long"))
+        .cast("int").alias("bv"),
     )
     from pyspark.sql.types import (
         DoubleType as _D,

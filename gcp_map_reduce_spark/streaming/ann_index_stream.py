@@ -85,7 +85,10 @@ def run_streaming_index_maintenance(
       the FIXED codebook (``n_vec > 2 x n_cells x cell_target``) —
       compaction cannot fix that (same cells, fatter), only a rebuild
       re-sizes ``n_cells``. The callback decides: flag a metric, kick a
-      nightly rebuild, or rebuild inline if it owns the corpus snapshot.
+      nightly rebuild, or — if it owns the current corpus snapshot —
+      rebuild inline with :func:`operators.ann_index.ann_index_rebuild`
+      (lock-held, atomic publish, storage/levels/attrs preserved,
+      ``n_cells`` re-sized; drain-tested in ``tests/test_streaming.py``).
       The stream itself never rebuilds — it does not know the corpus
       dir, and an implicit rebuild mid-ingest would swap the index under
       the operator's feet. ``rebuild_cell_target`` overrides the sizing

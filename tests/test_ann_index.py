@@ -1073,6 +1073,251 @@ def test_commit_detects_external_mutation(spark, tmp_path, split_corpus):
         _commit_segment(d, meta, assigned, 1)
 
 
+def test_manifest_cell_counts_exact_across_lifecycle(
+    spark, tmp_path, split_corpus
+):
+    """r14 (verdict task 5): the manifest accumulates EXACT per-cell
+    populations at every commit — build, plan-path append, collected
+    append — and compaction carries them unchanged; they always equal a
+    direct count over the stored segments."""
+    from gcp_map_reduce_spark.operators.ann_index import (
+        _load_vectors,
+        ann_index_append,
+        compact_ann_index,
+    )
+
+    d = str(tmp_path / "idx")
+    ann_index_build(spark, split_corpus, d, n_cells=N_CELLS)
+
+    def actual():
+        return {
+            str(r.cell_id): r["count"]
+            for r in _load_vectors(spark, d).groupBy("cell_id").count().collect()
+        }
+
+    assert ann_index_meta(d)["cell_counts"] == actual()
+    rest = _rest_batch(spark)
+    m = ann_index_append(spark, d, rest.filter(F.col("vec_id") < 450))
+    assert m["cell_counts"] == actual()
+    m = ann_index_append(
+        spark, d, rest.filter(F.col("vec_id") >= 450), collected=True
+    )
+    assert m["cell_counts"] == actual()
+    assert sum(m["cell_counts"].values()) == m["n_vec"] == 500
+    m = compact_ann_index(spark, d)
+    assert m["cell_counts"] == actual()
+
+
+def test_screen_batch_per_cell_split_is_exact(spark, tmp_path, split_corpus):
+    """Hot-cell sub-splitting must not change RESULTS: screening with a
+    tile_target small enough to force multi-way per-cell splits returns
+    the bit-identical (query, cand, cosine) set as the single-block
+    screen; and a pre-r14 manifest (no cell_counts) falls back to
+    mean sizing and still matches."""
+    import json as _json
+
+    from gcp_map_reduce_spark.operators.ann_index import (
+        META_FILE,
+        ann_index_screen_batch,
+    )
+
+    d = str(tmp_path / "idx")
+    ann_index_build(spark, split_corpus, d, n_cells=N_CELLS)
+    batch = (
+        spark.read.parquet(SF + "/embeddings.parquet")
+        .filter(F.col("vec_id") < 60)
+        .select("vec_id", "embedding")
+    )
+    one_block = sorted(
+        map(
+            tuple,
+            ann_index_screen_batch(
+                spark, d, batch, 0.2, n_probe=2, tile_target=10**9
+            ).collect(),
+        )
+    )
+    split = sorted(
+        map(
+            tuple,
+            ann_index_screen_batch(
+                spark, d, batch, 0.2, n_probe=2, tile_target=16
+            ).collect(),
+        )
+    )
+    assert split == one_block and len(one_block) > 0
+    # pre-r14 manifest: drop cell_counts -> mean fallback, same results
+    mp = os.path.join(d, META_FILE)
+    with open(mp) as fh:
+        meta = _json.load(fh)
+    meta.pop("cell_counts")
+    with open(mp, "w") as fh:
+        _json.dump(meta, fh)
+    legacy = sorted(
+        map(
+            tuple,
+            ann_index_screen_batch(
+                spark, d, batch, 0.2, n_probe=2, tile_target=16
+            ).collect(),
+        )
+    )
+    assert legacy == one_block
+
+
+def test_build_over_live_index_takes_writer_lock(
+    spark, tmp_path, split_corpus, monkeypatch
+):
+    """r13 ADVICE (medium): a direct rebuild over a live index must
+    serialize on the writer lock like appends/compactions — otherwise
+    its publish swap can land mid-append and drop the append's
+    committed segment. With the lock held elsewhere the build times
+    out; once released it proceeds."""
+    import fcntl
+
+    from gcp_map_reduce_spark.operators import ann_index as mod
+
+    d = str(tmp_path / "idx")
+    ann_index_build(spark, split_corpus, d, n_cells=N_CELLS)
+    fd = os.open(d + ".writer-lock", os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    monkeypatch.setattr(mod, "WRITE_LOCK_TIMEOUT_S", 0.2)
+    try:
+        with pytest.raises(TimeoutError, match="writer lock"):
+            ann_index_build(spark, split_corpus, d, n_cells=N_CELLS)
+    finally:
+        os.close(fd)
+    meta = ann_index_build(spark, split_corpus, d, n_cells=N_CELLS)
+    assert meta["n_vec"] == 400  # lock released -> rebuild lands
+
+
+def test_commit_detects_external_rebuild_same_segments(
+    spark, tmp_path, split_corpus
+):
+    """r13 ADVICE: an external rebuild that restores
+    segments==['vectors'] is invisible to the segments-list guard (our
+    stale meta also reads ['vectors'] on a first append) — the codebook
+    GENERATION fingerprint must catch it, or the commit would register
+    rows assigned against the dead codebook."""
+    from gcp_map_reduce_spark.operators.ann_index import (
+        _commit_segment,
+        _generation,
+        _load_vectors,
+        ann_index_meta,
+    )
+
+    d = str(tmp_path / "idx")
+    ann_index_build(spark, split_corpus, d, n_cells=N_CELLS)
+    meta = ann_index_meta(d)
+    gen = _generation(d)
+    assigned = _load_vectors(spark, d, meta).limit(1).localCheckpoint()
+    # external (non-locking) rebuild: same segments list, new codebook
+    ann_index_build(spark, split_corpus, d, n_cells=N_CELLS)
+    assert ann_index_meta(d)["segments"] == meta["segments"] == ["vectors"]
+    with pytest.raises(RuntimeError, match="mutated outside"):
+        _commit_segment(d, meta, assigned, 1, expected_gen=gen)
+
+
+def _copy_corpus(tmp_path, name: str) -> str:
+    import shutil
+
+    alt = tmp_path / name
+    alt.mkdir()
+    shutil.copy(
+        os.path.join(SF, "embeddings.parquet"),
+        str(alt / "embeddings.parquet"),
+    )
+    return str(alt)
+
+
+def test_for_corpus_sweeps_stale_generations(spark, tmp_path, monkeypatch):
+    """r14 (verdict task 1): superseded cache generations are
+    garbage-collected at resolve time — N successive corpus versions
+    leave at most ANN_INDEX_KEEP_GENERATIONS digest dirs, with the
+    just-resolved one always among the survivors."""
+    from gcp_map_reduce_spark.operators import ann_index as mod
+
+    monkeypatch.setattr(mod, "ANN_INDEX_KEEP_GENERATIONS", 2)
+    root = str(tmp_path / "cache")
+    dirs = [
+        mod.ann_index_for_corpus(
+            spark, _copy_corpus(tmp_path, f"corpus{i}"), cache_root=root
+        )
+        for i in range(4)
+    ]
+    gens = [
+        n
+        for n in os.listdir(root)
+        if len(n) == 16 and os.path.isdir(os.path.join(root, n))
+    ]
+    assert len(gens) <= 2
+    assert os.path.basename(dirs[-1]) in gens
+    assert not os.path.isdir(dirs[0])  # oldest generation reclaimed
+    # survivors are intact, valid indexes
+    for g in gens:
+        assert ann_index_meta(os.path.join(root, g))["n_vec"] == 500
+
+
+def test_sweep_never_claims_a_held_generation(spark, tmp_path, monkeypatch):
+    """The sweep claims each victim via its writer lock NON-blocking: a
+    generation whose lock is held (a live builder/appender) is skipped,
+    not broken — and reclaimed by the next resolve after release."""
+    import fcntl
+
+    from gcp_map_reduce_spark.operators import ann_index as mod
+
+    monkeypatch.setattr(mod, "ANN_INDEX_KEEP_GENERATIONS", 2)
+    root = str(tmp_path / "cache")
+    first = mod.ann_index_for_corpus(
+        spark, _copy_corpus(tmp_path, "held"), cache_root=root
+    )
+    fd = os.open(first + ".writer-lock", os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        for i in range(3):
+            mod.ann_index_for_corpus(
+                spark, _copy_corpus(tmp_path, f"later{i}"), cache_root=root
+            )
+        assert os.path.isdir(first)  # lock held -> skipped every pass
+    finally:
+        os.close(fd)
+    mod.ann_index_for_corpus(
+        spark, _copy_corpus(tmp_path, "final"), cache_root=root
+    )
+    assert not os.path.isdir(first)  # released -> reclaimed
+
+
+def test_rebuild_resizes_and_preserves_storage(spark, tmp_path, split_corpus):
+    """r14 (verdict task 6): ann_index_rebuild over the grown corpus
+    re-derives n_cells, keeps the storage mode, folds back to one base
+    segment, and lands exactly the fresh-build index (bit-identical
+    rows and search results)."""
+    from gcp_map_reduce_spark.operators.ann_index import (
+        _load_vectors,
+        ann_index_append,
+        ann_index_rebuild,
+        ann_index_rebuild_due,
+    )
+
+    d = str(tmp_path / "idx")
+    ann_index_build(spark, split_corpus, d, n_cells=2, storage="int8")
+    m = ann_index_append(spark, d, _rest_batch(spark))
+    assert ann_index_rebuild_due(m, cell_target=100)  # 500 > 2*2*100
+    m2 = ann_index_rebuild(spark, SF, d)
+    assert m2["storage"] == "int8"
+    assert m2["segments"] == ["vectors"] and m2["n_vec"] == 500
+    fresh = str(tmp_path / "fresh")
+    ann_index_build(spark, SF, fresh, storage="int8")
+    assert m2["n_cells"] == ann_index_meta(fresh)["n_cells"] != 2
+    rows = lambda p: sorted(  # noqa: E731
+        (r.vec_id, r.cell_id)
+        for r in _load_vectors(spark, p).select("vec_id", "cell_id").collect()
+    )
+    assert rows(d) == rows(fresh)
+    res = lambda p: sorted(  # noqa: E731
+        map(tuple, ann_index_search(spark, p, _queries(spark)).collect())
+    )
+    assert res(d) == res(fresh) and len(res(d)) > 0
+
+
 def test_screen_batch_matches_range_search_and_prunes(
     spark, tmp_path, split_corpus
 ):

@@ -1249,6 +1249,91 @@ def test_streaming_index_compaction_and_rebuild_hook(spark, tmp_path):
         assert n_files(idx) <= n_files(fresh) + 2 * 8
 
 
+def test_streaming_rebuild_callback_resizes_index(spark, tmp_path):
+    """r14 (verdict task 6): the on_rebuild_due callback rebuilds INLINE
+    with ann_index_rebuild — a drain grows the index past the criterion,
+    the callback (which owns the full corpus snapshot) rebuilds, and the
+    published index returns to the fresh-build shape: n_cells re-sized
+    from the new corpus, one base segment, rows and search results
+    bit-identical to a from-scratch build, remaining drained batches
+    no-oping via if_exists='skip' against the rebuilt index."""
+    import duckdb
+
+    from gcp_map_reduce_spark.operators.ann_index import (
+        _load_vectors,
+        ann_index_build,
+        ann_index_meta,
+        ann_index_rebuild,
+        ann_index_search,
+    )
+    from gcp_map_reduce_spark.streaming import run_streaming_index_maintenance
+
+    SF = "/root/testdata/sf0.01"
+    base = tmp_path / "basesf"
+    base.mkdir()
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{SF}/embeddings.parquet' WHERE vec_id < 400 "
+        f"ORDER BY vec_id) TO '{base}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    src = tmp_path / "arriving"
+    src.mkdir()
+    for i in range(4):
+        lo, hi = 400 + 25 * i, 425 + 25 * i
+        duckdb.sql(
+            f"COPY (SELECT * FROM '{SF}/embeddings.parquet' "
+            f"WHERE vec_id >= {lo} AND vec_id < {hi}) "
+            f"TO '{src}/f{i}.parquet' (FORMAT PARQUET)"
+        )
+    idx = str(tmp_path / "idx")
+    ann_index_build(spark, str(base), idx, n_cells=2)
+
+    # the operator's corpus snapshot: everything that will have landed
+    # (the realistic callback materializes base + ingested files)
+    full = tmp_path / "fullsf"
+    full.mkdir()
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{SF}/embeddings.parquet' "
+        f"ORDER BY vec_id) TO '{full}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    rebuilt = []
+
+    def rebuild_once(meta):
+        if not rebuilt:
+            rebuilt.append(ann_index_rebuild(spark, str(full), idx))
+
+    q = run_streaming_index_maintenance(
+        spark, str(src), idx, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        on_rebuild_due=rebuild_once,
+        rebuild_cell_target=100,  # due once n_vec > 2*2*100 = 400
+    )
+    q.awaitTermination(600)
+    assert rebuilt, "the grown index never tripped ann_index_rebuild_due"
+    meta = ann_index_meta(idx)
+    fresh = str(tmp_path / "fresh")
+    ann_index_build(spark, str(full), fresh)
+    fresh_meta = ann_index_meta(fresh)
+    # n_cells re-sized from the full corpus (not the build-time 2)
+    assert meta["n_cells"] == fresh_meta["n_cells"]
+    assert rebuilt[0]["n_cells"] == fresh_meta["n_cells"]
+    assert meta["n_vec"] == 500 and meta["segments"] == ["vectors"]
+    rows = lambda d: sorted(  # noqa: E731
+        (r.vec_id, r.cell_id)
+        for r in _load_vectors(spark, d).select("vec_id", "cell_id").collect()
+    )
+    assert rows(idx) == rows(fresh)
+    queries = (
+        spark.read.parquet(SF + "/embeddings.parquet")
+        .filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    assert sorted(
+        map(tuple, ann_index_search(spark, idx, queries).collect())
+    ) == sorted(
+        map(tuple, ann_index_search(spark, fresh, queries).collect())
+    )
+
+
 def test_streaming_index_maintenance_double_typed_corpus(spark, tmp_path):
     """r12 ADVICE: the stream reader schema was hardcoded array<float>;
     an index built over array<double> started the stream fine and
