@@ -67,6 +67,25 @@ def get_final_output(spark: SparkSession, operation: str, store_dir: str) -> Dat
     return spark.read.json(os.path.join(store_dir, f"final-output-{operation}"))
 
 
+# /semantic_search caps: the route serves interactive top-k probes; the
+# limits keep one request from turning into a corpus-scale broadcast
+# (the engine entry points exist for that — caps are a contract, not a
+# tuning knob).
+SEARCH_MAX_QUERIES = 256
+SEARCH_MAX_K = 100
+SEARCH_MAX_NPROBE = 64
+
+
+def _bounded_int(value, lo: int, hi: int, name: str) -> int:
+    """Parse a request integer, rejecting junk and out-of-range values
+    with a message fit for a 400 body."""
+    if isinstance(value, bool) or not isinstance(value, int):
+        raise ValueError(f"{name} must be an integer")
+    if not lo <= value <= hi:
+        raise ValueError(f"{name} must be in [{lo}, {hi}]")
+    return value
+
+
 def create_app(
     spark: SparkSession,
     input_dir: str,
@@ -110,22 +129,67 @@ def create_app(
         def semantic_search():  # pragma: no cover - via test client
             from gcp_map_reduce_spark.operators.ann_index import (
                 ann_index_for_corpus,
+                ann_index_meta,
                 ann_index_search,
             )
 
-            body = request.get_json(silent=True) or {}
-            queries = body.get("queries") or []
-            if not queries:
-                return jsonify({"error": "queries is required"}), 400
-            k = int(body.get("k", 5))
-            n_probe = int(body.get("n_probe", 2))
+            body = request.get_json(silent=True)
+            if not isinstance(body, dict):
+                return jsonify({"error": "body must be a JSON object"}), 400
+            queries = body.get("queries")
+            if not isinstance(queries, list) or not queries:
+                return jsonify(
+                    {"error": "queries must be a non-empty list"}
+                ), 400
+            if len(queries) > SEARCH_MAX_QUERIES:
+                # the search contract is driver-sized, broadcast-small
+                # query batches — a corpus-scale screen is a JOIN
+                # (ann_index_screen_batch), not a POST body
+                return jsonify(
+                    {"error": f"at most {SEARCH_MAX_QUERIES} queries "
+                              "per request — batch larger screens "
+                              "through the engine, not HTTP"}
+                ), 400
+            try:
+                k = _bounded_int(body.get("k", 5), 1, SEARCH_MAX_K, "k")
+                n_probe = _bounded_int(
+                    body.get("n_probe", 2), 1, SEARCH_MAX_NPROBE, "n_probe"
+                )
+            except ValueError as exc:
+                return jsonify({"error": str(exc)}), 400
             idx = ann_index_for_corpus(spark, emb_sf_dir)
+            dim = int(ann_index_meta(idx)["dim"])
+            parsed = []
+            for i, q in enumerate(queries):
+                if not isinstance(q, dict):
+                    return jsonify(
+                        {"error": f"queries[{i}] must be an object"}
+                    ), 400
+                emb = q.get("embedding")
+                if (
+                    not isinstance(emb, list)
+                    or len(emb) != dim
+                    or not all(
+                        isinstance(x, (int, float))
+                        and not isinstance(x, bool)
+                        for x in emb
+                    )
+                ):
+                    return jsonify(
+                        {"error": f"queries[{i}].embedding must be a "
+                                  f"numeric array of length {dim} "
+                                  "(the index dimension)"}
+                    ), 400
+                try:
+                    qid = int(q["query_id"])
+                except (KeyError, TypeError, ValueError):
+                    return jsonify(
+                        {"error": f"queries[{i}].query_id must be an "
+                                  "integer"}
+                    ), 400
+                parsed.append((qid, [float(x) for x in emb]))
             qdf = spark.createDataFrame(
-                [
-                    (int(q["query_id"]), [float(x) for x in q["embedding"]])
-                    for q in queries
-                ],
-                "query_id long, embedding array<double>",
+                parsed, "query_id long, embedding array<double>"
             )
             rows = ann_index_search(
                 spark, idx, qdf, k=k, n_probe=n_probe
@@ -135,6 +199,12 @@ def create_app(
                 out.setdefault(str(r.query_id), []).append(
                     {"cand_id": r.cand_id, "cosine": r.cosine}
                 )
+            # collect() order is whatever the final exchange produced —
+            # the row_number window FILTERS on rank but does not emit
+            # sorted output; rank each query's list here (cosine desc,
+            # cand_id asc: the search's own tie-break)
+            for cands in out.values():
+                cands.sort(key=lambda c: (-c["cosine"], c["cand_id"]))
             return jsonify(out)
 
     return app

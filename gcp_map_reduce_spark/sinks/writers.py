@@ -36,6 +36,30 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+def _publish_scope() -> str:
+    """Short fingerprint of this process's PID NAMESPACE — hostname +
+    kernel boot id — stamped into staging dir names so the abandoned-
+    staging sweep only trusts ``os.kill(pid, 0)`` liveness for pids it
+    can actually see: a live sibling publisher in ANOTHER container
+    sharing the filesystem looks dead locally (its pids aren't ours),
+    and sweeping its in-flight staging would corrupt its publish (r13
+    ADVICE). Mismatched-scope dirs are skipped, never swept — a foreign
+    crash leaks a staging dir (bounded, diagnosable) instead of a
+    foreign live write being destroyed. Containers on one host share
+    the boot id but differ in hostname; hosts differ in boot id."""
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as fh:
+            boot = fh.read().strip()
+    except OSError:
+        boot = ""
+    import hashlib
+    import socket
+
+    return hashlib.sha1(
+        f"{socket.gethostname()}|{boot}".encode()
+    ).hexdigest()[:8]
+
+
 def write_sorted_single_json(df: DataFrame, path: str, sort_col: str) -> None:
     """Reference-fidelity final sink: one globally key-sorted JSON file
     (mirrors ``final-output-{op}.json``, sort at ``kv_store_server.py:267``).
@@ -516,22 +540,30 @@ def publish_atomic(path: str, write_fn) -> None:
     The marker is a dotfile, so Spark/Hadoop readers (which skip paths
     starting with ``.`` or ``_``) never see it as data.
 
-    Staging dirs are UNIQUE per call (pid + random suffix): two
-    publishers writing the same ``path`` can no longer rmtree each
-    other's in-flight staging write and merge into one corrupted dir
-    (r12 ADVICE). Entry sweeps only ABANDONED staging dirs — the legacy
-    fixed name, and unique ones whose recorded pid is dead; a live
-    sibling's staging is left alone. The swap itself (rename/rename) is
-    still last-writer-wins: concurrent publishers to the same path must
-    be serialized by the caller when the builds could differ
+    Staging dirs are UNIQUE per call (pid + random suffix + pid-
+    namespace scope): two publishers writing the same ``path`` can no
+    longer rmtree each other's in-flight staging write and merge into
+    one corrupted dir (r12 ADVICE). Entry sweeps only ABANDONED staging
+    dirs — the legacy fixed name, and unique ones whose recorded pid is
+    dead AND whose scope stamp (hostname + boot id, ``_publish_scope``)
+    matches ours: ``os.kill(pid, 0)`` liveness is only meaningful
+    inside one pid namespace, so a sibling container's dirs are skipped
+    rather than guessed at (its live write survives; its crashed
+    leftovers leak until a sweeper IN that namespace runs — the safe
+    side of the trade, r13 ADVICE). Same single-host/local-FS caveat
+    class as the index writer lock: on object stores, publish through a
+    catalog pointer instead. The swap itself (rename/rename) is still
+    last-writer-wins: concurrent publishers to the same path must be
+    serialized by the caller when the builds could differ
     (``ann_index_for_corpus`` takes the index writer lock; the build
     there is deterministic anyway, so even the races it closes were
     same-content).
     """
     parent, base = os.path.split(path.rstrip("/"))
     prefix = base + ".staging-publish"
+    scope = _publish_scope()
     staging = os.path.join(
-        parent, f"{prefix}-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        parent, f"{prefix}-{os.getpid()}-{uuid.uuid4().hex[:8]}-{scope}"
     )
     old = path + ".old-publish"
     marker = ".publish-complete"
@@ -546,9 +578,16 @@ def publish_atomic(path: str, write_fn) -> None:
         if tail == "":  # legacy fixed-name leftover: always a crash relic
             shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
             continue
+        parts = tail.split("-")
         try:
-            pid = int(tail.split("-")[1])
+            pid = int(parts[1])
         except (IndexError, ValueError):
+            continue
+        # scope-stamped dirs (r14+) from another pid namespace: their
+        # pids are invisible here, liveness is unknowable — skip (pre-
+        # scope dirs keep the old pid-only behavior, same namespace
+        # assumed)
+        if len(parts) >= 4 and parts[3] != scope:
             continue
         if not _pid_alive(pid):
             shutil.rmtree(os.path.join(parent, name), ignore_errors=True)

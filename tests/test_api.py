@@ -120,3 +120,85 @@ def test_semantic_search_route(spark, tmp_path):
         == {k: sorted(v, key=lambda d: d["cand_id"]) for k, v in want.items()}
     # missing queries -> 400, not a stack trace
     assert client.post("/semantic_search", json={}).status_code == 400
+
+
+def test_semantic_search_validates_input_and_ranks(spark, tmp_path):
+    """r14 hardening (r13 ADVICE + verdict task 4): malformed input is a
+    400 with a reason — wrong-dimension embeddings, non-numeric
+    payloads, junk/out-of-range k and n_probe, oversized batches —
+    never a Spark traceback 500; and each query's candidate list comes
+    back cosine-ranked (collect order is not a contract)."""
+    import pytest
+
+    pytest.importorskip("flask")
+
+    from pyspark.sql import functions as F
+
+    from gcp_map_reduce_spark import api
+
+    SF = "/root/testdata/sf0.01"
+    app = api.create_app(
+        spark, str(tmp_path / "in"), str(tmp_path / "store"), emb_sf_dir=SF
+    )
+    client = app.test_client()
+
+    def post(body):
+        return client.post("/semantic_search", json=body)
+
+    def err(resp):
+        assert resp.status_code == 400, resp.status_code
+        return resp.get_json()["error"]
+
+    dim = 64
+    ok_emb = [0.5] * dim
+    # body / queries shape
+    assert post([1, 2]).status_code == 400
+    assert post({"queries": "nope"}).status_code == 400
+    assert post({"queries": []}).status_code == 400
+    assert post({"queries": ["flat"]}).status_code == 400
+    # embedding dimension must match the index
+    assert "length 64" in err(
+        post({"queries": [{"query_id": 1, "embedding": [1.0, 2.0]}]})
+    )
+    # non-numeric / boolean elements rejected
+    assert post(
+        {"queries": [{"query_id": 1, "embedding": ["x"] * dim}]}
+    ).status_code == 400
+    assert post(
+        {"queries": [{"query_id": 1, "embedding": [True] * dim}]}
+    ).status_code == 400
+    # junk / missing query_id
+    assert post(
+        {"queries": [{"query_id": "abc", "embedding": ok_emb}]}
+    ).status_code == 400
+    assert post({"queries": [{"embedding": ok_emb}]}).status_code == 400
+    # k / n_probe: junk types and caps
+    q = [{"query_id": 1, "embedding": ok_emb}]
+    assert "k must be" in err(post({"queries": q, "k": "five"}))
+    assert post({"queries": q, "k": 0}).status_code == 400
+    assert post(
+        {"queries": q, "k": api.SEARCH_MAX_K + 1}
+    ).status_code == 400
+    assert post({"queries": q, "n_probe": -1}).status_code == 400
+    assert post({"queries": q, "n_probe": True}).status_code == 400
+    # oversized batch: the contract is driver-sized query batches
+    big = [
+        {"query_id": i, "embedding": ok_emb}
+        for i in range(api.SEARCH_MAX_QUERIES + 1)
+    ]
+    assert "at most" in err(post({"queries": big}))
+    # a valid request returns 200 with each list cosine-ranked
+    emb = spark.read.parquet(SF + "/embeddings.parquet").filter(
+        F.col("vec_id") < 3
+    )
+    queries = [
+        {"query_id": r.vec_id, "embedding": [float(x) for x in r.embedding]}
+        for r in emb.collect()
+    ]
+    resp = post({"queries": queries, "k": 5})
+    assert resp.status_code == 200
+    got = resp.get_json()
+    assert len(got) == 3
+    for cands in got.values():
+        coss = [c["cosine"] for c in cands]
+        assert coss == sorted(coss, reverse=True) and len(coss) == 5

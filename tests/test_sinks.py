@@ -749,6 +749,18 @@ def test_stress_gate_load_adjudication_rules():
     reg, load = run(base, cur)
     assert sorted(r["kind"] for r in reg) == ["max_task_ms", "wall_sec"]
     assert all(r["query"] == "a" for r in reg)
+    # 7 (r14, verdict task 3): the canary scales the wall/task bars —
+    # a 1.8x-slower box (canary 0.18 vs 0.1 at baseline) absorbs a 2x
+    # wall inflation (bar = 1.5 * 1.8 = 2.7x) ...
+    cb = {"canary_sec": 0.1, "queries": {"a": row(1, 100)}}
+    cc = {"canary_sec": 0.18, "queries": {"a": row(2.0, 200)}}
+    reg, load = mod.diff(cb, cc, ratio=1.5, min_sec=0.0, min_task_ms=0.0)
+    assert not reg and not load
+    # ... but a 4x inflation still trips, carrying the corr used
+    cc = {"canary_sec": 0.18, "queries": {"a": row(4.0, 100)}}
+    reg, _ = mod.diff(cb, cc, ratio=1.5, min_sec=0.0, min_task_ms=0.0)
+    assert [r["kind"] for r in reg] == ["wall_sec"]
+    assert reg[0]["canary_corr"] == 1.8
 
 
 def test_publish_atomic_staging_unique_and_pid_swept(spark, tmp_path):
@@ -791,3 +803,30 @@ def test_publish_atomic_staging_unique_and_pid_swept(spark, tmp_path):
     ]
     assert leftovers == []
     assert spark.read.parquet(live).count() == 7  # live dataset intact
+
+
+def test_publish_atomic_skips_foreign_scope_staging(tmp_path):
+    """r13 ADVICE: os.kill(pid, 0) liveness only means anything inside
+    OUR pid namespace — a staging dir stamped with another namespace's
+    scope (a sibling container on a shared filesystem) must survive the
+    sweep even though its pid looks dead locally; same-scope dead-pid
+    dirs and pre-scope (r13-format) dirs are still swept."""
+    import subprocess
+
+    from gcp_map_reduce_spark.sinks import writers
+
+    target = str(tmp_path / "ds2")
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    scope = writers._publish_scope()
+    foreign_scope = "0" * 8 if scope != "0" * 8 else "1" * 8
+    foreign = f"{target}.staging-publish-{dead.pid}-deadbeef-{foreign_scope}"
+    local = f"{target}.staging-publish-{dead.pid}-deadbeef-{scope}"
+    legacy_fmt = f"{target}.staging-publish-{dead.pid}-deadbeef"
+    for p in (foreign, local, legacy_fmt):
+        os.makedirs(p)
+    writers.publish_atomic(target, os.makedirs)
+    assert os.path.isdir(foreign)        # unknowable liveness: kept
+    assert not os.path.isdir(local)      # our namespace, dead pid: swept
+    assert not os.path.isdir(legacy_fmt)  # pre-scope format: old behavior
+    assert os.path.isdir(target)
