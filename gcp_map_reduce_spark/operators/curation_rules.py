@@ -14,7 +14,10 @@ alongside text_analysis.py's profiling pass:
 - ``quality_rules`` — per-document repetition metrics in the style of the
   Gopher rules (Rae et al. 2021) / C4 heuristics: token count, distinct
   ratio, most-frequent-token fraction, most-frequent-bigram fraction,
-  longest identical-token run, and the resulting keep/drop gate.
+  longest identical-token run, the resulting keep/drop gate, and (r14) a
+  marker-n-gram language-ID column (``lang_pred`` / ``lang_score`` — see
+  LANG_MARKERS; exact-integer scoring so the oracle replicates it
+  bit-for-bit, fused into the same single document pass).
 
 Both are single-scan, shuffle-free, fully JVM-side (regexp + higher-order
 array functions — no Python UDFs): per-row expressions pipeline inside one
@@ -67,6 +70,85 @@ MIN_TOKENS = 30
 MIN_DISTINCT_RATIO = 0.4
 MAX_TOP_TOKEN_FRAC = 0.12
 MAX_RUN = 2
+
+# --- language-ID (r14): the one common LLM-pipeline screen the rule
+# suite lacked. A hand-rolled marker-n-gram scorer — each language's
+# score is the summed NON-OVERLAPPING occurrence count of a few
+# high-frequency function-word markers in the space-padded lowered
+# text; predicted language = argmax, earlier row winning ties, "und"
+# when every score is zero. Deliberately exact-integer arithmetic (no
+# floats, no model file): Python's str.count, the JVM replace-length
+# expression, and DuckDB's replace-length replica all count the same
+# greedy left-to-right non-overlapping matches, so all three engines
+# are bit-identical by construction. This is the classic fastText/CLD
+# shape reduced to its deterministic core — at 100 TB it rides the same
+# single fused document pass as the other rules (zero extra scans).
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", [" the ", " a ", " and ", " of ", " is "]),
+    ("es", [" el ", " la ", " de ", " que ", " los "]),
+    ("de", [" der ", " die ", " und ", " ein ", " nicht "]),
+    ("fr", [" le ", " les ", " des ", " et ", " une "]),
+]
+
+# SQL replicas of the same score formula (the oracle embeds these):
+# count(m in s) = (len(s) - len(replace(s, m, ''))) // len(m)
+_LANG_SQL_SCORES = ",\n    ".join(
+    " + ".join(
+        f"((length(s) - length(replace(s, '{m}', ''))) // {len(m)})"
+        for m in markers
+    )
+    + f" AS s_{lang}"
+    for lang, markers in LANG_MARKERS
+)
+_LANG_SQL_GREATEST = (
+    "greatest(" + ", ".join(f"s_{lang}" for lang, _ in LANG_MARKERS) + ")"
+)
+_LANG_SQL_CASE = (
+    "CASE WHEN lang_score <= 0 THEN 'und' "
+    + " ".join(
+        f"WHEN s_{lang} = lang_score THEN '{lang}'"
+        for lang, _ in LANG_MARKERS
+    )
+    + " END"
+)
+
+
+def _lang_id_py(text: str) -> tuple[str, int]:
+    """Kernel-side scorer — the reference implementation the expression
+    form and the SQL oracle replicate exactly."""
+    s = " " + text.lower() + " "
+    pred, best = "und", 0
+    for lang, markers in LANG_MARKERS:
+        sc = sum(s.count(m) for m in markers)
+        if sc > best:  # strict: the earlier language wins ties
+            pred, best = lang, sc
+    return pred, best
+
+
+def _lang_cols(text_col: Column) -> tuple[Column, Column]:
+    """(lang_pred, lang_score) as JVM expressions — replace-length
+    counting, same padding/tie-break/und rules as :func:`_lang_id_py`."""
+    padded = F.concat(F.lit(" "), F.lower(text_col), F.lit(" "))
+
+    def count_m(m: str) -> Column:
+        return (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit(""))))
+            / F.lit(len(m))
+        ).cast("int")
+
+    scores = []
+    for lang, markers in LANG_MARKERS:
+        sc = count_m(markers[0])
+        for m in markers[1:]:
+            sc = sc + count_m(m)
+        scores.append((lang, sc))
+    best = scores[0][1]
+    for _, sc in scores[1:]:
+        best = F.greatest(best, sc)
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang, sc in scores:
+        pred = pred.when(sc == best, F.lit(lang))
+    return pred, best
 
 
 @query(
@@ -281,20 +363,31 @@ big AS (
   SELECT doc_id,
     coalesce(list_max(list_transform(list_distinct(bigrams),
       u -> len(list_filter(bigrams, x -> x = u)))), 0) AS top_bigram_cnt
-  FROM m)
+  FROM m),
+lsrc AS (
+  SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
+lsc AS (
+  SELECT doc_id,
+    {_LANG_SQL_SCORES}
+  FROM lsrc),
+lpred AS (
+  SELECT doc_id, {_LANG_SQL_CASE} AS lang_pred, lang_score
+  FROM (SELECT doc_id, {", ".join(f"s_{lang}" for lang, _ in LANG_MARKERS)},
+          {_LANG_SQL_GREATEST} AS lang_score FROM lsc))
 SELECT m.doc_id, n_tokens, n_distinct,
   n_distinct * 1.0 / n_tokens AS distinct_ratio,
   top_cnt * 1.0 / n_tokens AS top_token_frac,
   CASE WHEN n_tokens >= 2
     THEN top_bigram_cnt * 1.0 / (n_tokens - 1) ELSE 0.0 END
     AS top_bigram_frac,
-  max_run,
+  max_run, lang_pred, lang_score,
   CAST(n_tokens >= {MIN_TOKENS}
     AND n_distinct * 1.0 / n_tokens >= {MIN_DISTINCT_RATIO}
     AND top_cnt * 1.0 / n_tokens <= {MAX_TOP_TOKEN_FRAC}
     AND max_run <= {MAX_RUN} AS INT) AS keep
 FROM m JOIN runs ON m.doc_id = runs.doc_id
   JOIN big ON m.doc_id = big.doc_id
+  JOIN lpred ON m.doc_id = lpred.doc_id
 """,
 )
 def quality_rules(
@@ -332,7 +425,13 @@ def quality_rules(
     if engine == "arrow":
         return _quality_rules_kernel(doc.select("doc_id", "text"))
     tokens = F.split(F.lower(F.col("text")), WS_SPLIT)
-    d = doc.select("doc_id", tokens.alias("t"))
+    lang_pred, lang_score = _lang_cols(F.col("text"))
+    d = doc.select(
+        "doc_id",
+        tokens.alias("t"),
+        lang_pred.alias("lang_pred"),
+        lang_score.alias("lang_score"),
+    )
     distinct = F.array_distinct(F.col("t"))
     top_cnt = F.array_max(
         F.transform(
@@ -355,6 +454,8 @@ def quality_rules(
         top_cnt.alias("top_cnt"),
         bigrams.alias("bigrams"),
         _max_run(F.col("t")).alias("max_run"),
+        "lang_pred",
+        "lang_score",
     )
     top_bigram_cnt = F.coalesce(
         F.array_max(
@@ -380,6 +481,8 @@ def quality_rules(
         .otherwise(F.lit(0.0))
         .alias("top_bigram_frac"),
         "max_run",
+        "lang_pred",
+        "lang_score",
         (
             (F.col("n_tokens") >= MIN_TOKENS)
             & (distinct_ratio >= MIN_DISTINCT_RATIO)
@@ -415,18 +518,22 @@ def _quality_rules_kernel(doc: DataFrame) -> DataFrame:
             out = {
                 "doc_id": [], "n_tokens": [], "n_distinct": [],
                 "distinct_ratio": [], "top_token_frac": [],
-                "top_bigram_frac": [], "max_run": [], "keep": [],
+                "top_bigram_frac": [], "max_run": [],
+                "lang_pred": [], "lang_score": [], "keep": [],
             }
             for i, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
                 if text is None:
                     # expr parity: split(lower(NULL)) is NULL, every
                     # derived metric is null — EXCEPT top_bigram_frac,
                     # whose when(n_tokens >= 2, ...).otherwise(0.0)
-                    # treats the null condition as false
+                    # treats the null condition as false. The lang
+                    # columns are null too (concat over NULL, and a
+                    # when-chain with no otherwise).
                     out["doc_id"].append(i)
                     for k in (
                         "n_tokens", "n_distinct", "distinct_ratio",
-                        "top_token_frac", "max_run", "keep",
+                        "top_token_frac", "max_run",
+                        "lang_pred", "lang_score", "keep",
                     ):
                         out[k].append(None)
                     out["top_bigram_frac"].append(0.0)
@@ -444,6 +551,7 @@ def _quality_rules_kernel(doc: DataFrame) -> DataFrame:
                 mr = max(sum(1 for _ in g) for _, g in groupby(t))
                 dr = nd * 1.0 / n
                 tf = top * 1.0 / n
+                lp, ls = _lang_id_py(text)
                 out["doc_id"].append(i)
                 out["n_tokens"].append(n)
                 out["n_distinct"].append(nd)
@@ -451,6 +559,8 @@ def _quality_rules_kernel(doc: DataFrame) -> DataFrame:
                 out["top_token_frac"].append(tf)
                 out["top_bigram_frac"].append(tb)
                 out["max_run"].append(mr)
+                out["lang_pred"].append(lp)
+                out["lang_score"].append(ls)
                 out["keep"].append(
                     int(
                         n >= MIN_TOKENS
@@ -464,5 +574,6 @@ def _quality_rules_kernel(doc: DataFrame) -> DataFrame:
     return doc.mapInPandas(
         kernel,
         "doc_id long, n_tokens int, n_distinct int, distinct_ratio double, "
-        "top_token_frac double, top_bigram_frac double, max_run int, keep int",
+        "top_token_frac double, top_bigram_frac double, max_run int, "
+        "lang_pred string, lang_score int, keep int",
     )

@@ -155,6 +155,14 @@ def test_quality_rules_arrow_kernel_row_identical(spark):
         "tab\tand  double  space",
         "b b c c",  # bigram tie
         "café 北京 🎉 café 北京 🎉",
+        # r14 language-ID: marker hits, a tie (en vs es markers equal),
+        # an all-miss ("und"), and case folding of markers
+        "el que la de los claros clarines",
+        "der hund und die katze sind ein team",
+        "THE cat AND THE dog OF the house IS here",
+        "le chat et les oiseaux des villes une fois",
+        "the el a la and de",  # en 3 vs es 3: earlier language wins
+        "zzz qqq www",  # no marker: und
     ]
     doc = spark.createDataFrame(
         list(enumerate(texts)), "doc_id bigint, text string"
@@ -176,5 +184,18 @@ def test_quality_rules_arrow_kernel_row_identical(spark):
         a = sorted(map(tuple, quality_rules(spark, work, engine="expr").collect()))
         b = sorted(map(tuple, quality_rules(spark, work, engine="arrow").collect()))
         assert a == b and len(a) == len(texts)
+        # r14 language-ID semantics (both engines just proved identical;
+        # assert the arrow one): marker counts, tie-break to the earlier
+        # language, "und" on zero hits, case-folded markers
+        got = {
+            r.doc_id: (r.lang_pred, r.lang_score)
+            for r in quality_rules(spark, work, engine="arrow").collect()
+        }
+        assert got[9] == ("es", 5)
+        assert got[10] == ("de", 4)
+        assert got[11] == ("en", 6)  # markers matched case-insensitively
+        assert got[12] == ("fr", 5)
+        assert got[13] == ("en", 3)  # 3-3 tie with es: earlier lang wins
+        assert got[14] == ("und", 0)
     finally:
         shutil.rmtree(work, ignore_errors=True)
