@@ -1054,20 +1054,35 @@ def user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists are bounded in practice (and at 100 TB you additionally bound
     them by time-windowing the input scan), so the collected array is
     small; the fold is a Catalyst higher-order function, not Python.
+
+    The shuffled payload is the MINIMAL per-event struct (r14, the
+    local-cluster serialization audit): ``(ts, et tinyint)`` — the
+    event_type string is mapped to a byte BEFORE the exchange and
+    event_id is dropped entirely (it only tie-broke the sort, and every
+    output is tie-order-invariant: the folds compare VALUES — ``ts >
+    vt`` and second deltas — so permuting equal-ts events cannot change
+    vt/ct/pt, the session count, or the size). Roughly halves the
+    exchange's bytes vs shipping (ts, event_id, event_type) structs —
+    pure win in multi-process mode where ser/de is real.
     """
     ev = _t(spark, sf_dir, "events")
-    evs = F.sort_array(
-        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    et = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .otherwise(0)
+        .cast("tinyint")
     )
+    evs = F.sort_array(F.collect_list(F.struct("ts", et.alias("et"))))
     g = ev.groupBy("user_id").agg(evs.alias("evs"))
 
     # funnel fold: carry (vt, ct, pt) timestamps; events arrive in time
     # order, so the first qualifying event IS the stage minimum
     def funnel_step(acc, x):
         vt, ct, pt = acc["vt"], acc["ct"], acc["pt"]
-        is_view = x["event_type"] == F.lit("view")
-        is_click = x["event_type"] == F.lit("click")
-        is_buy = x["event_type"] == F.lit("purchase")
+        is_view = x["et"] == F.lit(1)
+        is_click = x["et"] == F.lit(2)
+        is_buy = x["et"] == F.lit(3)
         new_vt = F.when(vt.isNull() & is_view, x["ts"]).otherwise(vt)
         new_ct = F.when(
             ct.isNull() & is_click & vt.isNotNull() & (x["ts"] > vt), x["ts"]
