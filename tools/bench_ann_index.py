@@ -18,6 +18,12 @@ the repeated-query amortization direction on real wall clock.
 Usage: python tools/bench_ann_index.py [--sf-dir /root/testdata/sf0.1]
            [--searches 10] [--runs 3]
 
+``--mode rebuild`` measures the rebuild lifecycle per scale point:
+build undersized (codebook from half the corpus), append the rest,
+search the GROWN index, ``ann_index_rebuild`` in place, search again,
+and compare against a fresh ground-truth build — post-rebuild search
+must return to the fresh-build level and exponent (r14 verdict task 6).
+
 ``--mode scale`` instead measures the index's SCALING story across
 corpus sizes (default sf0.1 2k -> stress/sf1 20k -> stress/sf3 60k):
 per-search wall (should stay ~flat: probe-scaled n_cells keeps probed
@@ -137,6 +143,102 @@ def _scale_mode(args) -> None:
     }, args.out)
 
 
+def _rebuild_mode(args) -> None:
+    """r14 (verdict task 6 evidence): per scale point, build an index
+    UNDERSIZED for the final corpus (codebook derived from half the
+    rows), append the other half (the grown state `ann_index_rebuild_due`
+    flags), then `ann_index_rebuild` in place — and measure search wall
+    in all three states plus a fresh ground-truth build. The claim being
+    pinned: post-rebuild search returns to the fresh-build level (the
+    rebuild re-derives n_cells, so per-probe scan cost drops back to
+    ~cell_target rows), and its exponent across the stress points is the
+    fresh-build search exponent, not the grown one."""
+    import math
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from gcp_map_reduce_spark.operators.ann_index import (
+        ann_index_append,
+        ann_index_build,
+        ann_index_meta,
+        ann_index_rebuild,
+        ann_index_search,
+    )
+    from gcp_map_reduce_spark.operators.similarity import N_QUERIES
+    from gcp_map_reduce_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-ann-rebuild")
+    points = []
+    for sf in args.scale_dirs:
+        src = os.path.join(sf, "embeddings.parquet")
+        n = duckdb.sql(f"SELECT count(*) FROM '{src}'").fetchone()[0]
+        half_dir = tempfile.mkdtemp(prefix="annhalf")
+        duckdb.sql(
+            f"COPY (SELECT * FROM '{src}' WHERE vec_id < {n // 2} "
+            f"ORDER BY vec_id) TO '{half_dir}/embeddings.parquet' "
+            "(FORMAT PARQUET)"
+        )
+        idx = os.path.join(tempfile.mkdtemp(prefix="annreb"), "idx")
+        ann_index_build(spark, half_dir, idx)  # codebook sized for n/2
+        rest = (
+            spark.read.parquet(src)
+            .filter(F.col("vec_id") >= n // 2)
+            .select("vec_id", "embedding")
+        )
+        ann_index_append(spark, idx, rest)
+        grown_meta = ann_index_meta(idx)
+        queries = (
+            spark.read.parquet(src)
+            .filter(F.col("vec_id") < N_QUERIES)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        queries.count()
+
+        def search_best(d):
+            return min(
+                _timed(lambda: ann_index_search(spark, d, queries)
+                       .foreach(lambda r: None))
+                for _ in range(args.runs)
+            )
+
+        grown_s = search_best(idx)
+        t0 = time.monotonic()
+        new_meta = ann_index_rebuild(spark, sf, idx)
+        rebuild_s = time.monotonic() - t0
+        rebuilt_s = search_best(idx)
+        fresh = os.path.join(tempfile.mkdtemp(prefix="annfresh"), "idx")
+        ann_index_build(spark, sf, fresh)
+        fresh_s = search_best(fresh)
+        points.append({
+            "sf_dir": sf,
+            "n_vec": int(new_meta["n_vec"]),
+            "n_cells_grown": int(grown_meta["n_cells"]),
+            "n_cells_rebuilt": int(new_meta["n_cells"]),
+            "search_grown_sec": round(grown_s, 3),
+            "rebuild_sec": round(rebuild_s, 3),
+            "search_rebuilt_sec": round(rebuilt_s, 3),
+            "search_fresh_sec": round(fresh_s, 3),
+        })
+
+    def expo(key: str) -> float | None:
+        if len(points) < 2:
+            return None
+        a, b = points[-2], points[-1]
+        ratio = b["n_vec"] / a["n_vec"]
+        return round(math.log(b[key] / a[key]) / math.log(ratio), 2)
+
+    _emit({
+        "metric": "ann_index_rebuild_scale",
+        "runs_best_of": args.runs,
+        "points": points,
+        "search_rebuilt_exponent": expo("search_rebuilt_sec"),
+        "search_fresh_exponent": expo("search_fresh_sec"),
+        "rebuild_exponent": expo("rebuild_sec"),
+    }, args.out)
+
+
 def _timed(fn) -> float:
     t0 = time.monotonic()
     fn()
@@ -160,7 +262,7 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--searches", type=int, default=10)
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--mode", choices=["amortize", "scale"],
+    ap.add_argument("--mode", choices=["amortize", "scale", "rebuild"],
                     default="amortize")
     ap.add_argument("--scale-dirs", nargs="+",
                     default=["/root/testdata/sf0.1", "stress/sf1",
@@ -178,6 +280,9 @@ def main() -> None:
     args = ap.parse_args()
     if args.mode == "scale":
         _scale_mode(args)
+        return
+    if args.mode == "rebuild":
+        _rebuild_mode(args)
         return
 
     from pyspark.sql import functions as F
