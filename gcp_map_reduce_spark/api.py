@@ -86,6 +86,21 @@ def _bounded_int(value, lo: int, hi: int, name: str) -> int:
     return value
 
 
+def _finite_number(x) -> bool:
+    """A JSON number usable as an embedding element: no bools, no
+    NaN/Infinity literals, and no arbitrary-precision ints too large
+    for float (math.isfinite raises OverflowError on those — a crafted
+    400-digit integer must get the 400 path, not a 500)."""
+    import math
+
+    if isinstance(x, bool) or not isinstance(x, (int, float)):
+        return False
+    try:
+        return math.isfinite(float(x))
+    except (OverflowError, ValueError):
+        return False
+
+
 def create_app(
     spark: SparkSession,
     input_dir: str,
@@ -169,24 +184,28 @@ def create_app(
                 if (
                     not isinstance(emb, list)
                     or len(emb) != dim
-                    or not all(
-                        isinstance(x, (int, float))
-                        and not isinstance(x, bool)
-                        for x in emb
-                    )
+                    # no NaN/Infinity JSON literals (they would flow
+                    # through to NaN cosines behind a 200) and no
+                    # huge-int 500s (_finite_number)
+                    or not all(_finite_number(x) for x in emb)
                 ):
                     return jsonify(
                         {"error": f"queries[{i}].embedding must be a "
-                                  f"numeric array of length {dim} "
+                                  f"finite numeric array of length {dim} "
                                   "(the index dimension)"}
                     ), 400
                 try:
-                    qid = int(q["query_id"])
-                except (KeyError, TypeError, ValueError):
-                    return jsonify(
-                        {"error": f"queries[{i}].query_id must be an "
-                                  "integer"}
-                    ), 400
+                    # strict int (bare int() would truncate floats,
+                    # silently merging two queries' results under one
+                    # id) AND int64-bounded: the DataFrame schema is
+                    # 'query_id long', and an out-of-range JSON integer
+                    # must 400 here, not 500 in createDataFrame
+                    qid = _bounded_int(
+                        q.get("query_id"), -(2**63), 2**63 - 1,
+                        f"queries[{i}].query_id",
+                    )
+                except ValueError as exc:
+                    return jsonify({"error": str(exc)}), 400
                 parsed.append((qid, [float(x) for x in emb]))
             qdf = spark.createDataFrame(
                 parsed, "query_id long, embedding array<double>"

@@ -268,15 +268,20 @@ def _touch_last_used(index_dir: str) -> None:
 
 
 def _last_used_ns(root: str, name: str) -> int:
-    """A generation's recency: the resolve-time sidecar when present,
-    else the dir's own mtime (pre-GC generations never got a sidecar)."""
+    """A generation's recency: the NEWER of the resolve-time sidecar and
+    the dir's own mtime. The max matters (r14 review catch): a process
+    that resolved once and then keeps APPENDING through the returned
+    path updates the dir mtime (manifest replace) but never the sidecar
+    — ordering by the stale sidecar alone would age an actively-mutated
+    index to the bottom and sweep it between its appends."""
+    stamps = []
     for p in (os.path.join(root, name + ".last-used"),
               os.path.join(root, name)):
         try:
-            return os.stat(p).st_mtime_ns
+            stamps.append(os.stat(p).st_mtime_ns)
         except OSError:
             continue
-    return 0
+    return max(stamps, default=0)
 
 
 def _sweep_stale_generations(
@@ -316,10 +321,10 @@ def _sweep_stale_generations(
         and os.path.isfile(os.path.join(root, n, META_FILE))
     ]
     gens.sort(key=lambda n: _last_used_ns(root, n), reverse=True)
+    import shutil
+
     for name in gens[max(0, keep - 1):]:
         victim = os.path.join(root, name)
-        import shutil
-
         try:
             with _write_lock(victim, timeout=0):
                 shutil.rmtree(victim, ignore_errors=True)
@@ -1841,12 +1846,10 @@ def ann_index_screen_batch(
         "query_id", "qe", "qn2", F.explode("cells").alias("cell_id")
     )
     # one bounded job yields the probed-cell list AND exact per-cell
-    # probe counts (<= n_cells rows): sizing no longer guesses from a
-    # separate batch count — which also undercounted two-level probes
-    # by the n_probe2 factor (r13 review catch)
+    # probe counts (<= n_cells rows) — the batch side of the per-cell
+    # sub-split sizing below
     count_rows = probes.groupBy("cell_id").count().collect()
     cells = sorted(int(r["cell_id"]) for r in count_rows)
-    total_probes = sum(int(r["count"]) for r in count_rows)
     vecs = _load_vectors(spark, index_dir, meta)
     if where is not None:
         if not meta["attrs"]:

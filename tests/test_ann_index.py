@@ -1256,6 +1256,30 @@ def test_for_corpus_sweeps_stale_generations(spark, tmp_path, monkeypatch):
         assert ann_index_meta(os.path.join(root, g))["n_vec"] == 500
 
 
+def test_sweep_recency_includes_dir_mtime(spark, tmp_path, monkeypatch):
+    """An actively-APPENDED generation (fresh dir mtime from manifest
+    commits, stale resolve-time sidecar) must rank recent and survive
+    the sweep — ordering by the sidecar alone would destroy a live
+    index between its appends (r14 review catch)."""
+    import time as _time
+
+    from gcp_map_reduce_spark.operators import ann_index as mod
+
+    monkeypatch.setattr(mod, "ANN_INDEX_KEEP_GENERATIONS", 2)
+    root = str(tmp_path / "cache")
+    live = mod.ann_index_for_corpus(
+        spark, _copy_corpus(tmp_path, "live"), cache_root=root
+    )
+    os.utime(live + ".last-used", (1, 1))  # the resolver never came back
+    future = _time.time() + 3600
+    os.utime(live, (future, future))  # ...but appends keep landing
+    for i in range(3):
+        mod.ann_index_for_corpus(
+            spark, _copy_corpus(tmp_path, f"other{i}"), cache_root=root
+        )
+    assert os.path.isdir(live)  # fresh dir mtime kept it recent
+
+
 def test_sweep_never_claims_a_held_generation(spark, tmp_path, monkeypatch):
     """The sweep claims each victim via its writer lock NON-blocking: a
     generation whose lock is held (a live builder/appender) is skipped,

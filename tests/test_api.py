@@ -167,11 +167,42 @@ def test_semantic_search_validates_input_and_ranks(spark, tmp_path):
     assert post(
         {"queries": [{"query_id": 1, "embedding": [True] * dim}]}
     ).status_code == 400
-    # junk / missing query_id
+    # junk / missing query_id — strictly an int: floats would truncate
+    # and silently merge two queries' results under one id, bools and
+    # numeric strings violate the same contract k/n_probe enforce
     assert post(
         {"queries": [{"query_id": "abc", "embedding": ok_emb}]}
     ).status_code == 400
     assert post({"queries": [{"embedding": ok_emb}]}).status_code == 400
+    assert post(
+        {"queries": [{"query_id": 1.2, "embedding": ok_emb}]}
+    ).status_code == 400
+    assert post(
+        {"queries": [{"query_id": True, "embedding": ok_emb}]}
+    ).status_code == 400
+    assert post(
+        {"queries": [{"query_id": "7", "embedding": ok_emb}]}
+    ).status_code == 400
+    # non-finite floats parse as JSON NaN/Infinity literals and would
+    # flow into NaN cosines behind a 200
+    bad = [float("nan")] + [0.5] * (dim - 1)
+    assert post(
+        {"queries": [{"query_id": 1, "embedding": bad}]}
+    ).status_code == 400
+    bad = [float("inf")] + [0.5] * (dim - 1)
+    assert post(
+        {"queries": [{"query_id": 1, "embedding": bad}]}
+    ).status_code == 400
+    # crafted huge JSON integers: isfinite would raise OverflowError on
+    # the embedding path, and createDataFrame('query_id long') would
+    # 500 on an out-of-int64 id — both must be 400s (2nd review pass)
+    bad = [10**400] + [0.5] * (dim - 1)
+    assert post(
+        {"queries": [{"query_id": 1, "embedding": bad}]}
+    ).status_code == 400
+    assert post(
+        {"queries": [{"query_id": 2**63, "embedding": ok_emb}]}
+    ).status_code == 400
     # k / n_probe: junk types and caps
     q = [{"query_id": 1, "embedding": ok_emb}]
     assert "k must be" in err(post({"queries": q, "k": "five"}))

@@ -201,7 +201,7 @@ def test_bench_canary_stamped_and_correction_bounded(tmp_path):
     with open(bank) as fh:
         assert json.load(fh)["queries"]["a"]["canary_sec"] == 0.17
     assert canary_correction(0.34, 0.17) == 2.0
-    assert canary_correction(0.2, 0.17) == round(0.2 / 0.17, 10) or True
+    assert canary_correction(0.2, 0.17) == 0.2 / 0.17
     assert 1.0 < canary_correction(0.2, 0.17) < CANARY_CORR_CAP
     assert canary_correction(0.1, 0.17) == 1.0  # faster box: no loosening
     assert canary_correction(None, 0.17) == 1.0  # pre-canary artifact

@@ -761,6 +761,16 @@ def test_stress_gate_load_adjudication_rules():
     reg, _ = mod.diff(cb, cc, ratio=1.5, min_sec=0.0, min_task_ms=0.0)
     assert [r["kind"] for r in reg] == ["wall_sec"]
     assert reg[0]["canary_corr"] == 1.8
+    # 8 (r14 review): a merged baseline row stamped with ITS OWN canary
+    # overrides the top-level one — this row's floor was banked on the
+    # slow box (0.18), so the same 2x inflation is NOT excused by the
+    # top-level fast-day canary (0.1)
+    cb = {"canary_sec": 0.1,
+          "queries": {"a": dict(row(1, 100), canary_sec=0.18)}}
+    cc = {"canary_sec": 0.18, "queries": {"a": row(2.0, 100)}}
+    reg, _ = mod.diff(cb, cc, ratio=1.5, min_sec=0.0, min_task_ms=0.0)
+    assert [r["kind"] for r in reg] == ["wall_sec"]
+    assert reg[0]["canary_corr"] == 1.0
 
 
 def test_publish_atomic_staging_unique_and_pid_swept(spark, tmp_path):
