@@ -413,9 +413,12 @@ def main() -> None:
     registry.load_catalog()
     overrides = build_overrides()
     # box-speed calibration BEFORE Spark exists: the canary must measure
-    # the machine, not share it with a live executor pool
-    canary = cpu_canary_sec()
-    print(f"cpu canary: {canary}s", file=sys.stderr)
+    # the machine, not share it with a live executor pool. A second
+    # sample lands after the timed loop (executors idle by then) and the
+    # MAX of the bracket is recorded — load arriving mid-session would
+    # otherwise hide behind a quiet pre-run sample (r14 live lesson).
+    canary_pre = cpu_canary_sec()
+    print(f"cpu canary (pre): {canary_pre}s", file=sys.stderr)
 
     def plan(name):
         return overrides[name] if name in overrides else registry.QUERIES[name]
@@ -497,6 +500,10 @@ def main() -> None:
             "spread": round(srt[-1] - srt[0], 3),
         }
 
+    canary_post = cpu_canary_sec()
+    canary = max(canary_pre, canary_post)
+    print(f"cpu canary (post): {canary_post}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     # Full artifact (per-run arrays for noise-vs-regression adjudication)
     # goes to the FILE only: the driver's stdout capture keeps just the
@@ -516,6 +523,8 @@ def main() -> None:
         "errors": errors,
         "sf": sf,
         "canary_sec": canary,
+        "canary_pre": canary_pre,
+        "canary_post": canary_post,
     }
     out_path = os.path.join(REPO, "BENCH_local.json")
     with open(out_path, "w") as fh:
