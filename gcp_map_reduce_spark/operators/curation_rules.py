@@ -40,6 +40,9 @@ from pyspark.sql import functions as F
 
 from gcp_map_reduce_spark.functions.text import WS_SPLIT
 from gcp_map_reduce_spark.operators.scale import ensure_parallelism
+from gcp_map_reduce_spark.operators.text_analysis import (
+    LANG_MARKERS as _PROFILE_LANG_MARKERS,
+)
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
@@ -72,22 +75,27 @@ MAX_TOP_TOKEN_FRAC = 0.12
 MAX_RUN = 2
 
 # --- language-ID (r14): the one common LLM-pipeline screen the rule
-# suite lacked. A hand-rolled marker-n-gram scorer — each language's
-# score is the summed NON-OVERLAPPING occurrence count of a few
-# high-frequency function-word markers in the space-padded lowered
-# text; predicted language = argmax, earlier row winning ties, "und"
-# when every score is zero. Deliberately exact-integer arithmetic (no
-# floats, no model file): Python's str.count, the JVM replace-length
-# expression, and DuckDB's replace-length replica all count the same
-# greedy left-to-right non-overlapping matches, so all three engines
-# are bit-identical by construction. This is the classic fastText/CLD
-# shape reduced to its deterministic core — at 100 TB it rides the same
-# single fused document pass as the other rules (zero extra scans).
+# suite lacked as a CURATION column. Each language's score is the
+# summed NON-OVERLAPPING occurrence count of its space-padded
+# function-word markers in the padded lowered text; predicted language
+# = argmax, earlier row winning ties, "und" when every score is zero.
+# Deliberately exact-integer arithmetic (no floats, no model file):
+# Python's str.count, the JVM replace-length expression, and DuckDB's
+# replace-length replica all count the same greedy left-to-right
+# non-overlapping matches, so all three engines are bit-identical by
+# construction, and it rides the same single fused document pass as
+# the other rules (zero extra scans).
+#
+# The marker VOCABULARY is shared with text_analysis.text_langid (the
+# token-equality profiling form registered via text_profile) — one
+# vocabulary, two mechanisms: that form scores exact token matches
+# over the split array (plus a zh char-class leg this substring form
+# deliberately omits); this form counts padded substrings so it can
+# fuse into the quality kernel's raw-text pass without re-tokenizing.
+# Deriving instead of copying means the two can never drift apart.
 LANG_MARKERS: list[tuple[str, list[str]]] = [
-    ("en", [" the ", " a ", " and ", " of ", " is "]),
-    ("es", [" el ", " la ", " de ", " que ", " los "]),
-    ("de", [" der ", " die ", " und ", " ein ", " nicht "]),
-    ("fr", [" le ", " les ", " des ", " et ", " une "]),
+    (lang, [f" {w} " for w in words])
+    for lang, words in _PROFILE_LANG_MARKERS.items()
 ]
 
 # SQL replicas of the same score formula (the oracle embeds these):

@@ -161,7 +161,7 @@ def test_quality_rules_arrow_kernel_row_identical(spark):
         "der hund und die katze sind ein team",
         "THE cat AND THE dog OF the house IS here",
         "le chat et les oiseaux des villes une fois",
-        "the el a la and de",  # en 3 vs es 3: earlier language wins
+        "the and of el los y",  # en 3 vs es 3: earlier language wins
         "zzz qqq www",  # no marker: und
     ]
     doc = spark.createDataFrame(
@@ -191,11 +191,24 @@ def test_quality_rules_arrow_kernel_row_identical(spark):
             r.doc_id: (r.lang_pred, r.lang_score)
             for r in quality_rules(spark, work, engine="arrow").collect()
         }
-        assert got[9] == ("es", 5)
+        assert got[9] == ("es", 2)
         assert got[10] == ("de", 4)
         assert got[11] == ("en", 6)  # markers matched case-insensitively
-        assert got[12] == ("fr", 5)
+        assert got[12] == ("fr", 4)
         assert got[13] == ("en", 3)  # 3-3 tie with es: earlier lang wins
         assert got[14] == ("und", 0)
+        # one vocabulary, two mechanisms: the curation marker table is
+        # DERIVED from text_analysis.LANG_MARKERS (padded), so the two
+        # language-ID surfaces cannot drift apart
+        from gcp_map_reduce_spark.operators.curation_rules import (
+            LANG_MARKERS,
+        )
+        from gcp_map_reduce_spark.operators.text_analysis import (
+            LANG_MARKERS as PROFILE,
+        )
+
+        assert LANG_MARKERS == [
+            (lang, [f" {w} " for w in ws]) for lang, ws in PROFILE.items()
+        ]
     finally:
         shutil.rmtree(work, ignore_errors=True)
