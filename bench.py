@@ -258,8 +258,13 @@ def merge_best(
                 "detail": detail.get(name),
                 "banked_at": stamp,
                 # the box-speed context this floor was measured on —
-                # what canary_correction scales future gates by
-                "canary_sec": full.get("canary_sec"),
+                # the bracket's FLOOR, not its max: a banked sec is the
+                # session's quietest observation, so it pairs with the
+                # quietest canary sample; stamping the max would pair a
+                # quiet floor with a loaded reading and under-loosen
+                # every future gate on this row (3rd review pass)
+                "canary_sec": full.get("canary_floor",
+                                       full.get("canary_sec")),
             }
         elif cpu_sec.get(name) is not None and _banked_cpu(cur) is None:
             # pre-r12 banked rows carry no CPU data, and their wall
@@ -500,8 +505,20 @@ def main() -> None:
             "spread": round(srt[-1] - srt[0], 3),
         }
 
+    # the post sample must NOT share the box with a live executor pool
+    # (the checkpoint-heavy tail queries' ContextCleaner/GC churn would
+    # inflate it on a genuinely quiet box — 3rd review pass), so the
+    # session stops here; everything after is file/bank bookkeeping.
+    spark.stop()
     canary_post = cpu_canary_sec()
+    # max = the worst box state the RUN could have seen (gates the run);
+    # min = the box state closest to the best-of floors this session
+    # banks (stamps the banked rows). One-sided residue remains either
+    # way: a spike fully inside the run slips the bracket, and a spike
+    # only AFTER the run loosens this session's gate reading — the
+    # bracket is evidence, not a recording.
     canary = max(canary_pre, canary_post)
+    canary_floor = min(canary_pre, canary_post)
     print(f"cpu canary (post): {canary_post}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -523,6 +540,7 @@ def main() -> None:
         "errors": errors,
         "sf": sf,
         "canary_sec": canary,
+        "canary_floor": canary_floor,
         "canary_pre": canary_pre,
         "canary_post": canary_post,
     }
@@ -575,7 +593,6 @@ def main() -> None:
             file=sys.stderr,
         )
     print(json.dumps(compact))
-    spark.stop()
 
 
 def merge_best_cli(paths: list[str]) -> None:
