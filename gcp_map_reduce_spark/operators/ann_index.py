@@ -19,11 +19,15 @@ Layout (all under one index dir, published atomically)::
                              (vec_id, e: array<double>, n2)
       vectors-segNNNN/     appended batches, same layout (LSM-style;
                              see ann_index_append / compact_ann_index)
+      tombstones-tNNNN/    deleted vec_ids (ann_index_delete) — readers
+                             anti-join them out; compaction rewrites
+                             live rows only and drops these dirs
       _index_meta.json     {version, levels, n_cells, n_vec, dim,
-                             segments, attrs, cell_counts} — the
-                             manifest is the COMMIT POINT: a segment
-                             exists iff listed here; cell_counts (r14)
-                             carries exact per-cell populations for the
+                             segments, attrs, cell_counts, tombstones,
+                             n_deleted} — the manifest is the COMMIT
+                             POINT: a segment or tombstone batch exists
+                             iff listed here; cell_counts (r14) carries
+                             exact per-cell populations for the
                              screening join's hot-cell sub-splitting
 
 Why ``partitionBy(cell_id)`` is the load-bearing choice: the partition
@@ -101,8 +105,29 @@ INDEX_VERSION = 1
 # error instead of an unresolved-column crash deep in a search plan.
 # float64 indexes keep version 1 so pre-r13 readers stay compatible.
 INDEX_VERSION_INT8 = 2
-READER_VERSIONS = (INDEX_VERSION, INDEX_VERSION_INT8)
+# Tombstoned manifests (ann_index_delete) bump again, same precedent
+# but a WORSE silent failure class: a pre-delete-aware reader would
+# pass the version gate, ignore the unknown tombstones key, and serve
+# every deleted row — silently wrong results in exactly the takedown
+# use-case the feature exists for (vs int8's loud column crash). The
+# bump makes old readers fail loud; compaction folds tombstones to
+# zero and RESTORES the base version, so a compacted index is readable
+# by every round's code again.
+INDEX_VERSION_TOMBSTONED = {INDEX_VERSION: 3, INDEX_VERSION_INT8: 4}
+READER_VERSIONS = (1, 2, 3, 4)
 META_FILE = "_index_meta.json"
+
+
+def _base_version(storage: str) -> int:
+    return INDEX_VERSION_INT8 if storage == "int8" else INDEX_VERSION
+
+
+class FullyTombstonedError(ValueError):
+    """Every physical row of the index is tombstoned — compaction would
+    publish an empty, unreadable vectors dir. The index itself still
+    serves (readers anti-join to empty results); drop or rebuild it.
+    A dedicated type so the streaming maintainer's in-stream compaction
+    can recognize the condition instead of crash-looping on it."""
 
 
 def _meta_path(index_dir: str) -> str:
@@ -143,6 +168,9 @@ def ann_index_meta(index_dir: str) -> dict:
     # UNKNOWN (consumers fall back to mean-based sizing), distinct from
     # {} which would claim an empty index
     meta.setdefault("cell_counts", None)
+    # pre-delete manifests: nothing was ever tombstoned
+    meta.setdefault("tombstones", [])
+    meta.setdefault("n_deleted", 0)
     return meta
 
 
@@ -872,6 +900,7 @@ def _load_vectors(
     index_dir: str,
     meta: dict | None = None,
     decode: bool = True,
+    include_deleted: bool = False,
 ) -> DataFrame:
     """(vec_id, e, n2, cell_id) over every COMMITTED segment (base +
     appended batches, per the manifest). cell_id comes back as the
@@ -888,7 +917,15 @@ def _load_vectors(
     code is storage-agnostic and column pruning still drops the decode
     entirely for ids-only reads. ``decode=False`` returns the raw
     stored columns — compaction MUST use it, or it would silently
-    rewrite a quantized index as float64."""
+    rewrite a quantized index as float64.
+
+    Tombstoned rows (``ann_index_delete``) are excluded by a BROADCAST
+    anti-join on vec_id — the tombstone set is bounded by deletes,
+    never by the corpus, and compaction folds it to zero. The default
+    is what every reader (search, range, screen) wants;
+    ``include_deleted=True`` exposes the PHYSICAL rows — the dup
+    checks need it (a deleted vec_id still occupies its slot until a
+    compaction materializes the delete; see ann_index_delete)."""
     meta = meta or ann_index_meta(index_dir)
     df = None
     for seg in meta["segments"]:
@@ -896,6 +933,12 @@ def _load_vectors(
             "cell_id", F.col("cell_id").cast("long")
         )
         df = leg if df is None else df.unionByName(leg)
+    if not include_deleted and meta["tombstones"]:
+        tombs = None
+        for t in meta["tombstones"]:
+            leg = spark.read.parquet(os.path.join(index_dir, t))
+            tombs = leg if tombs is None else tombs.unionByName(leg)
+        df = df.join(F.broadcast(tombs), "vec_id", "left_anti")
     if decode and meta["storage"] == "int8":
         decoded = F.transform(
             "ec", lambda c: c.cast("double") * F.col("scale")
@@ -954,15 +997,21 @@ def _commit_segment(
     codebook underneath, and committing would register rows assigned
     against the OLD codebook (r13 ADVICE)."""
     on_disk = ann_index_meta(index_dir)
-    if on_disk["segments"] != meta["segments"] or (
-        expected_gen is not None and _generation(index_dir) != expected_gen
+    if (
+        on_disk["segments"] != meta["segments"]
+        # an external delete between our meta read and this commit
+        # would have its tombstone registration silently dropped by
+        # the manifest replace below
+        or on_disk["tombstones"] != meta["tombstones"]
+        or (expected_gen is not None
+            and _generation(index_dir) != expected_gen)
     ):
         raise RuntimeError(
             f"index at {index_dir} was mutated outside the writer lock "
             f"during this append (manifest segments {meta['segments']} "
-            f"-> {on_disk['segments']}, or the codebook generation "
-            "changed — an external rebuild) — aborting before "
-            "overwriting its commit; retry the append"
+            f"-> {on_disk['segments']}, tombstones changed, or the "
+            "codebook generation changed — an external rebuild) — "
+            "aborting before overwriting its commit; retry the append"
         )
     seg = f"vectors-seg{len(meta['segments']):04d}"
     seg_dir = os.path.join(index_dir, seg)
@@ -1031,9 +1080,12 @@ def _ids_scan_df(
     """(vec_id, cell_id) of ONLY the given cells across every committed
     segment — the dup-check's read. The isin pushes into each segment
     leg's PartitionFilters (cell_id is the partition column), so
-    un-listed cells' files are never opened."""
+    un-listed cells' files are never opened. PHYSICAL rows on purpose
+    (include_deleted): a tombstoned vec_id still occupies its slot
+    until compaction, so appends must not re-use it (ann_index_delete
+    docstring)."""
     return (
-        _load_vectors(spark, index_dir, meta)
+        _load_vectors(spark, index_dir, meta, include_deleted=True)
         .where(F.col("cell_id").isin([int(c) for c in cells]))
         .select("vec_id", "cell_id")
     )
@@ -1068,6 +1120,51 @@ def _mirror_key(index_dir: str, segments) -> tuple:
     # rebuild landing in the same second would alias the old generation
     # (the same reason ann_index_for_corpus fingerprints with mtime_ns)
     return (index_dir, _generation(index_dir), tuple(segments))
+
+
+def _tombstoned_ids(spark: SparkSession, index_dir: str, meta: dict) -> set:
+    """Every tombstoned vec_id, collected — bounded by DELETES, never
+    the corpus (the ann_index_delete contract), and read only when a
+    dup clash needs attribution."""
+    out: set = set()
+    for t in meta["tombstones"]:
+        for r in spark.read.parquet(os.path.join(index_dir, t)).collect():
+            out.add(int(r.vec_id))
+    return out
+
+
+def _raise_dup_append(clash_ids, tombstoned: set) -> None:
+    """The dup-check rejection, attributing tombstoned clashes to the
+    right remedy: 'rebuild to replace' is the wrong prescription for a
+    deleted id whose slot a compaction frees (review catch)."""
+    dead = [i for i in clash_ids if i in tombstoned]
+    if dead and len(dead) == len(clash_ids):
+        raise ValueError(
+            "append batch contains vec_ids that are DELETED (tombstoned) "
+            "in this index — their slots stay occupied until a "
+            "compaction materializes the delete; run compact_ann_index, "
+            "then re-append the replacements"
+        )
+    raise ValueError(
+        "append batch contains vec_ids already in the index — "
+        "appends are inserts, not upserts; rebuild to replace "
+        "(or pass if_exists='skip' for idempotent ingest)"
+        + (f"; {len(dead)} of the sampled clashes are tombstoned ids "
+           "whose slots a compact_ann_index would free" if dead else "")
+    )
+
+
+def _warn_tombstoned_skips(n: int) -> None:
+    import warnings
+
+    warnings.warn(
+        f"append(if_exists='skip') dropped {n} row(s) whose vec_ids are "
+        "DELETED (tombstoned) in this index. An at-least-once REPLAY of "
+        "since-deleted rows is safe to ignore; a REPLACEMENT row for a "
+        "deleted id is being discarded — run compact_ann_index to free "
+        "the slots, then re-send the replacements.",
+        stacklevel=3,
+    )
 
 
 def _append_collected(
@@ -1134,14 +1231,21 @@ def _append_collected(
         clash = np.zeros(len(ids), dtype=bool)
     if if_exists == "error":
         if clash.any():
-            raise ValueError(
-                "append batch contains vec_ids already in the index — "
-                "appends are inserts, not upserts; rebuild to replace "
-                "(or pass if_exists='skip' for idempotent ingest)"
+            _raise_dup_append(
+                [int(i) for i in ids[clash][:20]],
+                _tombstoned_ids(spark, index_dir, meta)
+                if meta["tombstones"] else set(),
             )
         keep = np.ones(len(ids), dtype=bool)
     else:
         keep = ~clash
+        if clash.any() and meta["tombstones"]:
+            n_dead = len(
+                set(int(i) for i in ids[clash])
+                & _tombstoned_ids(spark, index_dir, meta)
+            )
+            if n_dead:
+                _warn_tombstoned_skips(n_dead)
     if not keep.any():
         return meta
     out = pdf.loc[keep].copy()
@@ -1334,28 +1438,48 @@ def _append_locked(
     cells = sorted(
         r.cell_id for r in assigned.select("cell_id").distinct().collect()
     )
-    existing = _load_vectors(spark, index_dir, meta).where(
-        F.col("cell_id").isin(cells)
-    )
+    # physical rows (include_deleted): a tombstoned id's slot stays
+    # occupied until compaction — see ann_index_delete
+    existing = _load_vectors(
+        spark, index_dir, meta, include_deleted=True
+    ).where(F.col("cell_id").isin(cells))
     if if_exists == "skip":
         # the skipped-id scan is the same cell-pruned join as the error
         # check — cost still scales with the batch's cells. Re-count and
         # bail on all-skipped (the replayed-committed-batch no-op). The
         # batch side is already pinned above; the index side is stable
         # (reads only manifest-listed segments).
+        n_before = n_batch
         assigned = assigned.join(existing, "vec_id", "left_anti")
         n_batch = assigned.count()
+        if n_batch < n_before and meta["tombstones"]:
+            # skipped-because-tombstoned is a REPLACEMENT being silently
+            # lost unless it's an at-least-once replay — surface it
+            # (review catch on the streaming maintainer's skip path)
+            tomb = _tombstoned_ids(spark, index_dir, meta)
+            if tomb:
+                tomb_df = spark.createDataFrame(
+                    [(i,) for i in sorted(tomb)], "vec_id long"
+                )
+                n_dead = (
+                    vectors.select("vec_id")
+                    .join(F.broadcast(tomb_df), "vec_id", "left_semi")
+                    .count()
+                )
+                if n_dead:
+                    _warn_tombstoned_skips(n_dead)
         if n_batch == 0:
             return meta
     else:
-        clash = (
-            assigned.join(existing, "vec_id", "left_semi").limit(1).count()
+        clash_rows = (
+            assigned.join(existing, "vec_id", "left_semi")
+            .select("vec_id").limit(20).collect()
         )
-        if clash:
-            raise ValueError(
-                "append batch contains vec_ids already in the index — "
-                "appends are inserts, not upserts; rebuild to replace "
-                "(or pass if_exists='skip' for idempotent ingest)"
+        if clash_rows:
+            _raise_dup_append(
+                [int(r.vec_id) for r in clash_rows],
+                _tombstoned_ids(spark, index_dir, meta)
+                if meta["tombstones"] else set(),
             )
     if meta["storage"] == "int8":
         # quantize ONLY what survives the dup gate, with the same
@@ -1364,6 +1488,124 @@ def _append_locked(
         # wrote it
         assigned = _quantize_stored(assigned, attrs)
     return _commit_segment(index_dir, meta, assigned, n_batch, expected_gen)
+
+
+def ann_index_delete(
+    spark: SparkSession,
+    index_dir: str,
+    vec_ids,
+    if_missing: str = "error",
+) -> dict:
+    """Delete vectors from a published index WITHOUT rewriting it — the
+    takedown / contamination-removal shape a training-data platform
+    runs between reindex cycles: a batch of vec_ids must stop matching
+    searches NOW, and the physical rewrite can wait for the next
+    compaction.
+
+    Mechanics (tombstones, the LSM twin of the append segments): the
+    ids are written as a new ``tombstones-tNNNN`` parquet dir and the
+    manifest update (atomic ``os.replace``) is the commit point — a
+    reader sees the index before-delete or after-delete, never a
+    partial delete; a crash before the commit leaves an unregistered
+    dir the next delete to that slot sweeps. Every reader
+    (:func:`_load_vectors` default) excludes tombstoned rows via a
+    BROADCAST anti-join — the tombstone set is bounded by deletes,
+    never the corpus, so search plans stay exchange-free and the
+    probed-cell pruning is untouched. :func:`compact_ann_index`
+    MATERIALIZES deletes: it rewrites only live rows, clears the
+    tombstone list, and re-records cell_counts.
+
+    Contract notes:
+    - ``vec_ids`` is a driver-sized iterable of ids (deletes are
+      takedown batches, not corpus-scale relations).
+    - A deleted vec_id CANNOT be re-appended until a compaction
+      physically frees its slot — the dup checks deliberately see
+      physical rows, because a tombstone keyed on vec_id alone would
+      otherwise also kill the replacement row. ``if_exists="skip"``
+      appends silently skip such ids (idempotence wins); ``"error"``
+      appends raise.
+    - ``if_missing="error"`` (default) raises when any id is not a
+      LIVE row (catches typos and double-deletes); ``"skip"`` deletes
+      the intersection. Accounting costs one ids-only column scan of
+      the live index per delete batch — the price of exact ``n_vec``.
+    - ``n_vec`` becomes the LIVE count; ``cell_counts`` stays PHYSICAL
+      (it sizes the screen's sub-blocks by rows actually scanned) and
+      returns to live == physical at compaction.
+
+    Holds the writer lock; the same external-mutation guard as appends
+    (segments + tombstones + codebook generation) runs before the
+    commit."""
+    if if_missing not in ("error", "skip"):
+        raise ValueError(
+            f"if_missing must be 'error' or 'skip', got {if_missing!r}"
+        )
+    with _write_lock(index_dir):
+        return _delete_locked(spark, index_dir, vec_ids, if_missing)
+
+
+def _delete_locked(
+    spark: SparkSession, index_dir: str, vec_ids, if_missing: str
+) -> dict:
+    import shutil
+
+    meta = ann_index_meta(index_dir)
+    expected_gen = _generation(index_dir)
+    ids = sorted({int(v) for v in vec_ids})
+    if not ids:
+        return meta
+    ids_df = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    live = _load_vectors(spark, index_dir, meta).select("vec_id")
+    # the LIVE intersection, collected (bounded by the driver-sized
+    # batch): ONLY these ids may be tombstoned — writing the full
+    # requested set would also tombstone never-present ids, silently
+    # killing a later legitimate append of them (review catch)
+    hit_ids = sorted(
+        int(r.vec_id)
+        for r in live.join(F.broadcast(ids_df), "vec_id", "left_semi")
+        .collect()
+    )
+    n_hit = len(hit_ids)
+    if n_hit != len(ids) and if_missing == "error":
+        raise ValueError(
+            f"{len(ids) - n_hit} of {len(ids)} vec_ids are not live "
+            "rows of this index (missing, or already deleted) — pass "
+            "if_missing='skip' to delete the intersection"
+        )
+    if n_hit == 0:
+        return meta
+    # external-mutation guard BEFORE touching the slot (the
+    # _commit_segment discipline): checking after the write would fire
+    # only once an externally-committed tombstone batch had already
+    # been destroyed and overwritten (review catch)
+    on_disk = ann_index_meta(index_dir)
+    if (
+        on_disk["segments"] != meta["segments"]
+        or on_disk["tombstones"] != meta["tombstones"]
+        or _generation(index_dir) != expected_gen
+    ):
+        raise RuntimeError(
+            f"index at {index_dir} was mutated outside the writer lock "
+            "during this delete — aborting before overwriting its "
+            "commit; retry the delete"
+        )
+    slot = f"tombstones-t{len(meta['tombstones']):04d}"
+    t_dir = os.path.join(index_dir, slot)
+    if os.path.exists(t_dir):
+        shutil.rmtree(t_dir)  # unregistered crash leftover
+    spark.createDataFrame(
+        [(i,) for i in hit_ids], "vec_id long"
+    ).coalesce(1).write.parquet(t_dir)
+    meta["tombstones"] = list(meta["tombstones"]) + [slot]
+    meta["n_vec"] = int(meta["n_vec"]) - n_hit
+    meta["n_deleted"] = int(meta["n_deleted"]) + n_hit
+    # version bump: a pre-delete-aware reader would pass the version
+    # gate, ignore the tombstones key, and silently serve deleted rows
+    # (see INDEX_VERSION_TOMBSTONED); compaction restores the base
+    meta["version"] = INDEX_VERSION_TOMBSTONED[
+        _base_version(meta["storage"])
+    ]
+    _meta_write(index_dir, meta)
+    return meta
 
 
 def ann_index_rebuild_due(
@@ -1441,19 +1683,39 @@ def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
 
 def _compact_locked(spark: SparkSession, index_dir: str) -> dict:
     meta = ann_index_meta(index_dir)
-    if meta["segments"] == ["vectors"]:
+    if meta["segments"] == ["vectors"] and not meta["tombstones"]:
         return meta
     # decode=False: compaction re-partitions the STORED representation
     # verbatim — decoding here would silently rewrite an int8 index as
-    # float64 (and 5x its footprint)
+    # float64 (and 5x its footprint). Default tombstone exclusion =
+    # the delete MATERIALIZES here: only live rows are rewritten.
     vecs = _load_vectors(spark, index_dir, meta, decode=False)
+    if meta["tombstones"] and vecs.limit(1).count() == 0:
+        # a fully-tombstoned index would compact to an EMPTY partitioned
+        # parquet dir — no part files, no schema, unreadable by every
+        # later scan (review catch). "Delete everything" is a drop, not
+        # a compaction; the tombstoned index itself keeps working
+        # (readers anti-join to empty results).
+        raise FullyTombstonedError(
+            f"every row of {index_dir} is tombstoned — compaction would "
+            "publish an empty, unreadable vectors dir; drop or rebuild "
+            "the index instead"
+        )
     cb = spark.read.parquet(os.path.join(index_dir, "codebook"))
     cb2 = (
         spark.read.parquet(os.path.join(index_dir, "codebook2"))
         if meta["levels"] == 2
         else None
     )
-    new_meta = {**meta, "segments": ["vectors"]}
+    new_meta = {
+        **meta,
+        "segments": ["vectors"],
+        "tombstones": [],
+        "n_deleted": 0,
+        # tombstones folded to zero: restore the base version so every
+        # pre-delete-aware reader can read the compacted index again
+        "version": _base_version(meta["storage"]),
+    }
 
     def write(staging: str) -> None:
         cb.coalesce(1).write.parquet(os.path.join(staging, "codebook"))
@@ -1464,6 +1726,12 @@ def _compact_locked(spark: SparkSession, index_dir: str) -> dict:
             .write.partitionBy("cell_id")
             .parquet(os.path.join(staging, "vectors"))
         )
+        # re-record rather than carry: materialized deletes change the
+        # physical per-cell populations (live == physical again)
+        if meta.get("cell_counts") is not None:
+            new_meta["cell_counts"] = _seg_cell_counts(
+                spark, os.path.join(staging, "vectors")
+            )
         with open(os.path.join(staging, META_FILE), "w") as fh:
             json.dump(new_meta, fh)
 

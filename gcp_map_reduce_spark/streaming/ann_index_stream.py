@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 from gcp_map_reduce_spark.operators.ann_index import (
+    FullyTombstonedError,
     ann_index_append,
     ann_index_meta,
     ann_index_rebuild_due,
@@ -125,7 +126,16 @@ def run_streaming_index_maintenance(
             compact_at_segments is not None
             and len(new_meta["segments"]) >= compact_at_segments
         ):
-            new_meta = compact_ann_index(batch_df.sparkSession, index_dir)
+            try:
+                new_meta = compact_ann_index(batch_df.sparkSession, index_dir)
+            except FullyTombstonedError:
+                # every row deleted mid-stream: the index still serves
+                # (readers anti-join to empty results) and compaction
+                # is IMPOSSIBLE, not failed — crash-looping the stream
+                # on an operator-level takedown would help no one; the
+                # condition clears when rows arrive or the operator
+                # drops/rebuilds the index
+                pass
         if on_rebuild_due is not None and ann_index_rebuild_due(
             new_meta, cell_target=rebuild_cell_target
         ):

@@ -1163,6 +1163,190 @@ def test_screen_batch_per_cell_split_is_exact(spark, tmp_path, split_corpus):
     assert legacy == one_block
 
 
+def test_delete_lifecycle_tombstone_then_compaction(spark, tmp_path):
+    """r14 ann_index_delete: deleted ids vanish from search and screen
+    IMMEDIATELY (tombstone anti-join — results equal a fresh build over
+    the corpus minus those rows, same codebook), their physical slots
+    stay occupied until compaction (dup checks see them; re-append
+    blocked), and compact_ann_index MATERIALIZES the delete: tombstones
+    cleared and their dirs gone, physical rows live-only, cell_counts
+    re-recorded, the freed ids appendable again."""
+    import duckdb
+
+    from gcp_map_reduce_spark.operators.ann_index import (
+        _load_vectors,
+        ann_index_append,
+        ann_index_delete,
+        ann_index_screen_batch,
+        compact_ann_index,
+    )
+
+    d = str(tmp_path / "idx")
+    ann_index_build(spark, SF, d, n_cells=N_CELLS)
+    dead = [450, 451, 452, 460]
+    m = ann_index_delete(spark, d, dead)
+    assert m["n_vec"] == 496 and m["n_deleted"] == 4
+    assert m["tombstones"] == ["tombstones-t0000"]
+    # version bumps so a pre-delete-aware reader fails LOUD instead of
+    # silently serving the deleted rows (the int8 gate precedent)
+    assert m["version"] == 3
+    # ground truth: fresh build over the corpus minus the dead rows —
+    # the dead ids are non-seeds, so the codebook is identical and the
+    # searches must be bit-identical
+    reduced = tmp_path / "reduced"
+    reduced.mkdir()
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{SF}/embeddings.parquet' WHERE vec_id NOT IN "
+        f"({', '.join(map(str, dead))}) ORDER BY vec_id) "
+        f"TO '{reduced}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    fresh = str(tmp_path / "fresh")
+    ann_index_build(spark, str(reduced), fresh, n_cells=N_CELLS)
+    res = lambda p: sorted(  # noqa: E731
+        map(tuple, ann_index_search(spark, p, _queries(spark)).collect())
+    )
+    assert res(d) == res(fresh)
+    batch = (
+        spark.read.parquet(SF + "/embeddings.parquet")
+        .filter(F.col("vec_id") < 40)
+        .select("vec_id", "embedding")
+    )
+    scr = lambda p: sorted(  # noqa: E731
+        map(
+            tuple,
+            ann_index_screen_batch(spark, p, batch, 0.2, n_probe=2).collect(),
+        )
+    )
+    assert scr(d) == scr(fresh)
+    # physical slots still occupied: dup check blocks re-append
+    rows = (
+        spark.read.parquet(SF + "/embeddings.parquet")
+        .filter(F.col("vec_id").isin(dead))
+        .select("vec_id", "embedding")
+    )
+    assert _load_vectors(spark, d, include_deleted=True).count() == 500
+    assert _load_vectors(spark, d).count() == 496
+    # the rejection names the RIGHT remedy for tombstoned ids
+    with pytest.raises(ValueError, match="DELETED .tombstoned."):
+        ann_index_append(spark, d, rows)
+    # the skip path surfaces replacement-vs-replay ambiguity loudly
+    with pytest.warns(UserWarning, match="tombstoned"):
+        m2 = ann_index_append(spark, d, rows, if_exists="skip")
+    assert m2["n_vec"] == 496  # idempotent skip, no phantom segment
+    with pytest.warns(UserWarning, match="tombstoned"):
+        m2c = ann_index_append(spark, d, rows, if_exists="skip",
+                               collected=True)
+    assert m2c["n_vec"] == 496
+    # double delete: error by default, no-op with skip
+    with pytest.raises(ValueError, match="not live"):
+        ann_index_delete(spark, d, dead)
+    assert ann_index_delete(spark, d, dead, if_missing="skip")[
+        "n_deleted"
+    ] == 4
+    # compaction materializes: tombstones cleared + dirs gone, physical
+    # == live, cell_counts exact, search unchanged, ids re-appendable
+    m3 = compact_ann_index(spark, d)
+    assert m3["tombstones"] == [] and m3["n_deleted"] == 0
+    assert m3["version"] == 1  # base version restored with zero tombstones
+    assert not [p for p in os.listdir(d) if p.startswith("tombstones")]
+    assert _load_vectors(spark, d, include_deleted=True).count() == 496
+    actual = {
+        str(r.cell_id): r["count"]
+        for r in _load_vectors(spark, d).groupBy("cell_id").count().collect()
+    }
+    assert m3["cell_counts"] == actual
+    assert res(d) == res(fresh)
+    m4 = ann_index_append(spark, d, rows)
+    assert m4["n_vec"] == 500
+    full2 = str(tmp_path / "full2")
+    ann_index_build(spark, SF, full2, n_cells=N_CELLS)
+    assert res(d) == res(full2)  # grown-after-delete == full fresh
+
+
+def test_delete_validation_and_locking(spark, tmp_path, split_corpus, monkeypatch):
+    """Delete takes the writer lock (held elsewhere -> timeout), rejects
+    unknown if_missing, skips cleanly on empty/missing batches, and
+    works on int8 indexes (the tombstone join sits below the decode)."""
+    import fcntl
+
+    from gcp_map_reduce_spark.operators import ann_index as mod
+    from gcp_map_reduce_spark.operators.ann_index import ann_index_delete
+
+    d = str(tmp_path / "idx")
+    ann_index_build(spark, split_corpus, d, n_cells=N_CELLS, storage="int8")
+    with pytest.raises(ValueError, match="if_missing"):
+        ann_index_delete(spark, d, [1], if_missing="nope")
+    assert ann_index_delete(spark, d, [])["n_deleted"] == 0
+    assert ann_index_delete(
+        spark, d, [10**9], if_missing="skip"
+    )["n_deleted"] == 0
+    # skip tombstones ONLY the live intersection: a never-present id
+    # must stay appendable (2nd review pass on this feature: writing
+    # the full batch would silently kill its later legitimate append)
+    m = ann_index_delete(spark, d, [398, 10**9 + 7], if_missing="skip")
+    assert m["n_vec"] == 399 and m["n_deleted"] == 1
+    assert m["version"] == 4  # int8 base (2) bumped to tombstone-aware
+    tomb = spark.read.parquet(
+        os.path.join(d, m["tombstones"][-1])
+    ).collect()
+    assert [r.vec_id for r in tomb] == [398]
+    newrow = spark.createDataFrame(
+        [(10**9 + 7, [0.5] * 64)], "vec_id long, embedding array<float>"
+    )
+    from gcp_map_reduce_spark.operators.ann_index import ann_index_append
+
+    ann_index_append(spark, d, newrow)
+    probe = spark.createDataFrame(
+        [(-1, [0.5] * 64)], "query_id long, embedding array<double>"
+    )
+    got_new = {
+        r.cand_id
+        for r in ann_index_search(spark, d, probe, k=1,
+                                  n_probe=N_CELLS).collect()
+    }
+    # the appended row is visible, not tombstone-shadowed
+    assert got_new == {10**9 + 7}
+
+    m = ann_index_delete(spark, d, [399])
+    assert m["n_vec"] == 399 and m["n_deleted"] == 2
+    got = {
+        r.cand_id
+        for r in ann_index_search(spark, d, _queries(spark), k=400,
+                                  n_probe=N_CELLS).collect()
+    }
+    assert 399 not in got and len(got) > 0
+    fd = os.open(d + ".writer-lock", os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    monkeypatch.setattr(mod, "WRITE_LOCK_TIMEOUT_S", 0.2)
+    try:
+        with pytest.raises(TimeoutError, match="writer lock"):
+            ann_index_delete(spark, d, [5])
+    finally:
+        os.close(fd)
+    # full takedown: compaction refuses to publish an empty (hence
+    # unreadable) vectors dir; the tombstoned index itself still serves
+    from gcp_map_reduce_spark.operators.ann_index import (
+        ann_index_meta as _meta,
+        compact_ann_index,
+    )
+
+    remaining = [
+        r.vec_id
+        for r in spark.read.parquet(split_corpus + "/embeddings.parquet")
+        .select("vec_id").collect()
+        if r.vec_id not in (398, 399)
+    ] + [10**9 + 7]
+    m = ann_index_delete(spark, d, remaining)
+    assert m["n_vec"] == 0
+    assert (
+        ann_index_search(spark, d, _queries(spark), n_probe=N_CELLS).count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="every row .* tombstoned"):
+        compact_ann_index(spark, d)
+    assert _meta(d)["n_vec"] == 0  # refused compaction changed nothing
+
+
 def test_build_over_live_index_takes_writer_lock(
     spark, tmp_path, split_corpus, monkeypatch
 ):
