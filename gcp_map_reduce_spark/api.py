@@ -206,6 +206,15 @@ def create_app(
                     )
                 except ValueError as exc:
                     return jsonify({"error": str(exc)}), 400
+                if any(qid == p[0] for p in parsed):
+                    # a duplicate id would silently merge two queries'
+                    # candidate lists under one response key — the same
+                    # failure the strict-int validation exists to stop
+                    return jsonify(
+                        {"error": f"queries[{i}].query_id {qid} is a "
+                                  "duplicate — query_id must be unique "
+                                  "within a request"}
+                    ), 400
                 parsed.append((qid, [float(x) for x in emb]))
             qdf = spark.createDataFrame(
                 parsed, "query_id long, embedding array<double>"

@@ -207,6 +207,23 @@ def _meta_write(index_dir: str, meta: dict) -> None:
     os.replace(tmp, path)
 
 
+def _carry_cache_key(index_dir: str, meta: dict) -> dict:
+    """Carry an existing manifest's ``cache_key_source`` into a
+    rebuild's fresh manifest: an in-place rebuild of a cache generation
+    (``ann_index_rebuild`` on a dir ``ann_index_for_corpus`` resolved)
+    must not demote the dir from provably-live to legacy-LRU sweep
+    candidacy (r15, ADVICE fix). No-op when the dir has no manifest or
+    no recorded source (user-directed index paths)."""
+    try:
+        with open(_meta_path(index_dir)) as fh:
+            src = json.load(fh).get("cache_key_source")
+    except (OSError, ValueError):
+        return meta
+    if src:
+        meta["cache_key_source"] = src
+    return meta
+
+
 WRITE_LOCK_TIMEOUT_S = 300.0
 
 
@@ -279,11 +296,31 @@ def _lock_pid(path: str) -> int | None:
 
 
 # Cache-generation GC (ann_index_for_corpus): the resolved digest dir
-# plus this many most-recently-used OTHER generations survive a resolve;
-# older ones are swept (their corpora changed — nothing resolves to them
-# again). Without this a long-lived maintenance host leaks one full
-# index per corpus change/storage variant forever (r13 verdict).
-ANN_INDEX_KEEP_GENERATIONS = 3
+# plus this many most-recently-used OTHER *candidate* generations
+# survive a resolve; older candidates are swept. A generation is a
+# candidate only if it is provably superseded — its manifest records
+# the source corpus it was built from (``cache_key_source``, r15) and
+# that file no longer fingerprints to the dir's digest (changed,
+# deleted, or built under an older INDEX_VERSION) — or if it predates
+# the recorded source (legacy dirs, LRU as before). A generation whose
+# corpus still fingerprints to its digest is LIVE (some other corpus /
+# storage variant resolves to it) and is never a victim: with >K
+# actively-resolved corpora in one cache root the old pure-LRU sweep
+# rmtree'd the least-recently-used live index every resolve — rebuild
+# thrash (r14 ADVICE). Without any sweep a long-lived maintenance host
+# leaks one full index per corpus change forever (r13 verdict).
+# Both knobs are env-configurable for deployments with many corpora.
+ANN_INDEX_KEEP_GENERATIONS = int(
+    os.environ.get("ANN_INDEX_KEEP_GENERATIONS", "3")
+)
+# Grace window: a generation used (resolved OR appended) within the
+# TTL is skipped even when provably stale — lock-free readers hold a
+# resolved path for one query burst, and yanking files mid-scan is the
+# one eviction hazard keep-last-K alone cannot bound once candidacy is
+# staleness-based.
+ANN_INDEX_SWEEP_TTL_S = float(
+    os.environ.get("ANN_INDEX_SWEEP_TTL_S", "900")
+)
 
 
 def _touch_last_used(index_dir: str) -> None:
@@ -312,27 +349,81 @@ def _last_used_ns(root: str, name: str) -> int:
     return max(stamps, default=0)
 
 
+def _corpus_cache_digest(src: str, storage: str) -> str:
+    """The cache-generation name for a corpus file state: a fingerprint
+    of (realpath, size, mtime_ns, INDEX_VERSION, storage variant). One
+    formula shared by resolve (``ann_index_for_corpus``) and the sweep's
+    liveness check — recomputing it from a candidate's recorded source
+    and getting the dir's own name back proves the corpus is unchanged
+    and the generation still resolvable. Raises OSError if ``src`` is
+    gone (provably stale, to the sweep)."""
+    st = os.stat(src)
+    return hashlib.sha1(
+        f"{os.path.realpath(src)}|{st.st_size}|{st.st_mtime_ns}|"
+        f"v{INDEX_VERSION}"
+        # storage variants are distinct indexes of the same corpus;
+        # the float64 tag is elided so pre-r13 cache dirs stay valid
+        f"{'' if storage == 'float64' else '|' + storage}".encode()
+    ).hexdigest()[:16]
+
+
+def _generation_is_live(root: str, name: str) -> bool:
+    """True iff generation ``name``'s recorded source corpus still
+    fingerprints to ``name`` — i.e. a resolve of that corpus today
+    would land HERE, so sweeping it would destroy a live index (r14
+    ADVICE: distinct corpora / storage variants coexist in one root).
+    Manifest read is raw JSON, not :func:`ann_index_meta`: a version
+    outside READER_VERSIONS means NEWER code owns the dir — treat as
+    live, never as garbage. Legacy manifests with no recorded source
+    (pre-r15) return False: liveness unprovable, LRU decides as it
+    always did."""
+    try:
+        with open(os.path.join(root, name, META_FILE)) as fh:
+            meta = json.load(fh)
+    except (OSError, ValueError):
+        return False  # unreadable manifest: let LRU + lock decide
+    if meta.get("version") not in READER_VERSIONS:
+        return True
+    src = meta.get("cache_key_source")
+    if not src:
+        return False
+    try:
+        return _corpus_cache_digest(
+            src, meta.get("storage", "float64")
+        ) == name
+    except OSError:
+        return False  # corpus deleted: provably stale
+
+
 def _sweep_stale_generations(
     root: str, keep_dir: str, keep: int | None = None
 ) -> None:
     """Delete superseded cache generations under ``root``, keeping the
     just-resolved ``keep_dir`` plus the ``keep - 1`` most recently used
-    others. Each victim is claimed via its own writer lock NON-blocking
-    — a held lock means a live builder/appender owns it and it is
-    skipped this pass, never broken (flock dies with its holder, so a
-    skipped dir is reclaimable the moment that process exits). Only
-    pure 16-hex digest names with a manifest are candidates: staging /
-    rollback siblings (``.staging-publish-*``, ``.old-publish``) belong
-    to publish_atomic's own sweep, and lock/sidecar files are tiny and
-    deliberately never unlinked (unlinking a lock file a waiter is
-    blocked on would split the lock across two inodes — the r13 review
-    class of race this module refuses to reopen).
+    other CANDIDATES. Candidacy (r15, was pure LRU): a generation used
+    within ``ANN_INDEX_SWEEP_TTL_S`` is skipped outright (grace for
+    lock-free readers mid-burst), one whose recorded corpus still
+    fingerprints to its digest is LIVE and skipped
+    (:func:`_generation_is_live` — another corpus resolves to it; LRU
+    alone evicted live indexes when >K corpora shared a root), and the
+    rest — provably superseded or legacy-unprovable — age out by
+    recency as before. Each victim is claimed via its own writer lock
+    NON-blocking — a held lock means a live builder/appender owns it
+    and it is skipped this pass, never broken (flock dies with its
+    holder, so a skipped dir is reclaimable the moment that process
+    exits). Only pure 16-hex digest names with a manifest are
+    candidates: staging / rollback siblings (``.staging-publish-*``,
+    ``.old-publish``) belong to publish_atomic's own sweep, and
+    lock/sidecar files are tiny and deliberately never unlinked
+    (unlinking a lock file a waiter is blocked on would split the lock
+    across two inodes — the r13 review class of race this module
+    refuses to reopen).
 
     Readers take no lock by design, so a reader STILL scanning a
-    generation that has aged past keep-last-K can lose its files
-    mid-plan — the same contract as any cache eviction: consumers hold
-    the resolved path for one query burst and re-resolve per batch (the
-    façade and every operator here do)."""
+    swept generation can lose its files mid-plan — the TTL bounds the
+    window, and the contract stands: consumers hold the resolved path
+    for one query burst and re-resolve per batch (the façade and every
+    operator here do)."""
     if keep is None:
         keep = ANN_INDEX_KEEP_GENERATIONS
     keep_name = os.path.basename(keep_dir.rstrip("/"))
@@ -340,6 +431,7 @@ def _sweep_stale_generations(
         names = os.listdir(root)
     except FileNotFoundError:
         return
+    fresh_ns = (time.time() - ANN_INDEX_SWEEP_TTL_S) * 1e9
     gens = [
         n
         for n in names
@@ -347,6 +439,8 @@ def _sweep_stale_generations(
         and len(n) == 16
         and all(c in "0123456789abcdef" for c in n)
         and os.path.isfile(os.path.join(root, n, META_FILE))
+        and _last_used_ns(root, n) < fresh_ns
+        and not _generation_is_live(root, n)
     ]
     gens.sort(key=lambda n: _last_used_ns(root, n), reverse=True)
     import shutil
@@ -664,6 +758,7 @@ def _build_two_level(
         "embedding_ddl": _embedding_ddl(spark, sf_dir),
         "storage": storage,
     }
+    _carry_cache_key(index_dir, meta)
     if storage == "int8":
         assigned = _quantize_stored(assigned, attrs)
 
@@ -815,6 +910,7 @@ def _build_unlocked(
         "embedding_ddl": _embedding_ddl(spark, sf_dir),
         "storage": storage,
     }
+    _carry_cache_key(index_dir, meta)
     if storage == "int8":
         assigned = _quantize_stored(assigned, attrs)
 
@@ -861,14 +957,7 @@ def ann_index_for_corpus(
     docstring).
     """
     src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    digest = hashlib.sha1(
-        f"{os.path.realpath(src)}|{st.st_size}|{st.st_mtime_ns}|"
-        f"v{INDEX_VERSION}"
-        # storage variants are distinct indexes of the same corpus;
-        # the float64 tag is elided so pre-r13 cache dirs stay valid
-        f"{'' if storage == 'float64' else '|' + storage}".encode()
-    ).hexdigest()[:16]
+    digest = _corpus_cache_digest(src, storage)
     root = cache_root or os.path.join(
         tempfile.gettempdir(), "gcp_mrs_ann_index"
     )
@@ -887,6 +976,13 @@ def ann_index_for_corpus(
         except (FileNotFoundError, ValueError):
             # _build_unlocked: this frame already holds the writer lock
             _build_unlocked(spark, sf_dir, index_dir, storage=storage)
+            # record the source corpus (realpath, same as the digest
+            # formula) so a later sweep can PROVE this generation live
+            # or stale by re-fingerprinting it — the manifest update is
+            # atomic and still under our writer lock
+            meta = ann_index_meta(index_dir)
+            meta["cache_key_source"] = os.path.realpath(src)
+            _meta_write(index_dir, meta)
     # recency stamp + GC of superseded generations (keep-last-K, each
     # victim claimed via its own writer lock non-blocking) — the sweep
     # runs OUTSIDE our own dir's lock: it never touches index_dir

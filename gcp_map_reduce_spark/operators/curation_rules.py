@@ -93,6 +93,17 @@ MAX_RUN = 2
 # deliberately omits); this form counts padded substrings so it can
 # fuse into the quality kernel's raw-text pass without re-tokenizing.
 # Deriving instead of copying means the two can never drift apart.
+#
+# The SCORES of the two surfaces are NOT comparable — only the
+# vocabulary is shared (r15, r14 ADVICE). Non-overlapping substring
+# counting consumes the shared space between ADJACENT marker
+# occurrences: "the the" scores 1 here (the first " the " match eats
+# the middle space) but 2 in text_langid's token-equality form. The
+# undercount is systematic, identical across all three engines of THIS
+# surface (python kernel, JVM expressions, SQL oracle — all
+# non-overlapping), and pinned by the repeated-adjacent-marker case in
+# tests/test_curation_pii.py. Compare lang_pred across surfaces if you
+# must; never lang_score.
 LANG_MARKERS: list[tuple[str, list[str]]] = [
     (lang, [f" {w} " for w in words])
     for lang, words in _PROFILE_LANG_MARKERS.items()

@@ -1412,21 +1412,31 @@ def _copy_corpus(tmp_path, name: str) -> str:
     return str(alt)
 
 
+def _supersede_corpus(corpus_dir: str) -> None:
+    """Mutate the corpus file state (mtime bump) so its fingerprint no
+    longer matches any previously-resolved generation — the 'corpus
+    changed, old index superseded' event the GC exists for."""
+    src = os.path.join(corpus_dir, "embeddings.parquet")
+    st = os.stat(src)
+    os.utime(src, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+
+
 def test_for_corpus_sweeps_stale_generations(spark, tmp_path, monkeypatch):
     """r14 (verdict task 1): superseded cache generations are
-    garbage-collected at resolve time — N successive corpus versions
-    leave at most ANN_INDEX_KEEP_GENERATIONS digest dirs, with the
-    just-resolved one always among the survivors."""
+    garbage-collected at resolve time — N successive VERSIONS of one
+    corpus leave at most ANN_INDEX_KEEP_GENERATIONS digest dirs, with
+    the just-resolved one always among the survivors."""
     from gcp_map_reduce_spark.operators import ann_index as mod
 
     monkeypatch.setattr(mod, "ANN_INDEX_KEEP_GENERATIONS", 2)
+    monkeypatch.setattr(mod, "ANN_INDEX_SWEEP_TTL_S", 0.0)
     root = str(tmp_path / "cache")
-    dirs = [
-        mod.ann_index_for_corpus(
-            spark, _copy_corpus(tmp_path, f"corpus{i}"), cache_root=root
-        )
-        for i in range(4)
-    ]
+    corpus = _copy_corpus(tmp_path, "corpus")
+    dirs = []
+    for _ in range(4):
+        dirs.append(mod.ann_index_for_corpus(spark, corpus, cache_root=root))
+        _supersede_corpus(corpus)
+    assert len(set(dirs)) == 4  # each version resolved a new generation
     gens = [
         n
         for n in os.listdir(root)
@@ -1440,53 +1450,121 @@ def test_for_corpus_sweeps_stale_generations(spark, tmp_path, monkeypatch):
         assert ann_index_meta(os.path.join(root, g))["n_vec"] == 500
 
 
-def test_sweep_recency_includes_dir_mtime(spark, tmp_path, monkeypatch):
-    """An actively-APPENDED generation (fresh dir mtime from manifest
-    commits, stale resolve-time sidecar) must rank recent and survive
-    the sweep — ordering by the sidecar alone would destroy a live
-    index between its appends (r14 review catch)."""
-    import time as _time
-
+def test_sweep_spares_live_generations_of_other_corpora(
+    spark, tmp_path, monkeypatch
+):
+    """r15 (ADVICE fix): distinct corpora coexisting in one cache root
+    are all LIVE — with more actively-resolved corpora than
+    KEEP_GENERATIONS, the sweep must not evict the least-recently-used
+    one (the old pure-LRU sweep did, causing rebuild thrash and
+    yanking files from lock-free readers)."""
     from gcp_map_reduce_spark.operators import ann_index as mod
 
     monkeypatch.setattr(mod, "ANN_INDEX_KEEP_GENERATIONS", 2)
+    monkeypatch.setattr(mod, "ANN_INDEX_SWEEP_TTL_S", 0.0)
     root = str(tmp_path / "cache")
-    live = mod.ann_index_for_corpus(
-        spark, _copy_corpus(tmp_path, "live"), cache_root=root
-    )
-    os.utime(live + ".last-used", (1, 1))  # the resolver never came back
-    future = _time.time() + 3600
-    os.utime(live, (future, future))  # ...but appends keep landing
-    for i in range(3):
+    dirs = [
         mod.ann_index_for_corpus(
-            spark, _copy_corpus(tmp_path, f"other{i}"), cache_root=root
+            spark, _copy_corpus(tmp_path, f"corpus{i}"), cache_root=root
         )
-    assert os.path.isdir(live)  # fresh dir mtime kept it recent
+        for i in range(4)
+    ]
+    for d in dirs:  # every generation survives: all corpora unchanged
+        assert os.path.isdir(d)
+        assert ann_index_meta(d)["n_vec"] == 500
+
+
+def test_sweep_ttl_protects_recently_used_generations(
+    spark, tmp_path, monkeypatch
+):
+    """A provably-stale generation used within ANN_INDEX_SWEEP_TTL_S is
+    skipped (grace for lock-free readers mid-burst) — recency counts
+    the NEWER of the resolve sidecar and the dir's own mtime, so an
+    actively-APPENDED generation with a stale sidecar is also safe
+    (r14 review catch, restated under TTL semantics)."""
+    from gcp_map_reduce_spark.operators import ann_index as mod
+
+    monkeypatch.setattr(mod, "ANN_INDEX_KEEP_GENERATIONS", 1)
+    monkeypatch.setattr(mod, "ANN_INDEX_SWEEP_TTL_S", 3600.0)
+    root = str(tmp_path / "cache")
+    corpus = _copy_corpus(tmp_path, "corpus")
+    stale = mod.ann_index_for_corpus(spark, corpus, cache_root=root)
+    # the resolver never came back, but appends keep landing: sidecar
+    # ancient, dir mtime fresh — TTL must read the dir mtime
+    os.utime(stale + ".last-used", (1, 1))
+    _supersede_corpus(corpus)
+    mod.ann_index_for_corpus(spark, corpus, cache_root=root)
+    assert os.path.isdir(stale)  # within TTL by dir mtime -> spared
+    # age the dir past the TTL too: next resolve reclaims it
+    monkeypatch.setattr(mod, "ANN_INDEX_SWEEP_TTL_S", 0.0)
+    _supersede_corpus(corpus)
+    mod.ann_index_for_corpus(spark, corpus, cache_root=root)
+    assert not os.path.isdir(stale)
+
+
+def test_sweep_reclaims_generation_of_deleted_corpus(
+    spark, tmp_path, monkeypatch
+):
+    """A generation whose recorded corpus file no longer exists is
+    provably stale — nothing can ever resolve to it again — and is
+    swept regardless of LRU position."""
+    import shutil
+
+    from gcp_map_reduce_spark.operators import ann_index as mod
+
+    monkeypatch.setattr(mod, "ANN_INDEX_KEEP_GENERATIONS", 1)
+    monkeypatch.setattr(mod, "ANN_INDEX_SWEEP_TTL_S", 0.0)
+    root = str(tmp_path / "cache")
+    doomed_corpus = _copy_corpus(tmp_path, "doomed")
+    doomed = mod.ann_index_for_corpus(spark, doomed_corpus, cache_root=root)
+    shutil.rmtree(doomed_corpus)
+    other = mod.ann_index_for_corpus(
+        spark, _copy_corpus(tmp_path, "other"), cache_root=root
+    )
+    assert not os.path.isdir(doomed)
+    assert os.path.isdir(other)
+
+
+def test_rebuild_preserves_cache_key_source(spark, tmp_path):
+    """An in-place rebuild of a cache generation carries the recorded
+    source corpus into the fresh manifest — dropping it would demote
+    the dir from provably-live to legacy-LRU sweep candidacy."""
+    from gcp_map_reduce_spark.operators import ann_index as mod
+
+    root = str(tmp_path / "cache")
+    corpus = _copy_corpus(tmp_path, "corpus")
+    d = mod.ann_index_for_corpus(spark, corpus, cache_root=root)
+    src = ann_index_meta(d)["cache_key_source"]
+    assert src == os.path.realpath(os.path.join(corpus, "embeddings.parquet"))
+    mod.ann_index_rebuild(spark, corpus, d)
+    assert ann_index_meta(d)["cache_key_source"] == src
 
 
 def test_sweep_never_claims_a_held_generation(spark, tmp_path, monkeypatch):
     """The sweep claims each victim via its writer lock NON-blocking: a
-    generation whose lock is held (a live builder/appender) is skipped,
-    not broken — and reclaimed by the next resolve after release."""
+    stale generation whose lock is held (a live builder/appender) is
+    skipped, not broken — and reclaimed by the next resolve after
+    release."""
     import fcntl
 
     from gcp_map_reduce_spark.operators import ann_index as mod
 
-    monkeypatch.setattr(mod, "ANN_INDEX_KEEP_GENERATIONS", 2)
+    monkeypatch.setattr(mod, "ANN_INDEX_KEEP_GENERATIONS", 1)
+    monkeypatch.setattr(mod, "ANN_INDEX_SWEEP_TTL_S", 0.0)
     root = str(tmp_path / "cache")
-    first = mod.ann_index_for_corpus(
-        spark, _copy_corpus(tmp_path, "held"), cache_root=root
-    )
+    corpus = _copy_corpus(tmp_path, "held")
+    first = mod.ann_index_for_corpus(spark, corpus, cache_root=root)
+    _supersede_corpus(corpus)  # first is now provably stale
     fd = os.open(first + ".writer-lock", os.O_CREAT | os.O_RDWR)
     fcntl.flock(fd, fcntl.LOCK_EX)
     try:
-        for i in range(3):
-            mod.ann_index_for_corpus(
-                spark, _copy_corpus(tmp_path, f"later{i}"), cache_root=root
-            )
+        mod.ann_index_for_corpus(spark, corpus, cache_root=root)
         assert os.path.isdir(first)  # lock held -> skipped every pass
     finally:
         os.close(fd)
+    _supersede_corpus(corpus)
+    mod.ann_index_for_corpus(spark, corpus, cache_root=root)
+    assert not os.path.isdir(first)  # lock released -> reclaimed
     mod.ann_index_for_corpus(
         spark, _copy_corpus(tmp_path, "final"), cache_root=root
     )

@@ -212,6 +212,14 @@ def test_semantic_search_validates_input_and_ranks(spark, tmp_path):
     ).status_code == 400
     assert post({"queries": q, "n_probe": -1}).status_code == 400
     assert post({"queries": q, "n_probe": True}).status_code == 400
+    # duplicate query_id: two queries' candidate lists would silently
+    # merge under one response key (r15, r14 ADVICE)
+    assert "duplicate" in err(
+        post({"queries": [
+            {"query_id": 7, "embedding": ok_emb},
+            {"query_id": 7, "embedding": ok_emb},
+        ]})
+    )
     # oversized batch: the contract is driver-sized query batches
     big = [
         {"query_id": i, "embedding": ok_emb}

@@ -163,6 +163,12 @@ def test_quality_rules_arrow_kernel_row_identical(spark):
         "le chat et les oiseaux des villes une fois",
         "the and of el los y",  # en 3 vs es 3: earlier language wins
         "zzz qqq www",  # no marker: und
+        # r15 (r14 ADVICE pin): ADJACENT repeats of one marker share
+        # their separating space, and non-overlapping substring
+        # counting consumes it — "the the" scores 1 on this surface
+        # (text_langid's token-equality form would say 2; only the
+        # VOCABULARY is shared across surfaces, never the scores)
+        "the the",
     ]
     doc = spark.createDataFrame(
         list(enumerate(texts)), "doc_id bigint, text string"
@@ -197,6 +203,9 @@ def test_quality_rules_arrow_kernel_row_identical(spark):
         assert got[12] == ("fr", 4)
         assert got[13] == ("en", 3)  # 3-3 tie with es: earlier lang wins
         assert got[14] == ("und", 0)
+        # repeated-adjacent-marker: non-overlapping counting eats the
+        # shared space, so "the the" is 1 here, not token-form's 2
+        assert got[15] == ("en", 1)
         # one vocabulary, two mechanisms: the curation marker table is
         # DERIVED from text_analysis.LANG_MARKERS (padded), so the two
         # language-ID surfaces cannot drift apart
