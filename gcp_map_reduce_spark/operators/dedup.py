@@ -1141,6 +1141,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- dedup clustering (connected components over near-dup pairs) -----------
 
 MAX_CC_ROUNDS = 64  # pointer doubling: rounds needed ~ log2(diameter)
+# Frontier size at or below which a connected-components round's
+# label-lookup side is broadcast (<= 2x this many rows of two longs,
+# ~32 MB worst case) — late rounds become map-side joins instead of
+# full-width shuffles. Above it the round falls back to the shuffle
+# join, still frontier-restricted.
+FRONTIER_BROADCAST_MAX = 1_000_000
+# Edge rows per shuffle partition inside the CC loop (two longs a row:
+# ~4 MB at this count) — the loop clamps its shuffle width to
+# ceil(n_edges / this), capped at the session width, so small graphs
+# run narrow (fewer scheduler round trips per round) and 100 TB graphs
+# keep the session's full width.
+CC_EDGES_PER_PARTITION = 250_000
 
 
 def near_dup_edges_minhash_verified(
@@ -1393,6 +1405,22 @@ def connected_components(pairs: DataFrame) -> DataFrame:
 
     Algorithm: min-label propagation WITH pointer doubling — see
     :func:`dedup_clusters` for the full complexity/termination notes.
+
+    Frontier-restricted rounds (r15, verdict task 2): after the first
+    full fold, each round's label-lookup side is restricted to the
+    labels of (a) nodes whose label CHANGED last round and (b) those
+    nodes' new label targets. That restriction is exact, not a
+    heuristic — labels only decrease, so an unchanged neighbor's label
+    was already folded in the round it last changed, and the chase term
+    ``label(label(s))`` was folded at the round ``s`` acquired its
+    current label (the target is a lookup key of that round by (b)) or
+    when the target itself last changed (a). An empty frontier is
+    therefore a global fixpoint. The payoff is scheduler-latency
+    exposure, the suite's worst (r14 bank-flag adjudication in
+    SCALING.md): the frontier shrinks geometrically, so the lookup side
+    drops under the broadcast threshold after round 1 and the tail
+    rounds run as broadcast joins — tiny shuffles, tasks in the
+    hundreds-of-rows — instead of full-width shuffle rounds.
     """
     a, b = pairs.columns[:2]
     pairs = materialize(
@@ -1401,10 +1429,44 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     fwd = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
     rev = pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
     edges = materialize(fwd.union(rev))
+    # Size the LOOP's shuffle width to the graph, not the session: AQE's
+    # coalescer keeps parallelismFirst, so a 1k-edge label table still
+    # shuffles across the full session width and every one of the loop's
+    # ~5 stages/round pays a full-width scheduler round trip — the
+    # measured wall variance of this operator under load (SCALING.md r15
+    # adjudication). At 100 TB edge counts the clamp is a no-op and the
+    # session width stands. Restored in the finally even on raise.
+    spark = pairs.sparkSession
+    n_edges = edges.count()
+    orig_width = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_width = min(
+        int(orig_width), max(1, -(-n_edges // CC_EDGES_PER_PARTITION))
+    )
+    small_graph = n_edges <= FRONTIER_BROADCAST_MAX
+    try:
+        if loop_width < int(orig_width):
+            spark.conf.set("spark.sql.shuffle.partitions", str(loop_width))
+            # coalesce (no shuffle: blocks are already materialized) so
+            # per-round map sides read loop_width blocks, not the
+            # session-width block count the first materialize produced
+            edges = materialize(edges.coalesce(loop_width))
+        return _cc_loop(edges, small_graph)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig_width)
+
+
+def _cc_loop(edges: DataFrame, small_graph: bool) -> DataFrame:
+    """The pointer-doubling fixpoint loop of :func:`connected_components`
+    (split out so the shuffle-width clamp wraps it in one try/finally).
+    The returned DataFrame is materialized: its plan must execute under
+    the loop's clamped shuffle width, not whatever the session conf says
+    when the caller finally collects."""
     labels = edges.groupBy("s").agg(F.min("d").alias("label"))
     labels = materialize(
         labels.select("s", F.least(F.col("s"), F.col("label")).alias("label"))
     )
+    frontier = labels  # round 1 folds EVERY label (the induction base)
+    n_frontier = None  # unknown until the first round's change count
     rounds = 0
     while True:
         if rounds >= MAX_CC_ROUNDS:
@@ -1412,6 +1474,29 @@ def connected_components(pairs: DataFrame) -> DataFrame:
                 f"connected_components did not converge in {MAX_CC_ROUNDS} rounds"
             )
         rounds += 1
+        if n_frontier is None:
+            lookup = labels.select(F.col("s").alias("ls"), "label")
+            if small_graph:
+                # label table rows <= edge rows: driver-sized, so even
+                # the full first fold can run as a map-side join
+                lookup = F.broadcast(lookup)
+        else:
+            # changed nodes + their new label targets — the only keys
+            # whose labels can carry information not already folded
+            keys = (
+                frontier.select("s")
+                .union(frontier.select(F.col("label").alias("s")))
+                .distinct()
+            )
+            if n_frontier <= FRONTIER_BROADCAST_MAX:
+                keys = F.broadcast(keys)
+            lookup = labels.join(keys, "s").select(
+                F.col("s").alias("ls"), "label"
+            )
+            if n_frontier <= FRONTIER_BROADCAST_MAX:
+                # the lookup side is <= 2x frontier rows of two longs:
+                # broadcasting it makes the wide join below map-side
+                lookup = F.broadcast(lookup)
         # pointer doubling folded INTO the neighbor-min join: augmenting
         # the edge list with each node's (s -> label(s)) pseudo-edge makes
         # the neighbor-label min also cover label(label(s)) — one join +
@@ -1420,10 +1505,7 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         aug = edges.union(labels.select("s", F.col("label").alias("d")))
         neigh = (
             aug.select(F.col("s").alias("ns"), F.col("d").alias("nd"))
-            .join(
-                labels.select(F.col("s").alias("ls"), "label"),
-                F.col("nd") == F.col("ls"),
-            )
+            .join(lookup, F.col("nd") == F.col("ls"))
             .groupBy("ns")
             .agg(F.min("label").alias("nlabel"))
         )
@@ -1440,14 +1522,15 @@ def connected_components(pairs: DataFrame) -> DataFrame:
                 (new_label < F.col("label")).alias("changed"),
             )
         )
-        changed = updated.filter("changed").count()
+        frontier = updated.filter("changed").select("s", "label")
+        n_frontier = frontier.count()
         labels = updated.select("s", "label")
-        if changed == 0:
+        if n_frontier == 0:
             break
     log.info("connected_components converged in %d rounds", rounds)
     comp = labels.select("s", F.col("label").alias("cluster_id"))
     sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("reach_size"))
-    return (
+    return materialize(
         comp.join(sizes, "cluster_id")
         .select(F.col("s").alias("node"), "cluster_id", "reach_size")
     )
