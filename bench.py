@@ -351,7 +351,20 @@ def bank_regressions(full: dict, bank_path: str = BANK_PATH) -> list[dict]:
         cur = bank.get("queries", {}).get(name)
         if name in errors or not cur or cur["sec"] <= 0:
             continue
-        ratios[name] = (sec, cur, sec / cur["sec"])
+        # per-ROW canary scaling (r15, verdict task 8): each banked
+        # floor was stamped in its own box era, so before comparing,
+        # the reference is scaled by this session's canary over THAT
+        # row's banked canary (capped like stress_ci). The session-
+        # median normalization below cancels slowdowns uniform WITHIN
+        # this session; it cannot cancel a per-row era difference — a
+        # floor banked on a fast box flags against peers banked on slow
+        # boxes even when the plan is untouched (the r14 dedup_clusters
+        # false trip). Rows without a banked canary stamp get corr=1.0
+        # (pre-canary floors keep the old raw comparison).
+        corr = canary_correction(
+            full.get("canary_sec"), cur.get("canary_sec")
+        )
+        ratios[name] = (sec, cur, sec / (cur["sec"] * corr), corr)
     if len(ratios) < 3:
         # a 1-2 query subset has no meaningful peer median — the upper
         # element IS the worst ratio, so the bar would be 1.5x the worst
@@ -364,7 +377,7 @@ def bank_regressions(full: dict, bank_path: str = BANK_PATH) -> list[dict]:
                 file=sys.stderr,
             )
         return []
-    srt = sorted(r for _, _, r in ratios.values())
+    srt = sorted(r for _, _, r, _ in ratios.values())
     # true median: average the two middle elements for even counts (the
     # upper-median shortcut inflated the bar on small even sets)
     mid = len(srt) // 2
@@ -374,26 +387,19 @@ def bank_regressions(full: dict, bank_path: str = BANK_PATH) -> list[dict]:
     bar = REGRESSION_FACTOR * max(1.0, median)
     session_cpu = full.get("cpu_sec") or {}
     out = []
-    for name, (sec, cur, ratio) in ratios.items():
+    for name, (sec, cur, ratio, corr) in ratios.items():
         if ratio > bar:
             row = {
                 "query": name,
                 "sec": sec,
                 "banked": cur["sec"],
+                # the CANARY-SCALED ratio (what gated): sec over the
+                # era-adjusted banked reference
                 "ratio": round(ratio, 2),
+                "raw_ratio": round(sec / cur["sec"], 2),
                 "session_median_ratio": round(median, 2),
                 "banked_at": cur.get("banked_at"),
             }
-            # box-speed context (r13 verdict): canary_ratio > 1 means
-            # this box is mechanically slower than the one the floor
-            # was banked on — adjudication evidence, NOT a correction
-            # here (the session-median normalization above already
-            # cancels uniform slowdowns; scaling by the canary too
-            # would double-correct). stress_ci's absolute per-query
-            # gate is where the canary scales thresholds.
-            corr = canary_correction(
-                full.get("canary_sec"), cur.get("canary_sec")
-            )
             if corr != 1.0:
                 row["canary_ratio"] = round(corr, 2)
             # wall-vs-cpu arbitration (r12): same compute + longer wait

@@ -1152,6 +1152,25 @@ FROM cand JOIN embeddings q ON query_id = q.vec_id
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) <= {TOP_K}
 """
 
+# predicate-delete variant (ann_index_delete_where, r15): the index is
+# built over the FULL corpus with the label attr persisted, then
+# "label = 3" is tombstoned — the takedown-by-attribute shape. The
+# codebook, assignment, and probes are therefore those of the full
+# corpus (delete happens AFTER build); only the CANDIDATE side loses
+# the tombstoned rows, and the top-k window ranks what is left —
+# exactly the engine's anti-join-below-the-rerank semantics.
+_IVF_DELETED_ORACLE = f"""
+{_IVF_PERSISTED_CTES}
+SELECT query_id, cand_id,
+  {_SQL_DOT.format(a='q.embedding', b='c.embedding')}
+    / sqrt({_SQL_DOT.format(a='q.embedding', b='q.embedding')}
+           * {_SQL_DOT.format(a='c.embedding', b='c.embedding')}) AS cosine
+FROM cand JOIN embeddings q ON query_id = q.vec_id
+          JOIN embeddings c ON cand_id = c.vec_id
+WHERE c.label <> 3
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) <= {TOP_K}
+"""
+
 # int8-storage variant (ann_index_build(storage="int8")): assignment,
 # probing and the QUERY side stay full-precision; only the stored
 # candidate payload is quantized, so the oracle decodes each candidate
@@ -1787,6 +1806,9 @@ FROM ({_IVF_Q8_ORACLE})
 UNION ALL
 SELECT 'screen', query_id, cand_id, cosine, NULL, NULL
 FROM ({_ann_screen_oracle()})
+UNION ALL
+SELECT 'ivf_deleted', query_id, cand_id, cosine, NULL, NULL
+FROM ({_IVF_DELETED_ORACLE})
 """,
 )
 def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1813,8 +1835,12 @@ def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`ann_index.ann_index_screen_batch`) that gates an
     arbitrary-size incoming batch against the same persisted index —
     the driver never sees the batch, only its probed-cell id set.
-    Branches are independent plans; the union is a shuffle-free
-    concatenation."""
+    r15 adds 'ivf_deleted': the same persisted search over an
+    attr-carrying index variant with a PREDICATE takedown applied
+    (``ann_index_delete_where(..., "label = 3")``) — the oracle filters
+    the candidate side identically, proving the tombstone anti-join
+    sits below the rerank window. Branches are independent plans; the
+    union is a shuffle-free concatenation."""
     null_s = F.lit(None).cast("string")
     null_l = F.lit(None).cast("bigint")
 
@@ -1833,12 +1859,24 @@ def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # local import: ann_index imports similarity's shared expressions,
     # so the dependency must point that way at module load time
     from gcp_map_reduce_spark.operators.ann_index import (
+        ann_index_delete_where,
         ann_index_for_corpus,
+        ann_index_meta,
         ann_index_search,
     )
 
     idx = ann_index_for_corpus(spark, sf_dir)
     idx_q8 = ann_index_for_corpus(spark, sf_dir, storage="int8")
+    # 'ivf_deleted' (r15): a DEDICATED attr-carrying cache variant
+    # (distinct digest — never the shared attr-less index above) with
+    # the takedown-by-attribute applied: everything labeled 3 is
+    # tombstoned via ann_index_delete_where. The delete is idempotent
+    # (resolved live-ids only, skip-mode), so re-resolves of the same
+    # generation skip it via the n_deleted marker, and a compacted or
+    # rebuilt generation re-applies it to the same no-op end state.
+    idx_del = ann_index_for_corpus(spark, sf_dir, attrs=["label"])
+    if ann_index_meta(idx_del)["n_deleted"] == 0:
+        ann_index_delete_where(spark, idx_del, "label = 3")
     qvecs = _emb(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1847,6 +1885,9 @@ def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     quantized = ann_index_search(
         spark, idx_q8, qvecs, k=TOP_K, n_probe=ANN_INDEX_NPROBE
+    )
+    deleted = ann_index_search(
+        spark, idx_del, qvecs, k=TOP_K, n_probe=ANN_INDEX_NPROBE
     )
     return (
         norm(semantic_search_docs(spark, sf_dir), "bruteforce_docs", True)
@@ -1859,4 +1900,5 @@ def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             norm(ann_screen_recent_half(spark, sf_dir), "screen", False)
         )
+        .unionByName(norm(deleted, "ivf_deleted", False))
     )

@@ -1076,13 +1076,17 @@ def test_commit_detects_external_mutation(spark, tmp_path, split_corpus):
 def test_manifest_cell_counts_exact_across_lifecycle(
     spark, tmp_path, split_corpus
 ):
-    """r14 (verdict task 5): the manifest accumulates EXACT per-cell
+    """r14 (verdict task 5): the index accumulates EXACT per-cell
     populations at every commit — build, plan-path append, collected
     append — and compaction carries them unchanged; they always equal a
-    direct count over the stored segments."""
+    direct count over the stored segments. Since r15 they live in a
+    content-addressed sidecar (ann_index_cell_counts), never inline in
+    the manifest, and superseded sidecars are swept (keep current +
+    previous — the lock-free-reader grace)."""
     from gcp_map_reduce_spark.operators.ann_index import (
         _load_vectors,
         ann_index_append,
+        ann_index_cell_counts,
         compact_ann_index,
     )
 
@@ -1095,17 +1099,68 @@ def test_manifest_cell_counts_exact_across_lifecycle(
             for r in _load_vectors(spark, d).groupBy("cell_id").count().collect()
         }
 
-    assert ann_index_meta(d)["cell_counts"] == actual()
+    def sidecars():
+        return sorted(
+            n for n in os.listdir(d) if n.startswith("_cell_counts-")
+        )
+
+    meta = ann_index_meta(d)
+    assert meta["cell_counts"] is None  # never inline since r15
+    assert meta["cell_counts_file"] in sidecars()
+    assert ann_index_cell_counts(d) == actual()
     rest = _rest_batch(spark)
     m = ann_index_append(spark, d, rest.filter(F.col("vec_id") < 450))
-    assert m["cell_counts"] == actual()
+    assert ann_index_cell_counts(d, m) == actual()
     m = ann_index_append(
         spark, d, rest.filter(F.col("vec_id") >= 450), collected=True
     )
-    assert m["cell_counts"] == actual()
-    assert sum(m["cell_counts"].values()) == m["n_vec"] == 500
+    cc = ann_index_cell_counts(d, m)
+    assert cc == actual()
+    assert sum(cc.values()) == m["n_vec"] == 500
+    # sweep keeps at most current + previous
+    assert len(sidecars()) <= 2
     m = compact_ann_index(spark, d)
-    assert m["cell_counts"] == actual()
+    assert ann_index_cell_counts(d, m) == actual()
+    # the publish swap dropped every pre-compaction sidecar
+    assert sidecars() == [m["cell_counts_file"]]
+
+
+def test_cell_counts_sidecar_integrity_and_legacy(spark, tmp_path, split_corpus):
+    """A pre-r15 manifest's INLINE cell_counts dict still resolves (and
+    migrates to a sidecar on its first append); a sidecar whose bytes no
+    longer hash to its recorded name raises loudly."""
+    import json as _json
+
+    from gcp_map_reduce_spark.operators.ann_index import (
+        META_FILE,
+        ann_index_append,
+        ann_index_cell_counts,
+    )
+
+    d = str(tmp_path / "idx")
+    ann_index_build(spark, split_corpus, d, n_cells=N_CELLS)
+    mp = os.path.join(d, META_FILE)
+    with open(mp) as fh:
+        raw = _json.load(fh)
+    # forge a pre-r15 manifest: counts inline, no sidecar pointer
+    inline = ann_index_cell_counts(d)
+    fname = raw.pop("cell_counts_file")
+    raw["cell_counts"] = inline
+    with open(mp, "w") as fh:
+        _json.dump(raw, fh)
+    os.remove(os.path.join(d, fname))
+    assert ann_index_cell_counts(d) == inline
+    m = ann_index_append(spark, d, _rest_batch(spark))
+    assert "cell_counts_file" in m  # migrated on first append
+    assert sum(ann_index_cell_counts(d).values()) == 500
+    with open(mp) as fh:
+        assert _json.load(fh).get("cell_counts") is None
+    # corrupt the sidecar: loader must refuse, not mis-size silently
+    side = os.path.join(d, m["cell_counts_file"])
+    with open(side, "a") as fh:
+        fh.write(" ")
+    with pytest.raises(ValueError, match="hash"):
+        ann_index_cell_counts(d)
 
 
 def test_screen_batch_per_cell_split_is_exact(spark, tmp_path, split_corpus):
@@ -1145,11 +1200,11 @@ def test_screen_batch_per_cell_split_is_exact(spark, tmp_path, split_corpus):
         )
     )
     assert split == one_block and len(one_block) > 0
-    # pre-r14 manifest: drop cell_counts -> mean fallback, same results
+    # pre-r14 manifest: no counts at all -> mean fallback, same results
     mp = os.path.join(d, META_FILE)
     with open(mp) as fh:
         meta = _json.load(fh)
-    meta.pop("cell_counts")
+    meta.pop("cell_counts_file")
     with open(mp, "w") as fh:
         _json.dump(meta, fh)
     legacy = sorted(
@@ -1254,13 +1309,135 @@ def test_delete_lifecycle_tombstone_then_compaction(spark, tmp_path):
         str(r.cell_id): r["count"]
         for r in _load_vectors(spark, d).groupBy("cell_id").count().collect()
     }
-    assert m3["cell_counts"] == actual
+    from gcp_map_reduce_spark.operators.ann_index import (
+        ann_index_cell_counts,
+    )
+
+    assert ann_index_cell_counts(d, m3) == actual
     assert res(d) == res(fresh)
     m4 = ann_index_append(spark, d, rows)
     assert m4["n_vec"] == 500
     full2 = str(tmp_path / "full2")
     ann_index_build(spark, SF, full2, n_cells=N_CELLS)
     assert res(d) == res(full2)  # grown-after-delete == full fresh
+
+
+def test_delete_batches_fold_to_one_tombstone_dir(spark, tmp_path):
+    """r15 (r14 verdict finding 2): N delete batches between compactions
+    commit as ONE folded tombstone dir — the manifest lists exactly one
+    slot, reader fan-in is one file-open, slot numbers never reuse an
+    on-disk name, and the one-commit grace keeps the previous dir for
+    lock-free readers mid-plan. Results equal deleting everything in
+    one batch."""
+    from gcp_map_reduce_spark.operators.ann_index import (
+        _load_vectors,
+        ann_index_delete,
+        ann_index_search,
+    )
+
+    d = str(tmp_path / "idx")
+    ann_index_build(spark, SF, d, n_cells=N_CELLS)
+    batches = [[450, 451], [452, 460], [470], [471, 472], [480]]
+    for i, batch in enumerate(batches):
+        m = ann_index_delete(spark, d, batch)
+        assert len(m["tombstones"]) == 1  # always folded
+        on_disk = sorted(
+            n for n in os.listdir(d) if n.startswith("tombstones-t")
+        )
+        # current + at most the previous (grace for in-flight readers)
+        assert m["tombstones"][0] in on_disk and len(on_disk) <= 2
+    assert m["tombstones"] == [f"tombstones-t{len(batches) - 1:04d}"]
+    dead = sorted(x for b in batches for x in b)
+    assert m["n_deleted"] == len(dead) and m["n_vec"] == 500 - len(dead)
+    # the folded dir holds the UNION of every batch
+    folded = sorted(
+        int(r.vec_id)
+        for r in spark.read.parquet(
+            os.path.join(d, m["tombstones"][0])
+        ).collect()
+    )
+    assert folded == dead
+    assert _load_vectors(spark, d).count() == 500 - len(dead)
+    # equivalent single-batch delete on a second index: same searches
+    d2 = str(tmp_path / "idx2")
+    ann_index_build(spark, SF, d2, n_cells=N_CELLS)
+    ann_index_delete(spark, d2, dead)
+    res = lambda p: sorted(  # noqa: E731
+        map(tuple, ann_index_search(spark, p, _queries(spark)).collect())
+    )
+    assert res(d) == res(d2)
+
+
+def test_delete_where_predicate_takedown(spark, tmp_path, monkeypatch):
+    """r15 (verdict task 7): ann_index_delete_where resolves a SQL
+    predicate over persisted attrs to live ids index-side and reuses
+    the tombstone commit — searches equal a fresh build over the
+    filtered corpus (same codebook: the deleted rows are non-seeds
+    here), replays are no-ops, re-append of a predicate-deleted id is
+    blocked until compaction materializes, and attr-less indexes
+    refuse."""
+    import duckdb
+
+    from gcp_map_reduce_spark.operators import ann_index as mod
+    from gcp_map_reduce_spark.operators.ann_index import (
+        _load_vectors,
+        ann_index_append,
+        ann_index_delete_where,
+        compact_ann_index,
+    )
+
+    d = str(tmp_path / "idx")
+    ann_index_build(spark, SF, d, n_cells=N_CELLS, attrs=["label"])
+    n_dead = int(
+        duckdb.sql(
+            f"SELECT count(*) FROM '{SF}/embeddings.parquet' "
+            "WHERE label = 3 AND vec_id >= 64"
+        ).fetchone()[0]
+    )
+    # keep seed rows (vec_id < 64 covers every possible seed at
+    # n_cells=8) so the fresh-build ground truth shares the codebook
+    m = ann_index_delete_where(spark, d, "label = 3 AND vec_id >= 64")
+    assert m["n_deleted"] == n_dead and m["n_vec"] == 500 - n_dead
+    assert len(m["tombstones"]) == 1
+    # replay: same predicate, nothing live matches -> no-op
+    m2 = ann_index_delete_where(spark, d, "label = 3 AND vec_id >= 64")
+    assert m2["n_deleted"] == n_dead and m2["tombstones"] == m["tombstones"]
+    # ground truth: fresh build over the filtered corpus
+    reduced = tmp_path / "reduced"
+    reduced.mkdir()
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{SF}/embeddings.parquet' "
+        "WHERE NOT (label = 3 AND vec_id >= 64) ORDER BY vec_id) "
+        f"TO '{reduced}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    fresh = str(tmp_path / "fresh")
+    ann_index_build(spark, str(reduced), fresh, n_cells=N_CELLS)
+    res = lambda p: sorted(  # noqa: E731
+        map(tuple, ann_index_search(spark, p, _queries(spark)).collect())
+    )
+    assert res(d) == res(fresh)
+    # re-append of a predicate-deleted id: blocked until compaction
+    some_dead = (
+        spark.read.parquet(SF + "/embeddings.parquet")
+        .filter((F.col("label") == 3) & (F.col("vec_id") >= 64))
+        .limit(2)
+        .select("vec_id", "embedding", "label")
+    )
+    with pytest.raises(ValueError, match="DELETED .tombstoned."):
+        ann_index_append(spark, d, some_dead)
+    m3 = compact_ann_index(spark, d)
+    assert m3["tombstones"] == [] and m3["n_deleted"] == 0
+    assert _load_vectors(spark, d, include_deleted=True).count() == 500 - n_dead
+    m4 = ann_index_append(spark, d, some_dead)
+    assert m4["n_vec"] == 500 - n_dead + 2
+    # guard rails: attr-less index refuses; oversize predicate refuses
+    plain = str(tmp_path / "plain")
+    ann_index_build(spark, SF, plain, n_cells=N_CELLS)
+    with pytest.raises(ValueError, match="attrs"):
+        ann_index_delete_where(spark, plain, "vec_id > 0")
+    monkeypatch.setattr(mod, "DELETE_WHERE_MAX_IDS", 3)
+    with pytest.raises(ValueError, match="reindex, not a takedown"):
+        ann_index_delete_where(spark, d, "label = 1")
 
 
 def test_delete_validation_and_locking(spark, tmp_path, split_corpus, monkeypatch):

@@ -213,6 +213,65 @@ def test_bench_canary_stamped_and_correction_bounded(tmp_path):
     assert canary_correction(9.9, 0.17) == CANARY_CORR_CAP  # capped
 
 
+def test_bank_gate_canary_normalizes_per_row(tmp_path):
+    """r15 (verdict task 8): the relative bank gate scales each row's
+    banked reference by canary_now/canary_row before comparing, so a
+    loaded session flags NO untouched plan even when one floor was
+    banked on a faster box era than its peers (the r14 dedup_clusters
+    false trip), while a genuine 2x plan regression still trips."""
+    import json
+
+    from bench import bank_regressions
+
+    bank_path = str(tmp_path / "BENCH_BEST.json")
+    # four rows banked on a fast era (canary 0.10), one ('old_floor')
+    # on an even faster era (canary 0.08) — the heterogeneous-era bank
+    bank = {
+        "metric": "headline_queries_total_wall_sec",
+        "sf": 0.1,
+        "queries": {
+            "q1": {"sec": 1.0, "canary_sec": 0.10},
+            "q2": {"sec": 2.0, "canary_sec": 0.10},
+            "q3": {"sec": 0.5, "canary_sec": 0.10},
+            "old_floor": {"sec": 1.0, "canary_sec": 0.08},
+            "regressed": {"sec": 1.0, "canary_sec": 0.10},
+        },
+    }
+    with open(bank_path, "w") as fh:
+        json.dump(bank, fh)
+
+    def session(secs, canary):
+        return {
+            "metric": "headline_queries_total_wall_sec",
+            "sf": 0.1,
+            "queries": secs,
+            "errors": {},
+            "canary_sec": canary,
+        }
+
+    # loaded box (canary 0.16 = 1.6x the 0.10 era): every untouched
+    # plan inflates ~1.55-1.65x, old_floor inflates 2.0x vs ITS floor
+    # (0.16/0.08 = 2.0 box ratio) — pre-r15 this flagged old_floor as
+    # having slid relative to its peers; the per-row scaling cancels it
+    loaded = session(
+        {"q1": 1.6, "q2": 3.2, "q3": 0.78, "old_floor": 2.0,
+         "regressed": 1.55},
+        canary=0.16,
+    )
+    assert bank_regressions(loaded, bank_path) == []
+    # same loaded box, but 'regressed' is a PLANTED 2x plan regression
+    # on top of the load (2x plan x ~1.6x box = 3.2) — still trips
+    planted = session(
+        {"q1": 1.6, "q2": 3.2, "q3": 0.78, "old_floor": 2.0,
+         "regressed": 3.2},
+        canary=0.16,
+    )
+    hits = bank_regressions(planted, bank_path)
+    assert [h["query"] for h in hits] == ["regressed"]
+    assert hits[0]["ratio"] > hits[0]["session_median_ratio"] * 1.5
+    assert hits[0]["raw_ratio"] == 3.2
+
+
 def test_bench_merge_best_totals_over_full_headline_and_checks_metric(tmp_path):
     """r9 advice: a subset artifact whose queries are all banked must NOT
     report a banked_value smaller than the full headline total under the

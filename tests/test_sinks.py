@@ -840,3 +840,37 @@ def test_publish_atomic_skips_foreign_scope_staging(tmp_path):
     assert not os.path.isdir(local)      # our namespace, dead pid: swept
     assert not os.path.isdir(legacy_fmt)  # pre-scope format: old behavior
     assert os.path.isdir(target)
+
+
+def test_publish_atomic_sweeps_ancient_foreign_scope_staging(tmp_path):
+    """r15 (r14 verdict finding 4): a FOREIGN-scope staging dir older
+    than FOREIGN_STAGING_TTL_S is a crash relic whose namespace never
+    ran a sweeper — swept by age; a fresh foreign dir is still kept
+    (could be a live sibling write), and same-scope behavior is
+    unchanged."""
+    import subprocess
+    import time as _time
+
+    from gcp_map_reduce_spark.sinks import writers
+
+    target = str(tmp_path / "ds3")
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    scope = writers._publish_scope()
+    foreign_scope = "0" * 8 if scope != "0" * 8 else "1" * 8
+    old_foreign = (
+        f"{target}.staging-publish-{dead.pid}-0ld0ld0l-{foreign_scope}"
+    )
+    new_foreign = (
+        f"{target}.staging-publish-{dead.pid}-fresh123-{foreign_scope}"
+    )
+    live_local = f"{target}.staging-publish-{os.getpid()}-cafef00d-{scope}"
+    for p in (old_foreign, new_foreign, live_local):
+        os.makedirs(p)
+    ancient = _time.time() - writers.FOREIGN_STAGING_TTL_S - 3600
+    os.utime(old_foreign, (ancient, ancient))
+    writers.publish_atomic(target, os.makedirs)
+    assert not os.path.isdir(old_foreign)  # aged past the TTL: swept
+    assert os.path.isdir(new_foreign)      # fresh foreign: kept
+    assert os.path.isdir(live_local)       # our namespace, live pid: kept
+    assert os.path.isdir(target)

@@ -108,8 +108,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     idx = os.path.join(tempfile.mkdtemp(prefix="annhotidx"), "idx")
     ann_index_build(spark, hot_dir, idx)
+    from gcp_map_reduce_spark.operators.ann_index import (
+        ann_index_cell_counts,
+    )
+
     meta = ann_index_meta(idx)
-    pops = sorted((int(v) for v in meta["cell_counts"].values()), reverse=True)
+    pops = sorted(
+        (int(v) for v in ann_index_cell_counts(idx, meta).values()),
+        reverse=True,
+    )
     batch = (
         spark.read.parquet(os.path.join(hot_dir, "embeddings.parquet"))
         .filter(F.col("vec_id") >= n // 2)
@@ -146,10 +153,16 @@ def main() -> None:
     percell = timed_mode("per_cell")
     fp_percell = fingerprint()
 
-    # strip cell_counts -> the pre-r14 mean fallback on the SAME index
+    # strip the counts pointer -> the pre-r14 mean fallback on the SAME
+    # index (counts live in a sidecar since r15; inline key kept for
+    # pre-r15 manifests)
     with open(os.path.join(idx, META_FILE)) as fh:
         raw = json.load(fh)
-    stripped = {k: v for k, v in raw.items() if k != "cell_counts"}
+    stripped = {
+        k: v
+        for k, v in raw.items()
+        if k not in ("cell_counts", "cell_counts_file")
+    }
     with open(os.path.join(idx, META_FILE), "w") as fh:
         json.dump(stripped, fh)
     mean_mode = timed_mode("mean_fallback")

@@ -23,12 +23,15 @@ memory.
 
 Method: same discipline as bench.py — per-query warm-up (JIT + AQE plan
 at the target volume), best-of-N noop-sink runs, fault-isolated per
-query. With ``--compare`` (the default mode for the committed artifact)
-the script re-runs the identical subset in a fresh subprocess on
-``local[32]`` immediately after, so both sides see the same box load,
-and writes LOCAL_CLUSTER_BENCH.json with per-query ratios. Queries
-slower than ``--flag-ratio`` (default 1.5x) are listed in ``flagged``
-for diagnosis — the artifact is the evidence either way.
+query. The ``local[32]`` reference runs in a LONG-LIVED subprocess and
+each query is timed on BOTH sides back-to-back (cluster best-of-N, then
+the reference's best-of-N within the same minute) — r15, verdict task
+5: the previous two-phase design put ~7 minutes between a query's two
+measurements, and on this box's load profile that made sub-second
+ratios ±50% noise (window_suite read 1.526 in r14 and 0.998 in r13 on
+an untouched plan). LOCAL_CLUSTER_BENCH.json carries per-query ratios;
+queries slower than ``--flag-ratio`` (default 1.5x) are listed in
+``flagged`` for diagnosis — the artifact is the evidence either way.
 
 Run:
     python tools/local_cluster_bench.py                # full artifact
@@ -85,9 +88,8 @@ def _wait_for_executors(spark, want_cores: int, timeout_s: float = 60.0):
     )
 
 
-def run_subset(master: str, sf_dir: str, queries: list[str], runs: int) -> dict:
+def _plan_lookup():
     from gcp_map_reduce_spark.plans import registry
-    from gcp_map_reduce_spark.session import get_spark
 
     registry.load_catalog()
     from bench import build_overrides
@@ -96,6 +98,50 @@ def run_subset(master: str, sf_dir: str, queries: list[str], runs: int) -> dict:
 
     def plan(name):
         return overrides.get(name) or registry.QUERIES[name]
+
+    return plan
+
+
+def serve_reference(sf_dir: str, runs: int) -> None:
+    """Child mode: hold a warm ``local[32]`` session open and time each
+    query name arriving on stdin with the same warm-up + best-of-N
+    discipline, replying one ``RESULT_LINE:`` JSON per query — the
+    same-minute half of the per-query A/B."""
+    from gcp_map_reduce_spark.session import get_spark
+
+    plan = _plan_lookup()
+    spark = get_spark(app_name="local_cluster_bench_ref", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    print("READY", flush=True)
+    for line in sys.stdin:
+        name = line.strip()
+        if not name or name == "EXIT":
+            break
+        try:
+            q = plan(name)
+            q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples: list[float] = []
+            gc.collect()
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(round(time.perf_counter() - t0, 3))
+            srt = sorted(samples)
+            out = {"name": name, "runs": samples, "min": srt[0],
+                   "spread": round(srt[-1] - srt[0], 3)}
+        except Exception as exc:  # fault-isolated, like the main loop
+            out = {"name": name, "error": repr(exc)[:500]}
+        print("RESULT_LINE:" + json.dumps(out), flush=True)
+    spark.stop()
+
+
+def run_subset(
+    master: str, sf_dir: str, queries: list[str], runs: int, ref_time=None
+) -> tuple[dict, dict | None]:
+    from gcp_map_reduce_spark.session import get_spark
+
+    plan = _plan_lookup()
 
     extra = {}
     want_cores = 32
@@ -114,6 +160,8 @@ def run_subset(master: str, sf_dir: str, queries: list[str], runs: int) -> dict:
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
     errors: dict[str, str] = {}
+    ref = {"master": "local[32]", "queries": {}, "detail": {},
+           "errors": {}} if ref_time else None
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     for name in queries:
         try:
@@ -133,15 +181,29 @@ def run_subset(master: str, sf_dir: str, queries: list[str], runs: int) -> dict:
         except Exception as exc:
             errors[name] = repr(exc)[:500]
             print(f"timed run failed for {name}: {exc!r}", file=sys.stderr)
-            continue
-        srt = sorted(samples)
-        timings[name] = srt[0]
-        detail[name] = {"runs": samples, "min": srt[0],
-                        "spread": round(srt[-1] - srt[0], 3)}
-        print(f"{master} {name}: {srt[0]:.3f}s {samples}", flush=True)
+        else:
+            srt = sorted(samples)
+            timings[name] = srt[0]
+            detail[name] = {"runs": samples, "min": srt[0],
+                            "spread": round(srt[-1] - srt[0], 3)}
+            print(f"{master} {name}: {srt[0]:.3f}s {samples}", flush=True)
+        # same-minute A/B: the reference half of THIS query runs now,
+        # not in a phase several minutes of box drift away
+        if ref_time is not None:
+            r = ref_time(name)
+            if r is None:
+                continue
+            if "error" in r:
+                ref["errors"][name] = r["error"]
+            else:
+                ref["queries"][name] = r["min"]
+                ref["detail"][name] = {k: r[k] for k in
+                                       ("runs", "min", "spread")}
+                print(f"local[32] {name}: {r['min']:.3f}s {r['runs']}",
+                      flush=True)
     spark.stop()
-    return {"master": master, "queries": timings, "detail": detail,
-            "errors": errors}
+    return ({"master": master, "queries": timings, "detail": detail,
+             "errors": errors}, ref)
 
 
 def main() -> None:
@@ -153,47 +215,61 @@ def main() -> None:
     ap.add_argument("--queries", nargs="*", default=None)
     ap.add_argument("--flag-ratio", type=float, default=1.5)
     ap.add_argument("--no-compare", action="store_true",
-                    help="skip the back-to-back local[32] reference run")
-    ap.add_argument("--_emit-json", action="store_true",
-                    help="(internal) print result JSON to stdout (used "
-                    "by the comparison subprocess)")
+                    help="skip the interleaved local[32] reference")
+    ap.add_argument("--_serve", action="store_true",
+                    help="(internal) reference-server child mode: time "
+                    "stdin query names on a warm local[32] session")
     args = ap.parse_args()
     queries = args.queries or DEFAULT_QUERIES
 
-    result = run_subset(args.master, args.dir, queries, args.runs)
-    if args._emit_json:
-        print("RESULT_JSON:" + json.dumps(result), flush=True)
+    if args._serve:
+        serve_reference(args.dir, args.runs)
         return
 
-    artifact = {"cluster": result, "sf_dir": args.dir, "runs": args.runs}
+    child = None
+    ref_time = None
     if not args.no_compare:
-        # fresh subprocess: a clean JVM on local[32], same box, same
-        # minute — the honest same-load reference
-        cmd = [sys.executable, os.path.abspath(__file__),
-               "--master", "local[32]", "--dir", args.dir,
-               "--runs", str(args.runs), "--_emit-json",
-               "--queries", *queries]
+        # long-lived reference subprocess: a clean JVM on local[32],
+        # kept warm so each query's A/B halves land in the same minute
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--_serve",
+             "--dir", args.dir, "--runs", str(args.runs)],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            text=True, cwd=REPO,
+        )
+        for line in child.stdout:
+            if line.strip() == "READY":
+                break
+        else:
+            raise RuntimeError("local[32] reference server died on start")
+
+        def ref_time(name: str) -> dict | None:
+            if child.poll() is not None:
+                return None  # server died: keep the cluster-side data
+            try:
+                child.stdin.write(name + "\n")
+                child.stdin.flush()
+                for line in child.stdout:
+                    if line.startswith("RESULT_LINE:"):
+                        return json.loads(line[len("RESULT_LINE:"):])
+            except (BrokenPipeError, OSError):
+                return None
+            return None
+
+    result, ref = run_subset(
+        args.master, args.dir, queries, args.runs, ref_time=ref_time
+    )
+    if child is not None and child.poll() is None:
         try:
-            proc = subprocess.run(cmd, capture_output=True, text=True,
-                                  cwd=REPO, timeout=1800)
-        except subprocess.TimeoutExpired:
-            # keep the cluster-side measurements; write the artifact
-            # without ratios rather than losing the whole run
-            print("local[32] reference run timed out — writing the "
-                  "cluster-only artifact", file=sys.stderr)
-            with open(OUT_PATH, "w") as fh:
-                json.dump(artifact, fh, indent=1, sort_keys=True)
-                fh.write("\n")
-            print(f"artifact written to {OUT_PATH} (no comparison)")
-            return
-        ref = None
-        for line in proc.stdout.splitlines():
-            if line.startswith("RESULT_JSON:"):
-                ref = json.loads(line[len("RESULT_JSON:"):])
-        if ref is None:
-            print(proc.stdout[-2000:], file=sys.stderr)
-            print(proc.stderr[-2000:], file=sys.stderr)
-            raise RuntimeError("local[32] reference run produced no result")
+            child.stdin.write("EXIT\n")
+            child.stdin.flush()
+            child.wait(timeout=60)
+        except (BrokenPipeError, OSError, subprocess.TimeoutExpired):
+            child.kill()
+
+    artifact = {"cluster": result, "sf_dir": args.dir, "runs": args.runs,
+                "method": "interleaved-per-query (r15)"}
+    if ref is not None:
         artifact["local32"] = ref
         ratios = {}
         flagged = []
