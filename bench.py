@@ -351,20 +351,33 @@ def bank_regressions(full: dict, bank_path: str = BANK_PATH) -> list[dict]:
         cur = bank.get("queries", {}).get(name)
         if name in errors or not cur or cur["sec"] <= 0:
             continue
-        # per-ROW canary scaling (r15, verdict task 8): each banked
-        # floor was stamped in its own box era, so before comparing,
-        # the reference is scaled by this session's canary over THAT
-        # row's banked canary (capped like stress_ci). The session-
-        # median normalization below cancels slowdowns uniform WITHIN
-        # this session; it cannot cancel a per-row era difference — a
-        # floor banked on a fast box flags against peers banked on slow
-        # boxes even when the plan is untouched (the r14 dedup_clusters
-        # false trip). Rows without a banked canary stamp get corr=1.0
-        # (pre-canary floors keep the old raw comparison).
+        # per-ROW canary context (r15, verdict task 8): each banked
+        # floor was stamped in its own box era. The correction applied
+        # below is each row's canary ratio RELATIVE to the session
+        # median correction — uniform-era banks cancel to exactly the
+        # pre-r15 raw comparison (applying the absolute correction
+        # would push every ratio under the max(1.0, median) clamp and
+        # mask a genuine plan slide behind a widened bar — review
+        # catch), while a row banked on a faster era than its peers
+        # (the r14 dedup_clusters false trip) gets only its era GAP
+        # cancelled. Rows without a banked canary stamp get corr=1.0.
         corr = canary_correction(
             full.get("canary_sec"), cur.get("canary_sec")
         )
-        ratios[name] = (sec, cur, sec / (cur["sec"] * corr), corr)
+        ratios[name] = (sec, cur, sec / cur["sec"], corr)
+    if len(ratios) >= 3:
+        corrs = sorted(c for _, _, _, c in ratios.values())
+        cmid = len(corrs) // 2
+        med_corr = (
+            corrs[cmid]
+            if len(corrs) % 2
+            else (corrs[cmid - 1] + corrs[cmid]) / 2.0
+        )
+        if med_corr > 0:
+            ratios = {
+                n: (sec, cur, raw * med_corr / corr, corr)
+                for n, (sec, cur, raw, corr) in ratios.items()
+            }
     if len(ratios) < 3:
         # a 1-2 query subset has no meaningful peer median — the upper
         # element IS the worst ratio, so the bar would be 1.5x the worst

@@ -240,6 +240,15 @@ def _write_cell_counts(dir_path: str, counts: dict) -> str:
     return fname
 
 
+# Driver-side sidecar cache: the content-addressed filename is a
+# perfect cache key (the sha IS the content), so each generation's
+# counts are read+verified+parsed once per process instead of per
+# screen call — at two-level 100 TB sizing that is a multi-MB parse
+# saved per batch (review catch). Keyed per index_dir (one live entry
+# each, like _CODEBOOK_CACHE) so superseded generations don't pile up.
+_CELL_COUNTS_CACHE: dict = {}
+
+
 def ann_index_cell_counts(index_dir: str, meta: dict | None = None) -> dict | None:
     """The index's exact per-cell populations, or None when unknown
     (pre-r14 manifests — consumers fall back to mean-based sizing).
@@ -258,6 +267,9 @@ def ann_index_cell_counts(index_dir: str, meta: dict | None = None) -> dict | No
     fname = meta.get("cell_counts_file")
     if not fname:
         return None
+    hit = _CELL_COUNTS_CACHE.get(index_dir)
+    if hit and hit[0] == fname:
+        return hit[1]
     try:
         with open(os.path.join(index_dir, fname), "rb") as fh:
             payload = fh.read()
@@ -270,7 +282,9 @@ def ann_index_cell_counts(index_dir: str, meta: dict | None = None) -> dict | No
             "to its recorded name — the index was mutated outside the "
             "writer lock or the file is corrupt; rebuild or re-append"
         )
-    return json.loads(payload)
+    counts = json.loads(payload)
+    _CELL_COUNTS_CACHE[index_dir] = (fname, counts)
+    return counts
 
 
 def _sweep_old_count_files(index_dir: str, keep: set[str]) -> None:
@@ -1796,17 +1810,20 @@ def _delete_locked(
     # as ONE dir, so reader fan-in stays one file-open per search no
     # matter how many delete batches accumulate between compactions
     # (previously each batch wrote its own tombstones-tNNNN dir and
-    # readers unioned K dirs). Tombstones are driver-sized by contract,
-    # so the read+union+rewrite is bounded by deletes, never the corpus.
+    # readers unioned K dirs). The union is a SPARK plan — the
+    # accumulated set never round-trips through the driver (review
+    # catch: collecting it made every later delete's driver cost grow
+    # with total prior deletes); the prior ids are disjoint from
+    # hit_ids by construction (hits are LIVE, tombstoned rows are not),
+    # so plain union needs no dedup.
     prev_slots = list(meta["tombstones"])
-    all_ids = set(hit_ids)
+    fold_df = spark.createDataFrame(
+        [(i,) for i in hit_ids], "vec_id long"
+    )
     if prev_slots:
-        all_ids.update(
-            int(r.vec_id)
-            for r in spark.read.parquet(
-                *[os.path.join(index_dir, s) for s in prev_slots]
-            ).collect()
-        )
+        fold_df = spark.read.parquet(
+            *[os.path.join(index_dir, s) for s in prev_slots]
+        ).select(F.col("vec_id").cast("long")).unionByName(fold_df)
     # slot numbers are MONOTONIC over both registered and on-disk names
     # — reusing a just-superseded name would swap contents under a
     # lock-free reader still holding the previous manifest
@@ -1821,9 +1838,7 @@ def _delete_locked(
     )
     slot = f"tombstones-t{seq:04d}"
     t_dir = os.path.join(index_dir, slot)
-    spark.createDataFrame(
-        [(i,) for i in sorted(all_ids)], "vec_id long"
-    ).coalesce(1).write.parquet(t_dir)
+    fold_df.coalesce(1).write.parquet(t_dir)
     meta["tombstones"] = [slot]
     meta["n_vec"] = int(meta["n_vec"]) - n_hit
     meta["n_deleted"] = int(meta["n_deleted"]) + n_hit

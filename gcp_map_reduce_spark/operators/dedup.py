@@ -1435,24 +1435,37 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     # ~5 stages/round pays a full-width scheduler round trip — the
     # measured wall variance of this operator under load (SCALING.md r15
     # adjudication). At 100 TB edge counts the clamp is a no-op and the
-    # session width stands. Restored in the finally even on raise.
+    # session width stands. The narrow width lives in a CLONED session
+    # (newSession: own SQLConf, shared SparkContext and block manager),
+    # never a set/restore on the caller's — mutating the shared conf
+    # would race concurrent queries and nested CC calls (review catch).
+    # The materialized edge blocks cross sessions via a global temp
+    # view (dropped in the finally).
     spark = pairs.sparkSession
     n_edges = edges.count()
-    orig_width = spark.conf.get("spark.sql.shuffle.partitions")
+    session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     loop_width = min(
-        int(orig_width), max(1, -(-n_edges // CC_EDGES_PER_PARTITION))
+        session_width, max(1, -(-n_edges // CC_EDGES_PER_PARTITION))
     )
     small_graph = n_edges <= FRONTIER_BROADCAST_MAX
+    if loop_width >= session_width:
+        return _cc_loop(edges, small_graph)
+    import uuid
+
+    view = f"cc_edges_{uuid.uuid4().hex}"
+    narrow = spark.newSession()
+    narrow.conf.set("spark.sql.shuffle.partitions", str(loop_width))
+    edges.createOrReplaceGlobalTempView(view)
     try:
-        if loop_width < int(orig_width):
-            spark.conf.set("spark.sql.shuffle.partitions", str(loop_width))
-            # coalesce (no shuffle: blocks are already materialized) so
-            # per-round map sides read loop_width blocks, not the
-            # session-width block count the first materialize produced
-            edges = materialize(edges.coalesce(loop_width))
+        # coalesce (no shuffle: blocks are already materialized) so
+        # per-round map sides read loop_width blocks, not the
+        # session-width block count the first materialize produced
+        edges = materialize(
+            narrow.table(f"global_temp.{view}").coalesce(loop_width)
+        )
         return _cc_loop(edges, small_graph)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", orig_width)
+        spark.catalog.dropGlobalTempView(view)
 
 
 def _cc_loop(edges: DataFrame, small_graph: bool) -> DataFrame:

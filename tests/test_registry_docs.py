@@ -270,6 +270,28 @@ def test_bank_gate_canary_normalizes_per_row(tmp_path):
     assert [h["query"] for h in hits] == ["regressed"]
     assert hits[0]["ratio"] > hits[0]["session_median_ratio"] * 1.5
     assert hits[0]["raw_ratio"] == 3.2
+    # masking guard (review catch on the first r15 cut): with a
+    # UNIFORM-era bank, scaling by the absolute canary would push every
+    # ratio under the max(1.0, median) clamp and a genuine 2x slide
+    # would hide behind the widened bar — the era-RELATIVE correction
+    # must reduce to the raw comparison and still flag it
+    uniform = {
+        "metric": "headline_queries_total_wall_sec",
+        "sf": 0.1,
+        "queries": {
+            "q1": {"sec": 1.0, "canary_sec": 0.10},
+            "q2": {"sec": 2.0, "canary_sec": 0.10},
+            "q3": {"sec": 0.5, "canary_sec": 0.10},
+            "regressed": {"sec": 1.0, "canary_sec": 0.10},
+        },
+    }
+    with open(bank_path, "w") as fh:
+        json.dump(uniform, fh)
+    masked = session(
+        {"q1": 1.1, "q2": 2.2, "q3": 0.55, "regressed": 2.2}, canary=0.16
+    )
+    hits = bank_regressions(masked, bank_path)
+    assert [h["query"] for h in hits] == ["regressed"]
 
 
 def test_bench_merge_best_totals_over_full_headline_and_checks_metric(tmp_path):

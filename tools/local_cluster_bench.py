@@ -102,11 +102,27 @@ def _plan_lookup():
     return plan
 
 
+def _timed_best_of(q, spark, sf_dir: str, runs: int) -> dict:
+    """ONE timing discipline for both A/B halves (gc before the burst,
+    N noop-sink runs, sorted min + spread) — the halves must be
+    measured identically or the ratio measures the harness."""
+    samples: list[float] = []
+    gc.collect()
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples.append(round(time.perf_counter() - t0, 3))
+    srt = sorted(samples)
+    return {"runs": samples, "min": srt[0],
+            "spread": round(srt[-1] - srt[0], 3)}
+
+
 def serve_reference(sf_dir: str, runs: int) -> None:
     """Child mode: hold a warm ``local[32]`` session open and time each
     query name arriving on stdin with the same warm-up + best-of-N
-    discipline, replying one ``RESULT_LINE:`` JSON per query — the
-    same-minute half of the per-query A/B."""
+    discipline (the shared :func:`_timed_best_of`), replying one
+    ``RESULT_LINE:`` JSON per query — the same-minute half of the
+    per-query A/B."""
     from gcp_map_reduce_spark.session import get_spark
 
     plan = _plan_lookup()
@@ -121,15 +137,7 @@ def serve_reference(sf_dir: str, runs: int) -> None:
         try:
             q = plan(name)
             q(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples: list[float] = []
-            gc.collect()
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                q(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                samples.append(round(time.perf_counter() - t0, 3))
-            srt = sorted(samples)
-            out = {"name": name, "runs": samples, "min": srt[0],
-                   "spread": round(srt[-1] - srt[0], 3)}
+            out = {"name": name, **_timed_best_of(q, spark, sf_dir, runs)}
         except Exception as exc:  # fault-isolated, like the main loop
             out = {"name": name, "error": repr(exc)[:500]}
         print("RESULT_LINE:" + json.dumps(out), flush=True)
@@ -171,22 +179,16 @@ def run_subset(
             print(f"warm-up failed for {name}: {exc!r}", file=sys.stderr)
     for name in queries:
         q = plan(name)
-        samples: list[float] = []
-        gc.collect()
         try:
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                q(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                samples.append(round(time.perf_counter() - t0, 3))
+            d = _timed_best_of(q, spark, sf_dir, runs)
         except Exception as exc:
             errors[name] = repr(exc)[:500]
             print(f"timed run failed for {name}: {exc!r}", file=sys.stderr)
         else:
-            srt = sorted(samples)
-            timings[name] = srt[0]
-            detail[name] = {"runs": samples, "min": srt[0],
-                            "spread": round(srt[-1] - srt[0], 3)}
-            print(f"{master} {name}: {srt[0]:.3f}s {samples}", flush=True)
+            timings[name] = d["min"]
+            detail[name] = d
+            print(f"{master} {name}: {d['min']:.3f}s {d['runs']}",
+                  flush=True)
         # same-minute A/B: the reference half of THIS query runs now,
         # not in a phase several minutes of box drift away
         if ref_time is not None:
@@ -231,27 +233,75 @@ def main() -> None:
     if not args.no_compare:
         # long-lived reference subprocess: a clean JVM on local[32],
         # kept warm so each query's A/B halves land in the same minute
+        # binary + unbuffered: every read below goes through os.read on
+        # the raw fd, so no bytes are ever stranded in a Python-side
+        # buffer between the READY handshake and the per-query reads
         child = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--_serve",
              "--dir", args.dir, "--runs", str(args.runs)],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            text=True, cwd=REPO,
+            bufsize=0, cwd=REPO,
         )
-        for line in child.stdout:
+        buf = [""]  # shared line buffer across handshake + queries
+
+        def _read_line(deadline_s: float) -> str | None:
+            """Next stdout line within the deadline, or None."""
+            import select
+
+            end = time.monotonic() + deadline_s
+            while True:
+                if "\n" in buf[0]:
+                    line, buf[0] = buf[0].split("\n", 1)
+                    return line
+                left = end - time.monotonic()
+                if left <= 0:
+                    return None
+                r, _, _ = select.select([child.stdout], [], [],
+                                        min(5.0, left))
+                if not r:
+                    if child.poll() is not None:
+                        return None
+                    continue
+                chunk = os.read(child.stdout.fileno(), 65536).decode(
+                    errors="replace"
+                )
+                if not chunk:  # EOF: server exited
+                    return None
+                buf[0] += chunk
+
+        while True:
+            line = _read_line(600.0)
+            if line is None:
+                raise RuntimeError(
+                    "local[32] reference server died on start"
+                )
             if line.strip() == "READY":
                 break
-        else:
-            raise RuntimeError("local[32] reference server died on start")
 
-        def ref_time(name: str) -> dict | None:
+        def ref_time(name: str, deadline_s: float = 600.0) -> dict | None:
+            """One reference measurement, bounded: a hung reference
+            query must degrade this row to cluster-only, never block
+            the whole bench (the old two-phase design's 1800 s
+            subprocess timeout, re-expressed per query — review
+            catch). On timeout the server is killed so later rows
+            fail fast instead of queueing behind the hang."""
             if child.poll() is not None:
                 return None  # server died: keep the cluster-side data
             try:
-                child.stdin.write(name + "\n")
+                child.stdin.write((name + "\n").encode())
                 child.stdin.flush()
-                for line in child.stdout:
+                end = time.monotonic() + deadline_s
+                while True:
+                    line = _read_line(end - time.monotonic())
+                    if line is None:
+                        break
                     if line.startswith("RESULT_LINE:"):
                         return json.loads(line[len("RESULT_LINE:"):])
+                if child.poll() is None:
+                    print(f"reference timed out on {name} — killing "
+                          "the server, remaining rows are cluster-only",
+                          file=sys.stderr)
+                    child.kill()
             except (BrokenPipeError, OSError):
                 return None
             return None
@@ -261,7 +311,7 @@ def main() -> None:
     )
     if child is not None and child.poll() is None:
         try:
-            child.stdin.write("EXIT\n")
+            child.stdin.write(b"EXIT\n")
             child.stdin.flush()
             child.wait(timeout=60)
         except (BrokenPipeError, OSError, subprocess.TimeoutExpired):
