@@ -111,6 +111,14 @@ def cpu_canary_sec(runs: int = 5) -> float:
 CANARY_CORR_CAP = 2.0
 
 
+def _median(srt: list) -> float:
+    """True median of an already-sorted list (even counts average the
+    two middle elements — ONE definition shared by the correction
+    median and the gate median, 2nd review pass)."""
+    mid = len(srt) // 2
+    return srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2.0
+
+
 def canary_correction(now: float | None, ref: float | None) -> float:
     """Threshold multiplier from two canary readings (1.0 when either
     side predates the canary)."""
@@ -354,30 +362,35 @@ def bank_regressions(full: dict, bank_path: str = BANK_PATH) -> list[dict]:
         # per-ROW canary context (r15, verdict task 8): each banked
         # floor was stamped in its own box era. The correction applied
         # below is each row's canary ratio RELATIVE to the session
-        # median correction — uniform-era banks cancel to exactly the
-        # pre-r15 raw comparison (applying the absolute correction
-        # would push every ratio under the max(1.0, median) clamp and
-        # mask a genuine plan slide behind a widened bar — review
-        # catch), while a row banked on a faster era than its peers
-        # (the r14 dedup_clusters false trip) gets only its era GAP
-        # cancelled. Rows without a banked canary stamp get corr=1.0.
-        corr = canary_correction(
-            full.get("canary_sec"), cur.get("canary_sec")
+        # median correction over STAMPED rows — uniform-era banks
+        # cancel to exactly the pre-r15 raw comparison (applying the
+        # absolute correction would push every ratio under the
+        # max(1.0, median) clamp and mask a genuine plan slide behind
+        # a widened bar — review catch), while a row banked on a
+        # faster era than its peers (the r14 dedup_clusters false
+        # trip) gets only its era GAP cancelled. Rows WITHOUT a banked
+        # canary stamp stay at the raw comparison — their era is
+        # unknown, and treating 'unknown' as corr=1.0 would inflate
+        # them by med_corr and false-flag untouched pre-canary floors
+        # (2nd review pass).
+        corr = (
+            canary_correction(full.get("canary_sec"), cur.get("canary_sec"))
+            if cur.get("canary_sec")
+            else None
         )
         ratios[name] = (sec, cur, sec / cur["sec"], corr)
-    if len(ratios) >= 3:
-        corrs = sorted(c for _, _, _, c in ratios.values())
-        cmid = len(corrs) // 2
-        med_corr = (
-            corrs[cmid]
-            if len(corrs) % 2
-            else (corrs[cmid - 1] + corrs[cmid]) / 2.0
-        )
-        if med_corr > 0:
-            ratios = {
-                n: (sec, cur, raw * med_corr / corr, corr)
-                for n, (sec, cur, raw, corr) in ratios.items()
-            }
+    stamped = sorted(c for _, _, _, c in ratios.values() if c is not None)
+    med_corr = _median(stamped) if len(stamped) >= 3 else None
+    if med_corr:
+        ratios = {
+            n: (
+                sec,
+                cur,
+                raw * med_corr / corr if corr else raw,
+                corr,
+            )
+            for n, (sec, cur, raw, corr) in ratios.items()
+        }
     if len(ratios) < 3:
         # a 1-2 query subset has no meaningful peer median — the upper
         # element IS the worst ratio, so the bar would be 1.5x the worst
@@ -390,11 +403,9 @@ def bank_regressions(full: dict, bank_path: str = BANK_PATH) -> list[dict]:
                 file=sys.stderr,
             )
         return []
-    srt = sorted(r for _, _, r, _ in ratios.values())
     # true median: average the two middle elements for even counts (the
     # upper-median shortcut inflated the bar on small even sets)
-    mid = len(srt) // 2
-    median = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2.0
+    median = _median(sorted(r for _, _, r, _ in ratios.values()))
     # the bank floor is never beaten mid-session, so median >= 1 in
     # practice; clamp anyway so a half-banked file can't shrink the bar
     bar = REGRESSION_FACTOR * max(1.0, median)
@@ -413,7 +424,7 @@ def bank_regressions(full: dict, bank_path: str = BANK_PATH) -> list[dict]:
                 "session_median_ratio": round(median, 2),
                 "banked_at": cur.get("banked_at"),
             }
-            if corr != 1.0:
+            if corr is not None and corr != 1.0:
                 row["canary_ratio"] = round(corr, 2)
             # wall-vs-cpu arbitration (r12): same compute + longer wait
             # = contention, not a plan change

@@ -282,7 +282,14 @@ def ann_index_cell_counts(index_dir: str, meta: dict | None = None) -> dict | No
             "to its recorded name — the index was mutated outside the "
             "writer lock or the file is corrupt; rebuild or re-append"
         )
-    counts = json.loads(payload)
+    # an immutable VIEW goes in the cache and to callers: the natural
+    # consumer pattern mutates counts in place (the append path's
+    # accumulate), and a shared mutable dict would silently corrupt
+    # every later read of this generation (2nd review pass) — writers
+    # that need to accumulate copy explicitly (dict(cc))
+    from types import MappingProxyType
+
+    counts = MappingProxyType(json.loads(payload))
     _CELL_COUNTS_CACHE[index_dir] = (fname, counts)
     return counts
 

@@ -1154,6 +1154,34 @@ FRONTIER_BROADCAST_MAX = 1_000_000
 # keep the session's full width.
 CC_EDGES_PER_PARTITION = 250_000
 
+# One cloned narrow session per (context, width), reused across CC
+# calls: newSession() allocates JVM session state that is never
+# explicitly releasable, so a fresh clone per call would leak one per
+# invocation (2nd review pass). Width values are bounded by the session
+# width, so this dict stays a handful of entries.
+_NARROW_SESSIONS: dict = {}
+
+
+def _narrow_session(spark, width: int):
+    """The shared clamped-width clone of ``spark`` (own SQLConf, shared
+    context/blocks). Builder-level confs (AQE, timezone) are inherited
+    from the context conf; the two RUNTIME confs the engine sets after
+    session start (sources/tables.py) are mirrored explicitly."""
+    key = (id(spark.sparkContext), width)
+    hit = _NARROW_SESSIONS.get(key)
+    if hit is not None:
+        return hit
+    narrow = spark.newSession()
+    narrow.conf.set("spark.sql.shuffle.partitions", str(width))
+    for k in ("spark.sql.session.timeZone",
+              "spark.sql.legacy.parquet.nanosAsLong"):
+        try:
+            narrow.conf.set(k, spark.conf.get(k))
+        except Exception:  # noqa: BLE001 - conf key absent in this build
+            pass
+    _NARROW_SESSIONS[key] = narrow
+    return narrow
+
 
 def near_dup_edges_minhash_verified(
     spark: SparkSession,
@@ -1453,8 +1481,8 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     import uuid
 
     view = f"cc_edges_{uuid.uuid4().hex}"
-    narrow = spark.newSession()
-    narrow.conf.set("spark.sql.shuffle.partitions", str(loop_width))
+    out_view = f"cc_out_{uuid.uuid4().hex}"
+    narrow = _narrow_session(spark, loop_width)
     edges.createOrReplaceGlobalTempView(view)
     try:
         # coalesce (no shuffle: blocks are already materialized) so
@@ -1463,9 +1491,18 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         edges = materialize(
             narrow.table(f"global_temp.{view}").coalesce(loop_width)
         )
-        return _cc_loop(edges, small_graph)
+        out = _cc_loop(edges, small_graph)
+        # REBIND the (already materialized) result to the CALLER's
+        # session via a global temp view round-trip: a DataFrame left
+        # bound to the clone would silently run every downstream op
+        # the caller adds (views, orderBys, unions) under the clone's
+        # catalog and narrow width (2nd review pass). The extra
+        # materialize is over the final labels table — small.
+        out.createOrReplaceGlobalTempView(out_view)
+        return materialize(spark.table(f"global_temp.{out_view}"))
     finally:
         spark.catalog.dropGlobalTempView(view)
+        spark.catalog.dropGlobalTempView(out_view)
 
 
 def _cc_loop(edges: DataFrame, small_graph: bool) -> DataFrame:

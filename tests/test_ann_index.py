@@ -1144,7 +1144,9 @@ def test_cell_counts_sidecar_integrity_and_legacy(spark, tmp_path, split_corpus)
     with open(mp) as fh:
         raw = _json.load(fh)
     # forge a pre-r15 manifest: counts inline, no sidecar pointer
-    inline = ann_index_cell_counts(d)
+    # the loader returns an immutable view (2nd review pass); the forge
+    # needs a plain dict for json.dump
+    inline = dict(ann_index_cell_counts(d))
     fname = raw.pop("cell_counts_file")
     raw["cell_counts"] = inline
     with open(mp, "w") as fh:

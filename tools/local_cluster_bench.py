@@ -270,10 +270,19 @@ def main() -> None:
                 buf[0] += chunk
 
         while True:
-            line = _read_line(600.0)
+            line = _read_line(900.0)
             if line is None:
+                # kill BEFORE raising: a slow-but-alive child would
+                # otherwise leak a 32-core JVM past this exit (the
+                # EXIT/kill block below is unreachable on this path —
+                # 2nd review pass), and the message must not claim
+                # death the poll can't confirm
+                alive = child.poll() is None
+                child.kill()
                 raise RuntimeError(
-                    "local[32] reference server died on start"
+                    "local[32] reference server "
+                    + ("did not become READY within 900s"
+                       if alive else "died on start")
                 )
             if line.strip() == "READY":
                 break
