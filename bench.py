@@ -379,8 +379,18 @@ def bank_regressions(full: dict, bank_path: str = BANK_PATH) -> list[dict]:
             else None
         )
         ratios[name] = (sec, cur, sec / cur["sec"], corr)
+    # era adjustment applies WITHIN the stamped group only: each
+    # stamped row is scaled by med_corr/corr, so era differences among
+    # stamped floors cancel (the r14 false-trip shape: one floor banked
+    # on a faster era than its stamped peers) while a uniformly-stamped
+    # bank reduces to the raw comparison exactly. Any stamped count
+    # works — with one stamped row the factor is 1 (no self-relative
+    # gap), which is the pre-canary behavior, not a regression (3rd
+    # review pass: requiring >=3 stamped rows dropped the correction
+    # during the bank's transition window). Unstamped rows always stay
+    # raw.
     stamped = sorted(c for _, _, _, c in ratios.values() if c is not None)
-    med_corr = _median(stamped) if len(stamped) >= 3 else None
+    med_corr = _median(stamped) if stamped else None
     if med_corr:
         ratios = {
             n: (
@@ -417,8 +427,10 @@ def bank_regressions(full: dict, bank_path: str = BANK_PATH) -> list[dict]:
                 "query": name,
                 "sec": sec,
                 "banked": cur["sec"],
-                # the CANARY-SCALED ratio (what gated): sec over the
-                # era-adjusted banked reference
+                # the ratio that GATED (era-adjusted only when
+                # era_factor is present and != 1 — 3rd review pass:
+                # claiming an adjustment that never ran misdirects
+                # adjudication)
                 "ratio": round(ratio, 2),
                 "raw_ratio": round(sec / cur["sec"], 2),
                 "session_median_ratio": round(median, 2),
@@ -426,6 +438,8 @@ def bank_regressions(full: dict, bank_path: str = BANK_PATH) -> list[dict]:
             }
             if corr is not None and corr != 1.0:
                 row["canary_ratio"] = round(corr, 2)
+            if med_corr and corr:
+                row["era_factor"] = round(med_corr / corr, 3)
             # wall-vs-cpu arbitration (r12): same compute + longer wait
             # = contention, not a plan change
             bcpu = _banked_cpu(cur)

@@ -249,21 +249,28 @@ def _write_cell_counts(dir_path: str, counts: dict) -> str:
 _CELL_COUNTS_CACHE: dict = {}
 
 
-def ann_index_cell_counts(index_dir: str, meta: dict | None = None) -> dict | None:
-    """The index's exact per-cell populations, or None when unknown
+def ann_index_cell_counts(index_dir: str, meta: dict | None = None):
+    """The index's exact per-cell populations as a READ-ONLY mapping
+    (``types.MappingProxyType`` — consumers that accumulate copy with
+    ``dict(...)``, see ``_commit_segment``), or None when unknown
     (pre-r14 manifests — consumers fall back to mean-based sizing).
-    Reads the inline dict of pre-r15 manifests directly; for current
-    manifests lazily loads the ``cell_counts_file`` sidecar, verifying
-    the content sha embedded in its name (a mismatch is external
+    Reads the inline dict of pre-r15 manifests; for current manifests
+    lazily loads the ``cell_counts_file`` sidecar, verifying the
+    content sha embedded in its name (a mismatch is external
     mutation/corruption and raises). A MISSING sidecar returns None
     rather than raising: counts are a sizing hint, and the only way the
     file is absent is a lock-free reader racing a commit's sidecar
     sweep — mean sizing keeps results identical, just less balanced."""
+    from types import MappingProxyType
+
     if meta is None:
         meta = ann_index_meta(index_dir)
     inline = meta.get("cell_counts")
     if isinstance(inline, dict):
-        return inline
+        # same read-only contract as the sidecar path (3rd review
+        # pass: one mutable and one immutable return shape invited
+        # exactly the shared-dict corruption the proxy prevents)
+        return MappingProxyType(inline)
     fname = meta.get("cell_counts_file")
     if not fname:
         return None
@@ -287,8 +294,6 @@ def ann_index_cell_counts(index_dir: str, meta: dict | None = None) -> dict | No
     # accumulate), and a shared mutable dict would silently corrupt
     # every later read of this generation (2nd review pass) — writers
     # that need to accumulate copy explicitly (dict(cc))
-    from types import MappingProxyType
-
     counts = MappingProxyType(json.loads(payload))
     _CELL_COUNTS_CACHE[index_dir] = (fname, counts)
     return counts

@@ -29,6 +29,7 @@ faster but exists only in Spark.)
 from __future__ import annotations
 
 import logging
+import threading
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -1154,32 +1155,39 @@ FRONTIER_BROADCAST_MAX = 1_000_000
 # keep the session's full width.
 CC_EDGES_PER_PARTITION = 250_000
 
-# One cloned narrow session per (context, width), reused across CC
+# One cloned narrow session per (application, width), reused across CC
 # calls: newSession() allocates JVM session state that is never
 # explicitly releasable, so a fresh clone per call would leak one per
 # invocation (2nd review pass). Width values are bounded by the session
-# width, so this dict stays a handful of entries.
+# width, so this dict stays a handful of entries. Keys are application
+# ids (strings — an id() key could pin a stopped context or be REUSED
+# after GC for a different one); the lock closes the check-then-set
+# race two concurrent CC calls would otherwise hit, each leaking a
+# clone (3rd review pass).
 _NARROW_SESSIONS: dict = {}
+_NARROW_SESSIONS_LOCK = threading.Lock()
 
 
 def _narrow_session(spark, width: int):
     """The shared clamped-width clone of ``spark`` (own SQLConf, shared
     context/blocks). Builder-level confs (AQE, timezone) are inherited
-    from the context conf; the two RUNTIME confs the engine sets after
-    session start (sources/tables.py) are mirrored explicitly."""
-    key = (id(spark.sparkContext), width)
-    hit = _NARROW_SESSIONS.get(key)
-    if hit is not None:
-        return hit
-    narrow = spark.newSession()
-    narrow.conf.set("spark.sql.shuffle.partitions", str(width))
-    for k in ("spark.sql.session.timeZone",
-              "spark.sql.legacy.parquet.nanosAsLong"):
-        try:
-            narrow.conf.set(k, spark.conf.get(k))
-        except Exception:  # noqa: BLE001 - conf key absent in this build
-            pass
-    _NARROW_SESSIONS[key] = narrow
+    from the context conf; the runtime confs the engine sets after
+    session start (sources/tables.py) are re-mirrored on EVERY use —
+    mirroring only at creation would freeze whatever the first caller
+    had set (3rd review pass)."""
+    key = (spark.sparkContext.applicationId, width)
+    with _NARROW_SESSIONS_LOCK:
+        narrow = _NARROW_SESSIONS.get(key)
+        if narrow is None:
+            narrow = spark.newSession()
+            narrow.conf.set("spark.sql.shuffle.partitions", str(width))
+            _NARROW_SESSIONS[key] = narrow
+        for k in ("spark.sql.session.timeZone",
+                  "spark.sql.legacy.parquet.nanosAsLong"):
+            try:
+                narrow.conf.set(k, spark.conf.get(k))
+            except Exception:  # noqa: BLE001 - key absent in this build
+                pass
     return narrow
 
 
