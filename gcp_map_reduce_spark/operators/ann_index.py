@@ -1182,6 +1182,21 @@ def _seg_cell_counts(spark: SparkSession, seg_dir: str) -> dict:
     return {str(int(r["cell_id"])): int(r["count"]) for r in rows}
 
 
+def _ids_df(spark: SparkSession, ids) -> DataFrame:
+    """A driver-side vec_id list as an Arrow-backed single-batch
+    DataFrame (column ``vec_id long``). NOT ``createDataFrame(list)``:
+    that parallelizes across defaultParallelism python slices, and the
+    tombstone path's ``coalesce(1).write`` then pays ~32 SEQUENTIAL
+    python-worker round-trips inside one task — a measured ~5 s to
+    write 4 ids (r15 profile). The Arrow path ships one record batch
+    and scans JVM-side (~0.2 s)."""
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"vec_id": pd.array(sorted(ids), dtype="int64")})
+    )
+
+
 def _generation(index_dir: str) -> int:
     """The published codebook dir's st_mtime_ns — the index GENERATION
     fingerprint: appends never touch the codebook, so within one
@@ -1682,9 +1697,7 @@ def _append_locked(
             # (review catch on the streaming maintainer's skip path)
             tomb = _tombstoned_ids(spark, index_dir, meta)
             if tomb:
-                tomb_df = spark.createDataFrame(
-                    [(i,) for i in sorted(tomb)], "vec_id long"
-                )
+                tomb_df = _ids_df(spark, tomb)
                 n_dead = (
                     vectors.select("vec_id")
                     .join(F.broadcast(tomb_df), "vec_id", "left_semi")
@@ -1782,7 +1795,7 @@ def _delete_locked(
     ids = sorted({int(v) for v in vec_ids})
     if not ids:
         return meta
-    ids_df = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    ids_df = _ids_df(spark, ids)
     live = _load_vectors(spark, index_dir, meta).select("vec_id")
     # the LIVE intersection, collected (bounded by the driver-sized
     # batch): ONLY these ids may be tombstoned — writing the full
@@ -1829,9 +1842,7 @@ def _delete_locked(
     # hit_ids by construction (hits are LIVE, tombstoned rows are not),
     # so plain union needs no dedup.
     prev_slots = list(meta["tombstones"])
-    fold_df = spark.createDataFrame(
-        [(i,) for i in hit_ids], "vec_id long"
-    )
+    fold_df = _ids_df(spark, hit_ids)
     if prev_slots:
         fold_df = spark.read.parquet(
             *[os.path.join(index_dir, s) for s in prev_slots]
