@@ -878,12 +878,21 @@ def _build_two_level(
         assigned = _quantize_stored(assigned, attrs)
 
     def cb_df(ids, C, Cn2):
+        # Arrow record batch, not createDataFrame(list): these frames
+        # are coalesce(1)-written, and a list-parallelized source pays
+        # ~defaultParallelism SEQUENTIAL python-worker round-trips
+        # inside the single write task (see _ids_df)
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "cell_id": pd.array([int(i) for i in ids], dtype="int64"),
+                "ce": [[float(x) for x in C[j]] for j in range(len(ids))],
+                "cn2": pd.array([float(x) for x in Cn2], dtype="float64"),
+            }
+        )
         return spark.createDataFrame(
-            [
-                (int(i), [float(x) for x in C[j]], float(Cn2[j]))
-                for j, i in enumerate(ids)
-            ],
-            "cell_id long, ce array<double>, cn2 double",
+            pdf, "cell_id long, ce array<double>, cn2 double"
         )
 
     def write(staging: str) -> None:
