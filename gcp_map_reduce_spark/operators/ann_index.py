@@ -2211,9 +2211,7 @@ def _probes_driver_2l(
                     int(coarse[row]) * k2 + int(ids2[c2]),
                 )
             )
-    probes = spark.createDataFrame(
-        out, "query_id long, qe array<double>, qn2 double, cell_id long"
-    )
+    probes = _probes_rel(spark, out)
     return probes, sorted({row[3] for row in out})
 
 
@@ -2227,6 +2225,27 @@ def _seq_dot(A, B):
     for d in range(A.shape[1]):
         acc += A[:, d][:, None] * B[:, d][None, :]
     return acc
+
+
+def _probes_rel(spark: SparkSession, out: list) -> DataFrame:
+    """Driver-computed probe rows ``(query_id, qe, qn2, cell_id)`` as
+    ONE Arrow record batch — createDataFrame(list) would parallelize
+    them across defaultParallelism python slices and every search would
+    pay the python-worker round-trips just to ship a broadcast-small
+    relation (same lesson as _ids_df)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "query_id": pd.array([r[0] for r in out], dtype="int64"),
+            "qe": [r[1] for r in out],
+            "qn2": pd.array([r[2] for r in out], dtype="float64"),
+            "cell_id": pd.array([r[3] for r in out], dtype="int64"),
+        }
+    )
+    return spark.createDataFrame(
+        pdf, "query_id long, qe array<double>, qn2 double, cell_id long"
+    )
 
 
 def _probes_driver(
@@ -2261,9 +2280,7 @@ def _probes_driver(
                 (int(qid), [float(x) for x in Q[i]], float(qn2[i]),
                  int(cell_ids[j]))
             )
-    probes = spark.createDataFrame(
-        out, "query_id long, qe array<double>, qn2 double, cell_id long"
-    )
+    probes = _probes_rel(spark, out)
     return probes, sorted({row[3] for row in out})
 
 
