@@ -12,6 +12,7 @@ from gcp_map_reduce_spark.streaming.curated import (
 )
 from gcp_map_reduce_spark.streaming.ann_index_stream import (
     run_streaming_index_maintenance,
+    run_streaming_index_takedowns,
 )
 from gcp_map_reduce_spark.streaming.embedding_near_dup import (
     run_streaming_embedding_near_dup,
@@ -34,6 +35,7 @@ __all__ = [
     "run_streaming_curated_corpus",
     "run_streaming_embedding_near_dup",
     "run_streaming_index_maintenance",
+    "run_streaming_index_takedowns",
     "run_streaming_near_dup_dedup",
     "run_streaming_upsert",
 ]

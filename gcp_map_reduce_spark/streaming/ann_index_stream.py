@@ -27,6 +27,11 @@ searcher. This stream is a thin trigger around
   ``on_rebuild_due`` (r12 verdict: the manifest carried ``n_vec`` and
   the docstring named the trigger, but nothing acted on it).
 
+``run_streaming_index_takedowns`` (r15) is the delete-side twin: id
+batches landing as files tombstone-commit through the same folded,
+idempotent path, so the full lifecycle — grow, take down, compact,
+rebuild — runs in-stream under one locking discipline.
+
 The index must exist before the stream starts (built from the initial
 corpus snapshot — the realistic deployment: nightly build, daytime
 ingest). Bootstrapping the codebook from a first micro-batch would pin
@@ -44,6 +49,7 @@ from pyspark.sql import SparkSession
 from gcp_map_reduce_spark.operators.ann_index import (
     FullyTombstonedError,
     ann_index_append,
+    ann_index_delete,
     ann_index_meta,
     ann_index_rebuild_due,
     compact_ann_index,
@@ -143,6 +149,80 @@ def run_streaming_index_maintenance(
 
     return (
         vecs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_streaming_index_takedowns(
+    spark: SparkSession,
+    takedown_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    compact_at_deleted: int | None = None,
+):
+    """Drain pending TAKEDOWN files (``vec_id bigint`` parquet rows —
+    the id-list shape legal/contamination removals arrive in) into
+    tombstone commits on the persisted index at ``index_dir``; returns
+    the query handle (r15 — closes the index lifecycle's last
+    batch-only edge: appends, compaction, and rebuild already run
+    in-stream, deletes required a hand-run batch call between drains).
+
+    Per micro-batch: the driver-sized id batch (takedowns are bounded
+    by contract, same as :func:`operators.ann_index.ann_index_delete`)
+    commits through the folded-tombstone path with
+    ``if_missing="skip"`` — so a REPLAYED batch (foreachBatch
+    redelivery, wiped checkpoint, crash between manifest commit and
+    checkpoint commit) finds its ids no longer live and no-ops: the
+    same at-least-once-by-construction discipline as the append
+    maintainer. The delete holds the index writer lock per commit, so
+    this stream composes with a concurrently-running
+    :func:`run_streaming_index_maintenance` — commits serialize, and
+    the external-mutation guard never fires between lock-holding
+    writers.
+
+    Ordering semantics the operator must know: a takedown tombstones
+    ids LIVE at commit time. An id that ingests AFTER its takedown
+    drained is not retroactively blocked — gate future ingest with the
+    decontamination screen, not the tombstone list (deliberately: a
+    forever-blocklist keyed on vec_id would also block a legitimate
+    replacement row, the same reason re-appends of tombstoned ids wait
+    for compaction).
+
+    ``compact_at_deleted=N``: after any delete that leaves the manifest
+    with >= N tombstoned rows, MATERIALIZE the deletes
+    (:func:`compact_ann_index` — live rows rewritten, tombstones
+    cleared, atomic publish). A fully-tombstoned index tolerates the
+    impossible compaction exactly like the append maintainer does."""
+    ann_index_meta(index_dir)  # fail fast on a missing index
+    reader = spark.readStream.schema("vec_id bigint")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ids_stream = reader.parquet(takedown_dir)
+
+    def process(batch_df, batch_id: int) -> None:
+        ids = [int(r.vec_id) for r in batch_df.select("vec_id").collect()]
+        if not ids:
+            return
+        new_meta = ann_index_delete(
+            batch_df.sparkSession, index_dir, ids, if_missing="skip"
+        )
+        if (
+            compact_at_deleted is not None
+            and int(new_meta.get("n_deleted", 0)) >= compact_at_deleted
+        ):
+            try:
+                compact_ann_index(batch_df.sparkSession, index_dir)
+            except FullyTombstonedError:
+                # operator-level "delete everything": the index still
+                # serves (empty results) and compaction is impossible,
+                # not failed — same tolerance as the append maintainer
+                pass
+
+    return (
+        ids_stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

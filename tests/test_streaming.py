@@ -1155,6 +1155,106 @@ def test_streaming_index_maintenance_parity_and_replay(spark, tmp_path):
     assert meta2["segments"] == meta["segments"]  # no new segment
 
 
+def test_streaming_index_takedowns(spark, tmp_path):
+    """r15: the delete-side maintenance stream. Draining takedown files
+    tombstones their LIVE ids (folded single dir, search equals a fresh
+    build over the corpus minus them), never-present ids are skipped,
+    a wiped-checkpoint replay is a no-op, and compact_at_deleted
+    materializes the deletes in-stream."""
+    import shutil
+
+    import duckdb
+    import pytest as _pytest
+
+    from gcp_map_reduce_spark.operators.ann_index import (
+        _load_vectors,
+        ann_index_build,
+        ann_index_meta,
+        ann_index_search,
+    )
+    from gcp_map_reduce_spark.streaming import run_streaming_index_takedowns
+
+    SF = "/root/testdata/sf0.01"
+    idx = str(tmp_path / "idx")
+    ann_index_build(spark, SF, idx, n_cells=8)
+
+    with _pytest.raises(FileNotFoundError, match="no ANN index"):
+        run_streaming_index_takedowns(
+            spark, str(tmp_path / "td0"), str(tmp_path / "nope"),
+            str(tmp_path / "ck0"),
+        )
+
+    # two takedown batches (ids >= 64: non-seeds, so the reduced fresh
+    # build shares the codebook) + one never-present id (skip path)
+    batches = [[450, 451, 452], [460, 470, 10**9]]
+    dead = [450, 451, 452, 460, 470]
+    td = tmp_path / "takedowns"
+    td.mkdir()
+    for i, ids in enumerate(batches):
+        duckdb.sql(
+            f"COPY (SELECT CAST(x AS BIGINT) AS vec_id FROM "
+            f"(VALUES {', '.join(f'({v})' for v in ids)}) t(x)) "
+            f"TO '{td}/batch{i}.parquet' (FORMAT PARQUET)"
+        )
+    ckpt = tmp_path / "ck_td"
+    q = run_streaming_index_takedowns(
+        spark, str(td), idx, str(ckpt), max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+    meta = ann_index_meta(idx)
+    assert meta["n_vec"] == 495 and meta["n_deleted"] == 5
+    assert len(meta["tombstones"]) == 1  # folded across drained batches
+    assert _load_vectors(spark, idx).count() == 495
+    assert _load_vectors(spark, idx, include_deleted=True).count() == 500
+
+    # search equals a fresh build over the corpus minus the takedowns
+    reduced = tmp_path / "reduced"
+    reduced.mkdir()
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{SF}/embeddings.parquet' WHERE vec_id NOT IN "
+        f"({', '.join(map(str, dead))}) ORDER BY vec_id) "
+        f"TO '{reduced}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    fresh = str(tmp_path / "fresh")
+    ann_index_build(spark, str(reduced), fresh, n_cells=8)
+
+    def queries():
+        return (
+            spark.read.parquet(SF + "/embeddings.parquet")
+            .filter(F.col("vec_id") < 10)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+
+    res = lambda p: sorted(  # noqa: E731
+        map(tuple, ann_index_search(spark, p, queries()).collect())
+    )
+    assert res(idx) == res(fresh)
+
+    # wiped checkpoint, same files: every id is no longer live -> no-op
+    shutil.rmtree(str(ckpt))
+    q2 = run_streaming_index_takedowns(
+        spark, str(td), idx, str(tmp_path / "ck_td2")
+    )
+    q2.awaitTermination(180)
+    meta2 = ann_index_meta(idx)
+    assert meta2["n_deleted"] == 5
+    assert meta2["tombstones"] == meta["tombstones"]  # no new commit
+
+    # compact_at_deleted: a fresh index + one drained batch past the
+    # threshold materializes in-stream (tombstones cleared, rows gone)
+    idx2 = str(tmp_path / "idx2")
+    ann_index_build(spark, SF, idx2, n_cells=8)
+    q3 = run_streaming_index_takedowns(
+        spark, str(td), idx2, str(tmp_path / "ck_td3"),
+        compact_at_deleted=4,
+    )
+    q3.awaitTermination(180)
+    meta3 = ann_index_meta(idx2)
+    assert meta3["tombstones"] == [] and meta3["n_deleted"] == 0
+    assert _load_vectors(spark, idx2, include_deleted=True).count() == 495
+    assert res(idx2) == res(fresh)
+
+
 def test_streaming_index_compaction_and_rebuild_hook(spark, tmp_path):
     """r13 maintenance hooks: a 16-batch drain with
     compact_at_segments=4 fires in-stream compaction repeatedly, the
