@@ -1741,6 +1741,7 @@ def ann_index_delete(
     index_dir: str,
     vec_ids,
     if_missing: str = "error",
+    stream_mark: tuple[str, int] | None = None,
 ) -> dict:
     """Delete vectors from a published index WITHOUT rewriting it — the
     takedown / contamination-removal shape a training-data platform
@@ -1791,16 +1792,39 @@ def ann_index_delete(
             f"if_missing must be 'error' or 'skip', got {if_missing!r}"
         )
     with _write_lock(index_dir):
-        return _delete_locked(spark, index_dir, vec_ids, if_missing)
+        return _delete_locked(
+            spark, index_dir, vec_ids, if_missing, stream_mark
+        )
 
 
 def _delete_locked(
-    spark: SparkSession, index_dir: str, vec_ids, if_missing: str
+    spark: SparkSession,
+    index_dir: str,
+    vec_ids,
+    if_missing: str,
+    stream_mark: tuple[str, int] | None = None,
 ) -> dict:
     import shutil
 
     meta = ann_index_meta(index_dir)
     expected_gen = _generation(index_dir)
+    # stream watermark (r15 review catch on the takedown stream): an
+    # at-least-once REDELIVERY of a takedown batch is only naturally
+    # idempotent while its ids stay tombstoned — after an in-stream
+    # compaction materialized them AND a legitimate replacement row
+    # re-appended, the redelivered batch would find the replacement
+    # LIVE and silently kill it. The stream passes (stream_key,
+    # batch_id); a batch at or below the key's recorded watermark is a
+    # proven replay and skips, and the watermark commits ATOMICALLY
+    # with the delete (same manifest replace), so the crash window
+    # between manifest commit and checkpoint commit is closed exactly.
+    # Compaction carries the marks (meta spread); a rebuild drops them
+    # along with the tombstones themselves — consistent: a rebuild
+    # resurrects deleted rows by design (the corpus owns it).
+    if stream_mark is not None:
+        key, batch_id = stream_mark
+        if int(meta.get("stream_marks", {}).get(key, -1)) >= int(batch_id):
+            return meta
     ids = sorted({int(v) for v in vec_ids})
     if not ids:
         return meta
@@ -1880,6 +1904,10 @@ def _delete_locked(
     meta["version"] = INDEX_VERSION_TOMBSTONED[
         _base_version(meta["storage"])
     ]
+    if stream_mark is not None:
+        marks = dict(meta.get("stream_marks", {}))
+        marks[stream_mark[0]] = int(stream_mark[1])
+        meta["stream_marks"] = marks
     _meta_write(index_dir, meta)
     # superseded + crash-orphan tombstone dirs: keep the dirs the
     # PREVIOUS manifest registered (a lock-free reader mid-plan may

@@ -56,6 +56,20 @@ from gcp_map_reduce_spark.operators.ann_index import (
 )
 
 
+def _compact_tolerating_fully_tombstoned(spark, index_dir: str):
+    """In-stream compaction with the one exception both maintenance
+    streams must tolerate: a fully-tombstoned index still SERVES
+    (readers anti-join to empty results) but cannot compact — the
+    condition is an operator-level takedown-of-everything, and
+    crash-looping a stream on it would help no one; it clears when
+    rows arrive or the operator drops/rebuilds the index. Returns the
+    post-compaction manifest, or None when compaction was impossible."""
+    try:
+        return compact_ann_index(spark, index_dir)
+    except FullyTombstonedError:
+        return None
+
+
 def run_streaming_index_maintenance(
     spark: SparkSession,
     emb_dir: str,
@@ -132,16 +146,11 @@ def run_streaming_index_maintenance(
             compact_at_segments is not None
             and len(new_meta["segments"]) >= compact_at_segments
         ):
-            try:
-                new_meta = compact_ann_index(batch_df.sparkSession, index_dir)
-            except FullyTombstonedError:
-                # every row deleted mid-stream: the index still serves
-                # (readers anti-join to empty results) and compaction
-                # is IMPOSSIBLE, not failed — crash-looping the stream
-                # on an operator-level takedown would help no one; the
-                # condition clears when rows arrive or the operator
-                # drops/rebuilds the index
-                pass
+            compacted = _compact_tolerating_fully_tombstoned(
+                batch_df.sparkSession, index_dir
+            )
+            if compacted is not None:
+                new_meta = compacted
         if on_rebuild_due is not None and ann_index_rebuild_due(
             new_meta, cell_target=rebuild_cell_target
         ):
@@ -173,15 +182,28 @@ def run_streaming_index_takedowns(
     Per micro-batch: the driver-sized id batch (takedowns are bounded
     by contract, same as :func:`operators.ann_index.ann_index_delete`)
     commits through the folded-tombstone path with
-    ``if_missing="skip"`` — so a REPLAYED batch (foreachBatch
-    redelivery, wiped checkpoint, crash between manifest commit and
-    checkpoint commit) finds its ids no longer live and no-ops: the
-    same at-least-once-by-construction discipline as the append
-    maintainer. The delete holds the index writer lock per commit, so
-    this stream composes with a concurrently-running
-    :func:`run_streaming_index_maintenance` — commits serialize, and
-    the external-mutation guard never fires between lock-holding
-    writers.
+    ``if_missing="skip"``, AND the batch id is recorded as a stream
+    watermark in the manifest atomically with the delete. Replay
+    safety therefore has two independent layers: skip-mode no-ops on
+    ids that are no longer live, and the watermark proves a
+    redelivered batch (crash between manifest commit and checkpoint
+    commit) was already applied even if a compaction has since
+    MATERIALIZED its tombstones and a legitimate replacement row
+    re-appended — without it, the redelivery would find the
+    replacement live and silently kill it (review catch). A
+    wiped-checkpoint replay over the SAME checkpoint path re-numbers
+    the same files from batch 0 and skips on the watermark; the one
+    window that remains open is an operator replaying old takedown
+    files under a FRESH checkpoint path after a compaction and a
+    re-append of the same ids — takedown files are not re-pointable at
+    new checkpoints once materialized. Null ``vec_id`` rows (or a
+    takedown file whose id column is misnamed, which the user-supplied
+    schema reads as all-null) raise a clear ValueError rather than
+    crash-looping on a TypeError. The delete holds the index writer
+    lock per commit, so this stream composes with a
+    concurrently-running :func:`run_streaming_index_maintenance` —
+    commits serialize, and the external-mutation guard never fires
+    between lock-holding writers.
 
     Ordering semantics the operator must know: a takedown tombstones
     ids LIVE at commit time. An id that ingests AFTER its takedown
@@ -197,29 +219,47 @@ def run_streaming_index_takedowns(
     cleared, atomic publish). A fully-tombstoned index tolerates the
     impossible compaction exactly like the append maintainer does."""
     ann_index_meta(index_dir)  # fail fast on a missing index
+    # the watermark key is the checkpoint's identity: redeliveries and
+    # same-path wiped-checkpoint replays share it (and skip); a fresh
+    # checkpoint path is a new stream on purpose
+    import hashlib
+    import os
+
+    stream_key = "td-" + hashlib.sha1(
+        os.path.realpath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
     reader = spark.readStream.schema("vec_id bigint")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     ids_stream = reader.parquet(takedown_dir)
 
     def process(batch_df, batch_id: int) -> None:
-        ids = [int(r.vec_id) for r in batch_df.select("vec_id").collect()]
+        rows = batch_df.select("vec_id").collect()
+        ids = [int(r.vec_id) for r in rows if r.vec_id is not None]
+        if len(ids) != len(rows):
+            # a null takedown id is a producer bug, not a skippable row
+            # — and a misnamed id column reads as ALL-null under the
+            # user-supplied schema; fail with the diagnosis instead of
+            # crash-looping on int(None)
+            raise ValueError(
+                f"takedown batch {batch_id} carries "
+                f"{len(rows) - len(ids)} null vec_id rows — fix the "
+                "producer (a fully-null batch usually means the file's "
+                "id column is not named vec_id)"
+            )
         if not ids:
             return
         new_meta = ann_index_delete(
-            batch_df.sparkSession, index_dir, ids, if_missing="skip"
+            batch_df.sparkSession, index_dir, ids, if_missing="skip",
+            stream_mark=(stream_key, int(batch_id)),
         )
         if (
             compact_at_deleted is not None
             and int(new_meta.get("n_deleted", 0)) >= compact_at_deleted
         ):
-            try:
-                compact_ann_index(batch_df.sparkSession, index_dir)
-            except FullyTombstonedError:
-                # operator-level "delete everything": the index still
-                # serves (empty results) and compaction is impossible,
-                # not failed — same tolerance as the append maintainer
-                pass
+            _compact_tolerating_fully_tombstoned(
+                batch_df.sparkSession, index_dir
+            )
 
     return (
         ids_stream.writeStream.foreachBatch(process)

@@ -1447,6 +1447,51 @@ def test_delete_where_predicate_takedown(spark, tmp_path, monkeypatch):
         ann_index_delete_where(spark, d, "label = 1")
 
 
+def test_delete_stream_mark_survives_compaction_and_reappend(
+    spark, tmp_path
+):
+    """r15 (review catch on the takedown stream): a redelivered delete
+    batch is only naturally idempotent while its ids stay tombstoned —
+    after a compaction MATERIALIZED them and a legitimate replacement
+    row re-appended, skip-mode alone would find the replacement live
+    and kill it. The stream watermark (recorded atomically with the
+    delete, carried through compaction) proves the replay and skips;
+    a genuinely new batch id still deletes."""
+    from gcp_map_reduce_spark.operators.ann_index import (
+        ann_index_append,
+        ann_index_delete,
+        compact_ann_index,
+    )
+
+    d = str(tmp_path / "idx")
+    ann_index_build(spark, SF, d, n_cells=N_CELLS)
+    dead = [450, 451]
+    m = ann_index_delete(spark, d, dead, if_missing="skip",
+                         stream_mark=("td-abc", 0))
+    assert m["n_deleted"] == 2 and m["stream_marks"] == {"td-abc": 0}
+    m = compact_ann_index(spark, d)
+    assert m["stream_marks"] == {"td-abc": 0}  # carried through compact
+    rows = (
+        spark.read.parquet(SF + "/embeddings.parquet")
+        .filter(F.col("vec_id").isin(dead))
+        .select("vec_id", "embedding")
+    )
+    m = ann_index_append(spark, d, rows)  # legitimate replacements
+    assert m["n_vec"] == 500
+    # the redelivered batch 0: watermark proves replay -> replacements live
+    m = ann_index_delete(spark, d, dead, if_missing="skip",
+                         stream_mark=("td-abc", 0))
+    assert m["n_deleted"] == 0 and m["n_vec"] == 500
+    # a different stream's batch 0, and this stream's NEXT batch: delete
+    m = ann_index_delete(spark, d, [450], if_missing="skip",
+                         stream_mark=("td-zzz", 0))
+    assert m["n_deleted"] == 1
+    m = ann_index_delete(spark, d, [451], if_missing="skip",
+                         stream_mark=("td-abc", 1))
+    assert m["n_deleted"] == 2
+    assert m["stream_marks"] == {"td-abc": 1, "td-zzz": 0}
+
+
 def test_delete_validation_and_locking(spark, tmp_path, split_corpus, monkeypatch):
     """Delete takes the writer lock (held elsewhere -> timeout), rejects
     unknown if_missing, skips cleanly on empty/missing batches, and
