@@ -1797,6 +1797,30 @@ def ann_index_delete(
         )
 
 
+# Bound on recorded stream watermarks: one entry per checkpoint
+# lineage, least-recently-advanced evicted past the cap. Losing an
+# ancient lineage's mark only weakens replay protection for a stream
+# that has not committed in ages — acceptable; an unbounded dict would
+# grow the manifest with every retired checkpoint forever.
+STREAM_MARKS_CAP = 8
+
+
+def _mark_streams(meta: dict, stream_mark: tuple[str, int] | None) -> None:
+    """Record ``stream_mark`` = (lineage key, batch id) into
+    ``meta["stream_marks"]`` (see the watermark comment in
+    :func:`_delete_locked`); no-op when None."""
+    if stream_mark is None:
+        return
+    marks = dict(meta.get("stream_marks", {}))
+    marks[stream_mark[0]] = {
+        "batch": int(stream_mark[1]),
+        "at": int(time.time()),
+    }
+    while len(marks) > STREAM_MARKS_CAP:
+        marks.pop(min(marks, key=lambda k: marks[k]["at"]))
+    meta["stream_marks"] = marks
+
+
 def _delete_locked(
     spark: SparkSession,
     index_dir: str,
@@ -1814,16 +1838,26 @@ def _delete_locked(
     # compaction materialized them AND a legitimate replacement row
     # re-appended, the redelivered batch would find the replacement
     # LIVE and silently kill it. The stream passes (stream_key,
-    # batch_id); a batch at or below the key's recorded watermark is a
-    # proven replay and skips, and the watermark commits ATOMICALLY
-    # with the delete (same manifest replace), so the crash window
-    # between manifest commit and checkpoint commit is closed exactly.
-    # Compaction carries the marks (meta spread); a rebuild drops them
-    # along with the tombstones themselves — consistent: a rebuild
-    # resurrects deleted rows by design (the corpus owns it).
+    # batch_id), where the key identifies the CHECKPOINT LINEAGE (the
+    # streaming query id — batch numbering is only meaningful within
+    # one lineage; a wiped checkpoint re-numbers from 0 and a
+    # lineage-blind watermark would swallow NEW takedowns repacked
+    # with old files, 4th review pass): a batch at or below the key's
+    # recorded watermark is a proven replay and skips, and the
+    # watermark commits ATOMICALLY with the delete (same manifest
+    # replace), so the crash window between manifest commit and
+    # checkpoint commit is closed. The mark advances on NO-OP batches
+    # too — an all-already-dead batch left unrecorded would redeliver
+    # after a compaction + re-append and kill the replacements (4th
+    # review pass). Compaction carries the marks (meta spread); a
+    # rebuild drops them along with the tombstones themselves —
+    # consistent: a rebuild resurrects deleted rows by design (the
+    # corpus owns it). Marks are bounded: the STREAM_MARKS_CAP
+    # least-recently-advanced lineages age out.
     if stream_mark is not None:
         key, batch_id = stream_mark
-        if int(meta.get("stream_marks", {}).get(key, -1)) >= int(batch_id):
+        rec = meta.get("stream_marks", {}).get(key)
+        if rec is not None and int(rec["batch"]) >= int(batch_id):
             return meta
     ids = sorted({int(v) for v in vec_ids})
     if not ids:
@@ -1846,7 +1880,7 @@ def _delete_locked(
             "rows of this index (missing, or already deleted) — pass "
             "if_missing='skip' to delete the intersection"
         )
-    if n_hit == 0:
+    if n_hit == 0 and stream_mark is None:
         return meta
     # external-mutation guard BEFORE touching the slot (the
     # _commit_segment discipline): checking after the write would fire
@@ -1863,6 +1897,13 @@ def _delete_locked(
             "during this delete — aborting before overwriting its "
             "commit; retry the delete"
         )
+    if n_hit == 0:
+        # all ids already dead: the WATERMARK must still advance, or
+        # this no-op batch redelivers after a compaction + re-append
+        # and kills the replacements (4th review pass)
+        _mark_streams(meta, stream_mark)
+        _meta_write(index_dir, meta)
+        return meta
     # FOLD at commit (r15, r14 verdict finding 2): the new batch is
     # unioned with every already-registered tombstone id and committed
     # as ONE dir, so reader fan-in stays one file-open per search no
@@ -1904,10 +1945,7 @@ def _delete_locked(
     meta["version"] = INDEX_VERSION_TOMBSTONED[
         _base_version(meta["storage"])
     ]
-    if stream_mark is not None:
-        marks = dict(meta.get("stream_marks", {}))
-        marks[stream_mark[0]] = int(stream_mark[1])
-        meta["stream_marks"] = marks
+    _mark_streams(meta, stream_mark)
     _meta_write(index_dir, meta)
     # superseded + crash-orphan tombstone dirs: keep the dirs the
     # PREVIOUS manifest registered (a lock-free reader mid-plan may

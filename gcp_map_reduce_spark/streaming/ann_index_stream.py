@@ -182,21 +182,25 @@ def run_streaming_index_takedowns(
     Per micro-batch: the driver-sized id batch (takedowns are bounded
     by contract, same as :func:`operators.ann_index.ann_index_delete`)
     commits through the folded-tombstone path with
-    ``if_missing="skip"``, AND the batch id is recorded as a stream
-    watermark in the manifest atomically with the delete. Replay
-    safety therefore has two independent layers: skip-mode no-ops on
-    ids that are no longer live, and the watermark proves a
-    redelivered batch (crash between manifest commit and checkpoint
-    commit) was already applied even if a compaction has since
-    MATERIALIZED its tombstones and a legitimate replacement row
-    re-appended — without it, the redelivery would find the
-    replacement live and silently kill it (review catch). A
-    wiped-checkpoint replay over the SAME checkpoint path re-numbers
-    the same files from batch 0 and skips on the watermark; the one
-    window that remains open is an operator replaying old takedown
-    files under a FRESH checkpoint path after a compaction and a
-    re-append of the same ids — takedown files are not re-pointable at
-    new checkpoints once materialized. Null ``vec_id`` rows (or a
+    ``if_missing="skip"``, AND ``(lineage, batch_id)`` is recorded as
+    a stream watermark in the manifest atomically with the delete —
+    lineage being the streaming query id from ``<ckpt>/metadata``,
+    stable across crash-restarts, regenerated on a checkpoint wipe
+    (batch numbers only mean anything within one lineage: keyed on
+    the PATH, a wiped checkpoint's re-numbered batch 0 repacking NEW
+    takedown files with old ones would skip wholesale). Replay safety
+    therefore has two layers: the watermark proves a same-lineage
+    redelivery (crash between manifest commit and checkpoint commit)
+    was already applied — even if a compaction has since MATERIALIZED
+    its tombstones and a legitimate replacement row re-appended, the
+    case where skip-mode alone would find the replacement live and
+    silently kill it (review catch) — and skip-mode covers
+    cross-lineage replays (wiped checkpoint, files re-pointed at a
+    fresh path), which no-op while the ids stay tombstoned. The one
+    window that remains open, and deliberately so, is replaying old
+    takedown files under a NEW lineage after a compaction and a
+    re-append of the same ids: once a takedown is materialized, its
+    files are spent — do not re-point them at fresh checkpoints. Null ``vec_id`` rows (or a
     takedown file whose id column is misnamed, which the user-supplied
     schema reads as all-null) raise a clear ValueError rather than
     crash-looping on a TypeError. The delete holds the index writer
@@ -219,19 +223,38 @@ def run_streaming_index_takedowns(
     cleared, atomic publish). A fully-tombstoned index tolerates the
     impossible compaction exactly like the append maintainer does."""
     ann_index_meta(index_dir)  # fail fast on a missing index
-    # the watermark key is the checkpoint's identity: redeliveries and
-    # same-path wiped-checkpoint replays share it (and skip); a fresh
-    # checkpoint path is a new stream on purpose
-    import hashlib
-    import os
-
-    stream_key = "td-" + hashlib.sha1(
-        os.path.realpath(checkpoint_dir).encode()
-    ).hexdigest()[:12]
     reader = spark.readStream.schema("vec_id bigint")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     ids_stream = reader.parquet(takedown_dir)
+    lineage: list[str] = []  # memoized once the checkpoint exists
+
+    def stream_key() -> str:
+        # the watermark key is the checkpoint LINEAGE (the streaming
+        # query id Structured Streaming writes to <ckpt>/metadata at
+        # start, stable across crash-restarts, regenerated on a wipe):
+        # batch numbers are only meaningful within one lineage — a
+        # path-derived key would let a wiped checkpoint's re-numbered
+        # batch 0, repacking NEW takedown files with old ones, skip
+        # wholesale against the old run's watermark (4th review pass;
+        # realpath also mangled URI checkpoint locations). Fallback to
+        # the raw checkpoint string only if the metadata is unreadable
+        # (an object-store checkpoint this local reader can't open) —
+        # weaker but stable across working directories.
+        if not lineage:
+            import hashlib
+            import json as _json
+            import os as _os
+
+            try:
+                with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
+                    qid = _json.load(fh)["id"]
+            except (OSError, ValueError, KeyError):
+                qid = "path:" + checkpoint_dir
+            lineage.append(
+                "td-" + hashlib.sha1(str(qid).encode()).hexdigest()[:12]
+            )
+        return lineage[0]
 
     def process(batch_df, batch_id: int) -> None:
         rows = batch_df.select("vec_id").collect()
@@ -251,7 +274,7 @@ def run_streaming_index_takedowns(
             return
         new_meta = ann_index_delete(
             batch_df.sparkSession, index_dir, ids, if_missing="skip",
-            stream_mark=(stream_key, int(batch_id)),
+            stream_mark=(stream_key(), int(batch_id)),
         )
         if (
             compact_at_deleted is not None

@@ -1468,9 +1468,11 @@ def test_delete_stream_mark_survives_compaction_and_reappend(
     dead = [450, 451]
     m = ann_index_delete(spark, d, dead, if_missing="skip",
                          stream_mark=("td-abc", 0))
-    assert m["n_deleted"] == 2 and m["stream_marks"] == {"td-abc": 0}
+    assert m["n_deleted"] == 2
+    assert m["stream_marks"]["td-abc"]["batch"] == 0
     m = compact_ann_index(spark, d)
-    assert m["stream_marks"] == {"td-abc": 0}  # carried through compact
+    # carried through compaction
+    assert m["stream_marks"]["td-abc"]["batch"] == 0
     rows = (
         spark.read.parquet(SF + "/embeddings.parquet")
         .filter(F.col("vec_id").isin(dead))
@@ -1486,10 +1488,17 @@ def test_delete_stream_mark_survives_compaction_and_reappend(
     m = ann_index_delete(spark, d, [450], if_missing="skip",
                          stream_mark=("td-zzz", 0))
     assert m["n_deleted"] == 1
+    # replay of the already-dead 450 under td-abc batch 2: no-op delete
+    # but the mark must advance
+    m = ann_index_delete(spark, d, [450], if_missing="skip",
+                         stream_mark=("td-abc", 2))
+    assert m["n_deleted"] == 1  # unchanged: 450 already tombstoned
+    assert m["stream_marks"]["td-abc"]["batch"] == 2
     m = ann_index_delete(spark, d, [451], if_missing="skip",
-                         stream_mark=("td-abc", 1))
+                         stream_mark=("td-abc", 3))
     assert m["n_deleted"] == 2
-    assert m["stream_marks"] == {"td-abc": 1, "td-zzz": 0}
+    assert m["stream_marks"]["td-abc"]["batch"] == 3
+    assert m["stream_marks"]["td-zzz"]["batch"] == 0
 
 
 def test_delete_validation_and_locking(spark, tmp_path, split_corpus, monkeypatch):
