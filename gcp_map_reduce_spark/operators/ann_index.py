@@ -1805,19 +1805,36 @@ def ann_index_delete(
 STREAM_MARKS_CAP = 8
 
 
+def _mark_entry(rec) -> dict:
+    """Normalize a recorded mark (tolerates the short-lived int-only
+    format) to ``{"batch": int, "at": int}``."""
+    if isinstance(rec, dict):
+        return {"batch": int(rec["batch"]), "at": int(rec.get("at", 0))}
+    return {"batch": int(rec), "at": 0}
+
+
 def _mark_streams(meta: dict, stream_mark: tuple[str, int] | None) -> None:
     """Record ``stream_mark`` = (lineage key, batch id) into
     ``meta["stream_marks"]`` (see the watermark comment in
-    :func:`_delete_locked`); no-op when None."""
+    :func:`_delete_locked`); no-op when None. Recency is a LOGICAL
+    sequence (max existing + 1), not wall clock — clock ties or steps
+    backwards could otherwise evict the mark being recorded in this
+    very commit, silently voiding its replay protection (5th review
+    pass); the just-written key is additionally never an eviction
+    candidate."""
     if stream_mark is None:
         return
-    marks = dict(meta.get("stream_marks", {}))
-    marks[stream_mark[0]] = {
-        "batch": int(stream_mark[1]),
-        "at": int(time.time()),
+    marks = {
+        k: _mark_entry(v) for k, v in meta.get("stream_marks", {}).items()
     }
+    seq = 1 + max((m["at"] for m in marks.values()), default=-1)
+    marks[stream_mark[0]] = {"batch": int(stream_mark[1]), "at": seq}
     while len(marks) > STREAM_MARKS_CAP:
-        marks.pop(min(marks, key=lambda k: marks[k]["at"]))
+        victim = min(
+            (k for k in marks if k != stream_mark[0]),
+            key=lambda k: marks[k]["at"],
+        )
+        marks.pop(victim)
     meta["stream_marks"] = marks
 
 
@@ -1857,7 +1874,7 @@ def _delete_locked(
     if stream_mark is not None:
         key, batch_id = stream_mark
         rec = meta.get("stream_marks", {}).get(key)
-        if rec is not None and int(rec["batch"]) >= int(batch_id):
+        if rec is not None and _mark_entry(rec)["batch"] >= int(batch_id):
             return meta
     ids = sorted({int(v) for v in vec_ids})
     if not ids:

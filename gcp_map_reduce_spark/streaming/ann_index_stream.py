@@ -227,9 +227,9 @@ def run_streaming_index_takedowns(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     ids_stream = reader.parquet(takedown_dir)
-    lineage: list[str] = []  # memoized once the checkpoint exists
+    lineage: list = []  # memoized once the checkpoint exists
 
-    def stream_key() -> str:
+    def stream_key() -> str | None:
         # the watermark key is the checkpoint LINEAGE (the streaming
         # query id Structured Streaming writes to <ckpt>/metadata at
         # start, stable across crash-restarts, regenerated on a wipe):
@@ -237,10 +237,13 @@ def run_streaming_index_takedowns(
         # path-derived key would let a wiped checkpoint's re-numbered
         # batch 0, repacking NEW takedown files with old ones, skip
         # wholesale against the old run's watermark (4th review pass;
-        # realpath also mangled URI checkpoint locations). Fallback to
-        # the raw checkpoint string only if the metadata is unreadable
-        # (an object-store checkpoint this local reader can't open) —
-        # weaker but stable across working directories.
+        # realpath also mangled URI checkpoint locations). If the
+        # metadata is not locally readable (an object-store checkpoint)
+        # there is NO safe stable key — a path key survives wipes and
+        # reintroduces exactly that bug (5th review pass) — so the
+        # watermark degrades to None and replay safety falls back to
+        # skip-mode alone, the module's documented local-FS caveat
+        # class (same as the writer flock and os.replace commits).
         if not lineage:
             import hashlib
             import json as _json
@@ -249,8 +252,8 @@ def run_streaming_index_takedowns(
             try:
                 with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
                     qid = _json.load(fh)["id"]
-            except (OSError, ValueError, KeyError):
-                qid = "path:" + checkpoint_dir
+            except (OSError, ValueError, KeyError, TypeError):
+                return None  # not memoized: a transient miss may clear
             lineage.append(
                 "td-" + hashlib.sha1(str(qid).encode()).hexdigest()[:12]
             )
@@ -272,9 +275,10 @@ def run_streaming_index_takedowns(
             )
         if not ids:
             return
+        key = stream_key()
         new_meta = ann_index_delete(
             batch_df.sparkSession, index_dir, ids, if_missing="skip",
-            stream_mark=(stream_key(), int(batch_id)),
+            stream_mark=(key, int(batch_id)) if key else None,
         )
         if (
             compact_at_deleted is not None

@@ -1501,6 +1501,41 @@ def test_delete_stream_mark_survives_compaction_and_reappend(
     assert m["stream_marks"]["td-zzz"]["batch"] == 0
 
 
+def test_stream_marks_eviction_and_legacy_format():
+    """r15 (5th review pass): the marks dict is bounded at
+    STREAM_MARKS_CAP with LOGICAL-sequence LRU — the just-recorded key
+    is never evicted even under recency ties, and the short-lived
+    int-only mark format normalizes instead of crashing the cap
+    machinery."""
+    from gcp_map_reduce_spark.operators.ann_index import (
+        STREAM_MARKS_CAP,
+        _mark_entry,
+        _mark_streams,
+    )
+
+    # legacy int entries normalize on read and in the check path
+    assert _mark_entry(5) == {"batch": 5, "at": 0}
+    assert _mark_entry({"batch": 7, "at": 3}) == {"batch": 7, "at": 3}
+    meta = {"stream_marks": {"td-old": 5}}  # legacy int format
+    _mark_streams(meta, ("td-new", 0))
+    assert meta["stream_marks"]["td-old"] == {"batch": 5, "at": 0}
+    assert meta["stream_marks"]["td-new"]["batch"] == 0
+    # fill past the cap: oldest-by-sequence evicted, newest kept, and
+    # the key being recorded survives even when it would tie
+    meta = {}
+    for i in range(STREAM_MARKS_CAP + 5):
+        _mark_streams(meta, (f"td-{i:02d}", i))
+        assert len(meta["stream_marks"]) <= STREAM_MARKS_CAP
+        assert f"td-{i:02d}" in meta["stream_marks"]  # never self-evicts
+    kept = sorted(meta["stream_marks"])
+    assert kept == [f"td-{i:02d}" for i in range(5, STREAM_MARKS_CAP + 5)]
+    # re-advancing an existing key refreshes its recency
+    _mark_streams(meta, ("td-05", 99))
+    _mark_streams(meta, ("td-xx", 0))
+    assert "td-05" in meta["stream_marks"]  # refreshed, not evicted
+    assert "td-06" not in meta["stream_marks"]  # now the oldest: gone
+
+
 def test_delete_validation_and_locking(spark, tmp_path, split_corpus, monkeypatch):
     """Delete takes the writer lock (held elsewhere -> timeout), rejects
     unknown if_missing, skips cleanly on empty/missing batches, and
