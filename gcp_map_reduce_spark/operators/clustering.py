@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcp_map_reduce_spark.operators.scale import ensure_parallelism
+from gcp_map_reduce_spark.plans.probes import corpus_key
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
@@ -72,6 +73,7 @@ def kmeans_fit(
     emb = ensure_parallelism(
         load_table(spark, sf_dir, "embeddings"),
         spark.sparkContext.defaultParallelism,
+        cache_key=corpus_key(sf_dir, "embeddings"),
     ).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )

@@ -43,6 +43,7 @@ from gcp_map_reduce_spark.operators.scale import ensure_parallelism
 from gcp_map_reduce_spark.operators.text_analysis import (
     LANG_MARKERS as _PROFILE_LANG_MARKERS,
 )
+from gcp_map_reduce_spark.plans.probes import corpus_key
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
@@ -226,6 +227,7 @@ def pii_scrub(
     doc = ensure_parallelism(
         load_table(spark, sf_dir, "documents"),
         spark.sparkContext.defaultParallelism,
+        cache_key=corpus_key(sf_dir, "documents"),
     )
     if engine == "arrow":
         return _pii_scrub_kernel(doc.select("doc_id", "text"))
@@ -440,6 +442,7 @@ def quality_rules(
     doc = ensure_parallelism(
         load_table(spark, sf_dir, "documents"),
         spark.sparkContext.defaultParallelism,
+        cache_key=corpus_key(sf_dir, "documents"),
     )
     if engine == "arrow":
         return _quality_rules_kernel(doc.select("doc_id", "text"))

@@ -29,6 +29,7 @@ from gcp_map_reduce_spark.operators.dedup import (
     gram_hash_arrays_arrow,
 )
 from gcp_map_reduce_spark.operators.scale import ensure_parallelism
+from gcp_map_reduce_spark.plans.probes import corpus_key
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
@@ -88,7 +89,9 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scans as 1 split and would serialize it — fan out only in that
     # degenerate case (at 100 TB the scan alone yields plenty of splits)
     train = ensure_parallelism(
-        docs.filter(~is_eval), spark.sparkContext.defaultParallelism
+        docs.filter(~is_eval),
+        spark.sparkContext.defaultParallelism,
+        cache_key=(corpus_key(sf_dir, "documents"), "train"),
     )
     train_sh = doc_shingles_for(train, DECONTAM_NGRAM)
     return (

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from gcp_map_reduce_spark.functions.text import WS_SPLIT, normalize_text, sql_normalize
 from gcp_map_reduce_spark.operators.scale import ensure_parallelism, materialize
+from gcp_map_reduce_spark.plans.probes import corpus_key
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
@@ -163,7 +164,11 @@ def doc_shingle_arrays(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFram
     distinct.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = ensure_parallelism(docs, spark.sparkContext.defaultParallelism)
+    docs = ensure_parallelism(
+        docs,
+        spark.sparkContext.defaultParallelism,
+        cache_key=corpus_key(sf_dir, "documents"),
+    )
     return shingle_arrays_for(docs, n)
 
 
@@ -728,7 +733,11 @@ def doc_minhash_features(
     """(doc_id, sig, gh_arr) per document — one corpus scan, one Arrow
     pass (see :func:`minhash_features_arrow`)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = ensure_parallelism(docs, spark.sparkContext.defaultParallelism)
+    docs = ensure_parallelism(
+        docs,
+        spark.sparkContext.defaultParallelism,
+        cache_key=corpus_key(sf_dir, "documents"),
+    )
     return minhash_features_arrow(
         docs.select("doc_id", _token_hash_expr(fast_hash).alias("th_arr")), n
     )
@@ -742,7 +751,11 @@ def doc_gram_hash_arrays(
     path (the string form remains for operators whose semantics need the
     literal grams, e.g. decontamination overlap reporting)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = ensure_parallelism(docs, spark.sparkContext.defaultParallelism)
+    docs = ensure_parallelism(
+        docs,
+        spark.sparkContext.defaultParallelism,
+        cache_key=corpus_key(sf_dir, "documents"),
+    )
     return gram_hash_arrays_arrow(
         docs.select("doc_id", _token_hash_expr(fast_hash).alias("th_arr")), n
     )
@@ -774,7 +787,11 @@ def minhash_signatures(
     near-dups either way (asserted in tests).
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = ensure_parallelism(docs, spark.sparkContext.defaultParallelism)
+    docs = ensure_parallelism(
+        docs,
+        spark.sparkContext.defaultParallelism,
+        cache_key=corpus_key(sf_dir, "documents"),
+    )
     th_df = docs.select(
         "doc_id", _token_hash_expr(fast_hash).alias("th_arr")
     )
@@ -969,6 +986,7 @@ def simhash_fingerprints(
     docs = ensure_parallelism(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         spark.sparkContext.defaultParallelism,
+        cache_key=corpus_key(sf_dir, "documents"),
     )
     if engine == "arrow":
         import string as _string

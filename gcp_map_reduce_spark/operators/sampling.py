@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from gcp_map_reduce_spark.functions.text import WS_SPLIT, normalize_text, sql_normalize
 from gcp_map_reduce_spark.operators.dedup import portable_hash64, sql_portable_hash64
 from gcp_map_reduce_spark.operators.scale import ensure_parallelism, materialize
+from gcp_map_reduce_spark.plans.probes import corpus_key
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
@@ -349,6 +350,7 @@ def corpus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_parallelism(
             load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
             spark.sparkContext.defaultParallelism,
+            cache_key=corpus_key(sf_dir, "documents"),
         ).select("doc_id", "lang", _n_tokens_expr().alias("n_tokens"))
     )
     mix = _mixture_plan(profile).select(

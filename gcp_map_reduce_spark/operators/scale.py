@@ -26,6 +26,8 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gcp_map_reduce_spark.plans.probes import corpus_key
+
 log = logging.getLogger(__name__)
 
 DEFAULT_SALTS = 16
@@ -75,7 +77,24 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-def ensure_parallelism(df: DataFrame, min_partitions: int) -> DataFrame:
+# Cached fan-out decisions (r16): the split/row-group probe below costs
+# ~200 ms of driver-side physical planning per call (rdd.getNumPartitions
+# plans the whole subtree; inputFiles + pyarrow footers add more), and
+# every batch operator re-asks the SAME question about the same immutable
+# corpus on every invocation. Callers that can name their scan (an
+# sf_dir table) pass ``cache_key=corpus_key(sf_dir, table)`` — the
+# decision (a bool: fan out or not) is then memoized per (application,
+# key, min_partitions). The key folds the parquet mtime/size, so
+# regenerating a corpus in place self-invalidates, and a stale hit can
+# only ever cost performance (an extra or missing Exchange), never
+# correctness. Callers probing arbitrary relations (streaming
+# micro-batches) pass no key and keep the uncached probe.
+_EP_CACHE: dict[tuple, bool] = {}
+
+
+def ensure_parallelism(
+    df: DataFrame, min_partitions: int, cache_key: tuple | None = None
+) -> DataFrame:
     """Fan a DataFrame out to ``min_partitions`` ONLY when the plan would
     otherwise provide fewer USEFUL partitions.
 
@@ -99,7 +118,26 @@ def ensure_parallelism(df: DataFrame, min_partitions: int) -> DataFrame:
        over the scan's files via pyarrow footer metadata — bounded
        work, only attempted when the scan has fewer files than the
        target (a many-file scan can't be row-group-starved).
+
+    ``cache_key`` (r16): callers scanning a nameable immutable source
+    memoize the probe's decision per (application, key, min_partitions)
+    — see ``_EP_CACHE``. The caller owns key completeness: the key must
+    determine the scan (all call sites pass ``corpus_key(sf_dir,
+    table)``, whose mtime/size fold makes in-place regeneration
+    self-invalidating).
     """
+    if cache_key is not None:
+        k = (
+            df.sparkSession.sparkContext.applicationId,
+            cache_key,
+            min_partitions,
+        )
+        hit = _EP_CACHE.get(k)
+        if hit is None:
+            out = ensure_parallelism(df, min_partitions)
+            _EP_CACHE[k] = out is not df
+            return out
+        return df.repartition(min_partitions) if hit else df
     if df.rdd.getNumPartitions() < min_partitions:
         return df.repartition(min_partitions)
     try:
@@ -291,6 +329,7 @@ def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         spark.sparkContext.defaultParallelism,
+        cache_key=corpus_key(sf_dir, "documents"),
     )
     return tokenize(docs, text_col="text", out_col="word", keep_cols=[])
 

@@ -34,6 +34,7 @@ from pyspark.sql.types import DoubleType
 from pyspark.sql.window import Window
 
 from gcp_map_reduce_spark.operators.scale import ensure_parallelism, materialize
+from gcp_map_reduce_spark.plans.probes import corpus_key
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
@@ -59,6 +60,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ensure_parallelism(
         load_table(spark, sf_dir, "embeddings"),
         spark.sparkContext.defaultParallelism,
+        cache_key=corpus_key(sf_dir, "embeddings"),
     )
 
 

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcp_map_reduce_spark.functions.text import tokenize
+from gcp_map_reduce_spark.plans.probes import corpus_key
 from gcp_map_reduce_spark.operators.scale import ensure_parallelism
 from gcp_map_reduce_spark.sources.tables import load_table
 
@@ -41,6 +42,7 @@ def token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(
         load_table(spark, sf_dir, "documents").select("lang", "text"),
         spark.sparkContext.defaultParallelism,
+        cache_key=corpus_key(sf_dir, "documents"),
     )
     return tokenize(docs, text_col="text", out_col="word", keep_cols=["lang"])
 

@@ -31,6 +31,7 @@ from gcp_map_reduce_spark.functions.text import (
     normalize_text,
     sql_normalize,
 )
+from gcp_map_reduce_spark.plans.probes import corpus_key
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
@@ -534,7 +535,11 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard cut at 100 TB.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = ensure_parallelism(docs, spark.sparkContext.defaultParallelism)
+    docs = ensure_parallelism(
+        docs,
+        spark.sparkContext.defaultParallelism,
+        cache_key=corpus_key(sf_dir, "documents"),
+    )
     toks = tokenize(docs, text_col="text", out_col="word", keep_cols=["doc_id"])
     tf = materialize(toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf")))
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
@@ -595,7 +600,11 @@ def corpus_bigrams(
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # Fan out ONLY if the scan under-splits (tiny local files); at scale
     # the scan's own splits carry the per-row work with no Exchange.
-    docs = ensure_parallelism(docs, spark.sparkContext.defaultParallelism)
+    docs = ensure_parallelism(
+        docs,
+        spark.sparkContext.defaultParallelism,
+        cache_key=corpus_key(sf_dir, "documents"),
+    )
     if engine == "expr":
         w = F.filter(
             F.split(normalize_text(F.col("text")), WS_SPLIT), lambda t: t != ""

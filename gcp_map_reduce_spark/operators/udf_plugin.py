@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from gcp_map_reduce_spark.functions.text import NON_WS, WS_SPLIT, sql_tokens_cte
+from gcp_map_reduce_spark.plans.probes import corpus_key
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
@@ -153,6 +154,7 @@ def udf_scalar_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(
         load_table(spark, sf_dir, "documents"),
         spark.sparkContext.defaultParallelism,
+        cache_key=corpus_key(sf_dir, "documents"),
     )
     return docs.select("doc_id", n_tokens("text").alias("n_tokens"))
 
@@ -202,6 +204,7 @@ def udf_tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_parallelism(
         load_table(spark, sf_dir, "documents"),
         spark.sparkContext.defaultParallelism,
+        cache_key=corpus_key(sf_dir, "documents"),
     ).createOrReplaceTempView("_udtf_docs")
     return spark.sql(
         "SELECT t.word, count(*) AS cnt "

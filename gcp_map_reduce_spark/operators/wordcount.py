@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from gcp_map_reduce_spark.functions.text import sql_tokens_cte, tokenize
 from gcp_map_reduce_spark.operators.scale import ensure_parallelism
+from gcp_map_reduce_spark.plans.probes import corpus_key
 from gcp_map_reduce_spark.plans.registry import query
 from gcp_map_reduce_spark.sources.tables import load_table
 
@@ -48,6 +49,7 @@ def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         spark.sparkContext.defaultParallelism,
+        cache_key=corpus_key(sf_dir, "documents"),
     )
     return tokenize(docs, text_col="text", out_col="word", keep_cols=["doc_id"])
 
@@ -94,6 +96,7 @@ def wordcount(
     docs = ensure_parallelism(
         load_table(spark, sf_dir, "documents").select("text"),
         spark.sparkContext.defaultParallelism,
+        cache_key=corpus_key(sf_dir, "documents"),
     )
 
     def kernel(batches):

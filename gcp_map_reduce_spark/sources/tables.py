@@ -11,6 +11,8 @@ filter (``scripts/kv_store_server.py:79,103``) becomes real pushdown.
 from __future__ import annotations
 
 import os
+import threading
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,6 +32,22 @@ TABLE_NAMES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Session-scoped DataFrame memo (r16): ``spark.read.parquet`` pays a
+# driver-side footer/listing pass (~100-150 ms measured) on EVERY call,
+# and multi-table queries re-load the same tables on every invocation —
+# at bench that tax dominated several sub-second queries' wall. A
+# DataFrame is an immutable plan, so handing every caller the same
+# object is safe; the DATA is still read from parquet at execution (this
+# caches plan metadata, never results — the same discipline as the
+# session probe cache, plans/probes.py). Keys fold the parquet
+# mtime/size fingerprint (:func:`corpus_key`), so an in-place
+# regeneration self-invalidates; the session key is weak so a stopped
+# session's plans are collectable.
+_DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+_DF_CACHE_LOCK = threading.Lock()
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table. Schema comes from parquet footer metadata —
@@ -48,8 +66,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # on ANY caller-provided session — e.g. the correctness driver's —
         # not just ones built by session.get_spark.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    return _canonicalize_timestamps(df, name)
+    from gcp_map_reduce_spark.plans.probes import corpus_key
+
+    key = corpus_key(sf_dir, name)
+    with _DF_CACHE_LOCK:
+        per_session = _DF_CACHE.setdefault(spark, {})
+        df = per_session.get(key)
+    if df is None:
+        df = _canonicalize_timestamps(
+            spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")), name
+        )
+        with _DF_CACHE_LOCK:
+            per_session[key] = df
+    return df
 
 
 def _canonicalize_timestamps(df: DataFrame, name: str) -> DataFrame:
