@@ -29,6 +29,7 @@ faster but exists only in Spark.)
 from __future__ import annotations
 
 import logging
+import os
 import threading
 
 import numpy as np
@@ -1172,6 +1173,18 @@ FRONTIER_BROADCAST_MAX = 1_000_000
 # run narrow (fewer scheduler round trips per round) and 100 TB graphs
 # keep the session's full width.
 CC_EDGES_PER_PARTITION = 250_000
+# Edge count at or below which connected components runs as a DRIVER
+# union-find instead of the distributed fixpoint loop (r16): below one
+# shuffle partition's worth of edges the loop is pure scheduler latency
+# — each of its ~4 jobs/round moves hundreds of rows — while a collect
+# of <= this many (16-byte) edge rows is a few MB and path-halving
+# union-find over them is a few ms. Same graph-adaptive discipline as
+# the loop-width clamp above: at 100 TB edge counts the fast path never
+# fires. Exactness is pinned by tests/test_connected_components.py,
+# which checks BOTH paths against the same reference union-find.
+CC_DRIVER_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", str(CC_EDGES_PER_PARTITION))
+)
 
 # One cloned narrow session per (application, width), reused across CC
 # calls: newSession() allocates JVM session state that is never
@@ -1480,6 +1493,16 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     pairs = materialize(
         pairs.select(F.col(a).alias("doc_a"), F.col(b).alias("doc_b"))
     )
+    # Driver fast path (r16): a graph under one shuffle partition's
+    # worth of edges spends the loop's wall entirely on scheduler
+    # latency (~4 jobs per round x 3+ rounds of hundred-row stages,
+    # measured ~0.5-0.8 s at bench scale) — collect the materialized
+    # pair list once and run path-halving union-find instead. The pair
+    # count is known for free conceptually, but the loop needs it
+    # anyway for its width clamp; both paths share the one count job.
+    n_pairs = pairs.count()
+    if 2 * n_pairs <= CC_DRIVER_MAX_EDGES:
+        return _cc_driver(pairs)
     fwd = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
     rev = pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
     edges = materialize(fwd.union(rev))
@@ -1496,7 +1519,9 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     # The materialized edge blocks cross sessions via a global temp
     # view (dropped in the finally).
     spark = pairs.sparkSession
-    n_edges = edges.count()
+    # edges is fwd UNION ALL rev of the counted pair list — exactly
+    # 2 x n_pairs rows; no second count job (r16)
+    n_edges = 2 * n_pairs
     session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     loop_width = min(
         session_width, max(1, -(-n_edges // CC_EDGES_PER_PARTITION))
@@ -1529,6 +1554,57 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     finally:
         spark.catalog.dropGlobalTempView(view)
         spark.catalog.dropGlobalTempView(out_view)
+
+
+def _cc_driver(pairs: DataFrame) -> DataFrame:
+    """Single-machine tail of :func:`connected_components` for graphs
+    under ``CC_DRIVER_MAX_EDGES``: collect the (already materialized,
+    driver-sized) pair list, label components with path-halving
+    union-find rooted at each component's MINIMUM node (identical
+    semantics to the distributed loop's min-label fixpoint — both are
+    pinned against the same reference in
+    tests/test_connected_components.py), and return the labels as one
+    Arrow local relation (single record batch, no python-worker
+    round-trips — the ``_ids_df`` lesson from the ANN tombstone path)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = pairs.sparkSession
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for row in pairs.collect():
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = {x: find(x) for x in parent}
+    sizes: dict = {}
+    for root in labels.values():
+        sizes[root] = sizes.get(root, 0) + 1
+    nodes = list(labels)
+    node_dt = pairs.schema[0].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node", node_dt),
+            T.StructField("cluster_id", node_dt),
+            T.StructField("reach_size", T.LongType()),
+        ]
+    )
+    pdf = pd.DataFrame(
+        {
+            "node": nodes,
+            "cluster_id": [labels[n] for n in nodes],
+            "reach_size": [sizes[labels[n]] for n in nodes],
+        }
+    )
+    log.info("connected_components: driver union-find over %d nodes", len(nodes))
+    return spark.createDataFrame(pdf, schema=schema)
 
 
 def _cc_loop(edges: DataFrame, small_graph: bool) -> DataFrame:

@@ -78,3 +78,37 @@ def test_reach_size_is_component_size(spark):
     rows = {r.node: r for r in connected_components(df).collect()}
     assert all(rows[n].reach_size == 3 for n in (1, 2, 3))
     assert all(rows[n].reach_size == 2 for n in (10, 11))
+
+
+# r16: small graphs take a driver union-find fast path
+# (CC_DRIVER_MAX_EDGES); the distributed fixpoint loop must stay covered
+# and agree with it on the same graphs. Forcing the threshold to 0 sends
+# every graph through the loop.
+
+
+def test_loop_path_matches_union_find(spark, monkeypatch):
+    from gcp_map_reduce_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "CC_DRIVER_MAX_EDGES", 0)
+    for edges in (
+        [(1, 2), (2, 3), (10, 11), (5, 5)],
+        [(i, i + 1) for i in range(25)],  # chain: pointer-doubling shape
+        [(0, 1), (1, 0), (0, 0), (2, 3), (3, 1)],
+    ):
+        got = _spark_components(spark, edges)
+        assert got == union_find_components(edges)
+
+
+def test_driver_path_matches_union_find_and_loop(spark, monkeypatch):
+    from gcp_map_reduce_spark.operators import dedup
+
+    edges = [(1, 2), (2, 3), (10, 11), (7, 7), (4, 3)]
+    fast = _spark_components(spark, edges)  # default threshold: fast path
+    monkeypatch.setattr(dedup, "CC_DRIVER_MAX_EDGES", 0)
+    loop = _spark_components(spark, edges)
+    assert fast == loop == union_find_components(edges)
+    # reach_size must agree between the two paths as well
+    monkeypatch.setattr(dedup, "CC_DRIVER_MAX_EDGES", 250_000)
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    rows = {r.node: r.reach_size for r in connected_components(df).collect()}
+    assert rows == {1: 4, 2: 4, 3: 4, 4: 4, 10: 2, 11: 2, 7: 1}
