@@ -135,7 +135,8 @@ def shingle_arrays_for(docs: DataFrame, n: int = 3) -> DataFrame:
     DF-level core of :func:`doc_shingle_arrays`, reused by the streaming
     near-dup operator on micro-batch DataFrames."""
     w = F.filter(
-        F.split(normalize_text(F.col("text")), WS_SPLIT), lambda t: t != ""
+        F.split(normalize_text(F.col("text"), trim=False), WS_SPLIT),
+        lambda t: t != "",
     )
     grams = w
     for j in range(1, n):
@@ -490,7 +491,8 @@ def _token_hash_expr(fast_hash: bool) -> Column:
     """array<bigint> of per-token base hashes (mod P) for the ``text``
     column — the shared front half of the gram/signature pipelines."""
     w = F.filter(
-        F.split(normalize_text(F.col("text")), WS_SPLIT), lambda t: t != ""
+        F.split(normalize_text(F.col("text"), trim=False), WS_SPLIT),
+        lambda t: t != "",
     )
     if fast_hash:
         base = lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31))  # noqa: E731
@@ -1051,7 +1053,9 @@ def simhash_fingerprints(
     toks = (
         docs.select(
             "doc_id",
-            F.explode(F.split(normalize_text(F.col("text")), WS_SPLIT)).alias("word"),
+            F.explode(
+                F.split(normalize_text(F.col("text"), trim=False), WS_SPLIT)
+            ).alias("word"),
         )
         .filter(F.col("word") != "")
         .groupBy("doc_id", "word")

@@ -83,7 +83,10 @@ def _n_tokens_expr():
     """Whitespace token count of ``text`` (Column builders need a live
     SparkContext, so this can't be a module-level constant)."""
     return F.size(
-        F.filter(F.split(normalize_text(F.col("text")), WS_SPLIT), lambda t: t != "")
+        F.filter(
+            F.split(normalize_text(F.col("text"), trim=False), WS_SPLIT),
+            lambda t: t != "",
+        )
     ).cast("long")
 
 

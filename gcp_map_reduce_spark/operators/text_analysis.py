@@ -136,7 +136,7 @@ def text_quality_df(docs: DataFrame) -> DataFrame:
     (doc_id, text, ...) relation — shared verbatim by the batch operator
     and the streaming curation gate so the pass/fail decision cannot
     drift between them."""
-    norm_words = F.split(normalize_text(F.col("text")), WS_SPLIT)
+    norm_words = F.split(normalize_text(F.col("text"), trim=False), WS_SPLIT)
     low_words = F.split(F.lower(F.col("text")), WS_SPLIT)
     m = docs.select(
         "doc_id",
@@ -607,7 +607,8 @@ def corpus_bigrams(
     )
     if engine == "expr":
         w = F.filter(
-            F.split(normalize_text(F.col("text")), WS_SPLIT), lambda t: t != ""
+            F.split(normalize_text(F.col("text"), trim=False), WS_SPLIT),
+            lambda t: t != "",
         )
         shifted = F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0)))
         grams = F.zip_with(
