@@ -192,11 +192,17 @@ def corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix = materialize(
         corpus_mixture(spark, sf_dir).select("doc_id", "lang", "n_tokens")
     )
-    hi = mix.agg((F.max("doc_id") + 1).alias("hi"))
-    grouped = mix.crossJoin(F.broadcast(hi)).withColumn(
+    # range top as a driver scalar (r16): the former 1-row-agg crossJoin
+    # planned as TWO duplicated agg subtrees + BroadcastNestedLoopJoins
+    # (one per consumer branch below — Spark has no cross-branch
+    # common-subexpression reuse). mix is already materialized, so the
+    # 1-row max is one small job; the repo's standard scalar pattern.
+    hi_row = mix.agg((F.max("doc_id") + 1).alias("hi")).collect()[0]
+    hi = hi_row["hi"] if hi_row["hi"] is not None else 1  # empty mix: no rows flow
+    grouped = mix.withColumn(
         "grp",
         F.least(
-            F.floor(F.col("doc_id") * N_RANGE_GROUPS / F.col("hi")),
+            F.floor(F.col("doc_id") * N_RANGE_GROUPS / F.lit(hi)),
             F.lit(N_RANGE_GROUPS - 1),
         ),
     )
