@@ -111,6 +111,30 @@ def cpu_canary_sec(runs: int = 5) -> float:
 CANARY_CORR_CAP = 2.0
 
 
+def _steal_sample() -> tuple[float, float] | None:
+    """(monotonic_seconds, steal_jiffies) from /proc/stat — the
+    hypervisor-level CPU steal counter. r16: four r15 re-bank sessions
+    died to a box state the single-thread canary cannot see (32-thread
+    walls 1.3-4x inflated at a ~flat canary). Steal time IS that state's
+    mechanical signature: it counts cycles the host did not schedule
+    this VM, visible at any thread count. Sampled at run start/end; the
+    artifact records the run-average steal rate in cores (jiffies/100/s)
+    so every bench session carries its own era evidence."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return time.monotonic(), float(parts[8])
+    except Exception:
+        return None
+
+
+def _steal_rate(before, after) -> float | None:
+    """Average stolen CPU cores between two _steal_sample() readings."""
+    if not before or not after or after[0] <= before[0]:
+        return None
+    return round((after[1] - before[1]) / 100.0 / (after[0] - before[0]), 3)
+
+
 def _median(srt: list) -> float:
     """True median of an already-sorted list (even counts average the
     two middle elements — ONE definition shared by the correction
@@ -468,6 +492,7 @@ def main() -> None:
     # otherwise hide behind a quiet pre-run sample (r14 live lesson).
     canary_pre = cpu_canary_sec()
     print(f"cpu canary (pre): {canary_pre}s", file=sys.stderr)
+    steal_start = _steal_sample()
 
     def plan(name):
         return overrides[name] if name in overrides else registry.QUERIES[name]
@@ -563,7 +588,9 @@ def main() -> None:
     # bracket is evidence, not a recording.
     canary = max(canary_pre, canary_post)
     canary_floor = min(canary_pre, canary_post)
+    steal_rate = _steal_rate(steal_start, _steal_sample())
     print(f"cpu canary (post): {canary_post}s", file=sys.stderr)
+    print(f"steal rate over run: {steal_rate} cores", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     # Full artifact (per-run arrays for noise-vs-regression adjudication)
@@ -587,6 +614,7 @@ def main() -> None:
         "canary_floor": canary_floor,
         "canary_pre": canary_pre,
         "canary_post": canary_post,
+        "steal_cores_run": steal_rate,
     }
     out_path = os.path.join(REPO, "BENCH_local.json")
     with open(out_path, "w") as fh:
