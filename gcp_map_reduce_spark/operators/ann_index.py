@@ -907,6 +907,9 @@ def _build_two_level(
             .write.partitionBy("cell_id")
             .parquet(os.path.join(staging, "vectors"))
         )
+        _write_seg_ids(
+            spark, os.path.join(staging, "vectors"), meta["n_vec"]
+        )
         meta["cell_counts_file"] = _write_cell_counts(
             staging, _seg_cell_counts(spark, os.path.join(staging, "vectors"))
         )
@@ -1045,6 +1048,9 @@ def _build_unlocked(
             .write.partitionBy("cell_id")
             .parquet(os.path.join(staging, "vectors"))
         )
+        _write_seg_ids(
+            spark, os.path.join(staging, "vectors"), meta["n_vec"]
+        )
         meta["cell_counts_file"] = _write_cell_counts(
             staging, _seg_cell_counts(spark, os.path.join(staging, "vectors"))
         )
@@ -1177,6 +1183,63 @@ def _load_vectors(
     return df
 
 
+def _write_seg_ids(spark: SparkSession, seg_dir: str, n_rows: int) -> None:
+    """Write a segment's ids-only sidecar: ``<seg_dir>/_ids`` holding
+    exactly the segment's ``vec_id`` column (r16, closes the r15 scale
+    finding: the delete commit's live-intersection scan opened one file
+    per CELL, so a single takedown's wall grew with index size —
+    measured 0.50 -> 5.43 s as n_cells grew 32 -> 2048. With the
+    sidecar the live-ids read opens a few files per SEGMENT, a count
+    bounded by compaction cadence, not index size).
+
+    The underscore prefix makes the dir invisible to every partitioned
+    read of the segment (parquet hidden-file convention, pinned by
+    test), so scans/compaction/counts are untouched, and the sidecar
+    lives and dies with its segment: the crash-leftover sweep, the
+    publish_atomic dir swap and compaction's rewrite all handle it for
+    free. Written BEFORE the manifest commit — a crash in between
+    leaves an unregistered segment the next commit sweeps whole. Ids
+    are read back from the just-written files (metadata-cheap ids-only
+    columnar read, paid once per commit), sized to ~8M ids/file."""
+    import math
+
+    files = max(1, math.ceil(int(n_rows) / 8_000_000))
+    (
+        spark.read.parquet(seg_dir)
+        .select(F.col("vec_id").cast("long"))
+        .coalesce(files)
+        .write.parquet(os.path.join(seg_dir, "_ids"))
+    )
+
+
+def _live_ids(spark: SparkSession, index_dir: str, meta: dict) -> DataFrame:
+    """(vec_id) of every LIVE row — the delete path's membership read.
+    Segments with an ``_ids`` sidecar are read from it (a few file
+    opens per segment); pre-sidecar segments fall back to the ids-only
+    segment scan (one open per cell — the pre-r16 cost, kept for
+    back-compat with already-published indexes)."""
+    df = None
+    for seg in meta["segments"]:
+        seg_dir = os.path.join(index_dir, seg)
+        ids_dir = os.path.join(seg_dir, "_ids")
+        if os.path.isdir(ids_dir):
+            leg = spark.read.parquet(ids_dir)
+        else:
+            leg = spark.read.parquet(seg_dir).select(
+                F.col("vec_id").cast("long")
+            )
+        df = leg if df is None else df.unionByName(leg)
+    if meta["tombstones"]:
+        tombs = None
+        for t in meta["tombstones"]:
+            tleg = spark.read.parquet(os.path.join(index_dir, t)).select(
+                F.col("vec_id").cast("long")
+            )
+            tombs = tleg if tombs is None else tombs.unionByName(tleg)
+        df = df.join(F.broadcast(tombs), "vec_id", "left_anti")
+    return df
+
+
 def _seg_cell_counts(spark: SparkSession, seg_dir: str) -> dict:
     """{str(cell_id): rows} of ONE written segment dir, read from the
     parquet FOOTERS (the projection is the partition column alone, so no
@@ -1263,6 +1326,7 @@ def _commit_segment(
         .write.partitionBy("cell_id")
         .parquet(seg_dir)
     )
+    _write_seg_ids(assigned.sparkSession, seg_dir, n_batch)
     meta["segments"] = list(meta["segments"]) + [seg]
     meta["n_vec"] = int(meta["n_vec"]) + int(n_batch)
     # accumulate exact per-cell populations (the screening join's
@@ -1880,7 +1944,9 @@ def _delete_locked(
     if not ids:
         return meta
     ids_df = _ids_df(spark, ids)
-    live = _load_vectors(spark, index_dir, meta).select("vec_id")
+    # _live_ids (r16): segment ids sidecars bound this read's file opens
+    # by SEGMENT count, not cell count — the r15 scale finding
+    live = _live_ids(spark, index_dir, meta)
     # the LIVE intersection, collected (bounded by the driver-sized
     # batch): ONLY these ids may be tombstoned — writing the full
     # requested set would also tombstone never-present ids, silently
@@ -2158,6 +2224,9 @@ def _compact_locked(spark: SparkSession, index_dir: str) -> dict:
             vecs.repartition("cell_id")
             .write.partitionBy("cell_id")
             .parquet(os.path.join(staging, "vectors"))
+        )
+        _write_seg_ids(
+            spark, os.path.join(staging, "vectors"), new_meta["n_vec"]
         )
         # re-record rather than carry: materialized deletes change the
         # physical per-cell populations (live == physical again)

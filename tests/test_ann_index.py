@@ -2084,3 +2084,62 @@ def test_int8_storage_end_to_end(spark, tmp_path, split_corpus):
         small.select(F.col("vec_id").alias("query_id"), "embedding"),
         0.2, n_probe=2).collect()))
     assert scr == rng
+
+
+def test_seg_ids_sidecar_bounds_delete_scan(spark, tmp_path):
+    """r16: every segment write lands an ``_ids`` sidecar, the delete's
+    live-intersection reads it (file opens follow SEGMENT count, not
+    cell count), the sidecar is invisible to the partitioned segment
+    scan, and a pre-sidecar index (sidecars removed) still deletes
+    correctly via the fallback scan — with identical results."""
+    import shutil
+
+    from gcp_map_reduce_spark.operators.ann_index import (
+        _live_ids,
+        ann_index_append,
+        ann_index_delete,
+        ann_index_meta,
+        compact_ann_index,
+    )
+
+    d = str(tmp_path / "idx")
+    ann_index_build(spark, SF, d, n_cells=N_CELLS)
+    assert os.path.isdir(os.path.join(d, "vectors", "_ids"))
+    # sidecar rows == segment rows, and the segment scan doesn't see it
+    n = spark.read.parquet(os.path.join(d, "vectors", "_ids")).count()
+    seg = spark.read.parquet(os.path.join(d, "vectors"))
+    assert n == seg.count() and "vec_id" in seg.columns
+    batch = (
+        spark.read.parquet(SF + "/embeddings.parquet")
+        .withColumn("vec_id", F.col("vec_id") + 10_000)
+        .limit(7)
+        .select("vec_id", "embedding")
+    )
+    ann_index_append(spark, d, batch)
+    meta = ann_index_meta(d)
+    assert all(
+        os.path.isdir(os.path.join(d, s, "_ids")) for s in meta["segments"]
+    )
+    # live ids via sidecars == physical rows (no tombstones yet)
+    live = {r.vec_id for r in _live_ids(spark, d, meta).collect()}
+    assert len(live) == meta["n_vec"]
+    appended_ids = [r.vec_id for r in batch.select("vec_id").collect()]
+    m = ann_index_delete(spark, d, appended_ids[:3])
+    assert m["n_deleted"] == 3
+    # legacy fallback: strip every sidecar, delete again — same behavior
+    for s in m["segments"]:
+        shutil.rmtree(os.path.join(d, s, "_ids"))
+    m2 = ann_index_delete(spark, d, [450, 451])
+    assert m2["n_deleted"] == 5 and m2["n_vec"] == meta["n_vec"] - 5
+    # compaction rewrites one segment WITH a fresh sidecar
+    m3 = compact_ann_index(spark, d)
+    assert m3["segments"] == ["vectors"] and m3["tombstones"] == []
+    assert os.path.isdir(os.path.join(d, "vectors", "_ids"))
+    n3 = spark.read.parquet(os.path.join(d, "vectors", "_ids")).count()
+    assert n3 == m3["n_vec"]
+    # deleting an id that only ever existed as a tombstoned row errors
+    # (still not live), proving the sidecar path honors tombstones
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ann_index_delete(spark, d, [450])
