@@ -543,9 +543,14 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokenize(docs, text_col="text", out_col="word", keep_cols=["doc_id"])
     tf = materialize(toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf")))
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
-    n = tf.select(F.count_distinct("doc_id").alias("n_docs"))
-    return tf.join(F.broadcast(df), "word").crossJoin(F.broadcast(n)).select(
-        "doc_id", "word", "tf", "df", "n_docs"
+    # n_docs as a driver scalar (r16): tf is already materialized, so
+    # the 1-row count is one small job and the former crossJoin's
+    # broadcast-build + BroadcastNestedLoopJoin drop out of the plan
+    # (the corpus_shards scalar pattern)
+    n_docs = tf.select(F.count_distinct("doc_id")).collect()[0][0] or 0
+    return tf.join(F.broadcast(df), "word").select(
+        "doc_id", "word", "tf", "df",
+        F.lit(int(n_docs)).cast("bigint").alias("n_docs"),
     )
 
 
