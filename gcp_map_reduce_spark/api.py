@@ -175,6 +175,9 @@ def create_app(
             idx = ann_index_for_corpus(spark, emb_sf_dir)
             dim = int(ann_index_meta(idx)["dim"])
             parsed = []
+            # set-membership duplicate check (r16 ADVICE fix: the
+            # per-query list scan was O(n^2) on the API thread)
+            seen_ids: set = set()
             for i, q in enumerate(queries):
                 if not isinstance(q, dict):
                     return jsonify(
@@ -206,7 +209,7 @@ def create_app(
                     )
                 except ValueError as exc:
                     return jsonify({"error": str(exc)}), 400
-                if any(qid == p[0] for p in parsed):
+                if qid in seen_ids:
                     # a duplicate id would silently merge two queries'
                     # candidate lists under one response key — the same
                     # failure the strict-int validation exists to stop
@@ -215,6 +218,7 @@ def create_app(
                                   "duplicate — query_id must be unique "
                                   "within a request"}
                     ), 400
+                seen_ids.add(qid)
                 parsed.append((qid, [float(x) for x in emb]))
             qdf = spark.createDataFrame(
                 parsed, "query_id long, embedding array<double>"

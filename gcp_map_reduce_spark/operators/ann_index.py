@@ -1341,6 +1341,18 @@ def _commit_segment(
     # to the sidecar here on its first append.
     prev_file = meta.get("cell_counts_file")
     cc = ann_index_cell_counts(index_dir, meta)
+    if cc is None and prev_file:
+        # r16 ADVICE fix: UNDER THE WRITER LOCK a manifest-referenced
+        # sidecar cannot be missing via the sweep race that excuses
+        # lock-free readers — it is external mutation, the same class
+        # the sha-mismatch path raises on. Committing would carry the
+        # dangling reference forward and silently degrade exact counts
+        # to unknown forever.
+        raise ValueError(
+            f"cell-counts sidecar {prev_file} referenced by the manifest "
+            f"at {index_dir} is missing under the writer lock — the "
+            "index was mutated externally; rebuild or re-append"
+        )
     if cc is not None:
         if seg_counts is None:
             seg_counts = _seg_cell_counts(assigned.sparkSession, seg_dir)
@@ -1866,7 +1878,12 @@ def ann_index_delete(
 # ancient lineage's mark only weakens replay protection for a stream
 # that has not committed in ages — acceptable; an unbounded dict would
 # grow the manifest with every retired checkpoint forever.
-STREAM_MARKS_CAP = 8
+# env-configurable (r16 ADVICE fix): >8 lineages interleaving deletes on
+# one index would silently evict an ACTIVE stream's watermark each
+# commit, voiding its replay protection with no signal — raise the cap
+# for such deployments; the eviction below also warns when the evicted
+# mark was recently advanced.
+STREAM_MARKS_CAP = int(os.environ.get("ANN_INDEX_STREAM_MARKS_CAP", "8"))
 
 
 def _mark_entry(rec) -> dict:
@@ -1898,7 +1915,22 @@ def _mark_streams(meta: dict, stream_mark: tuple[str, int] | None) -> None:
             (k for k in marks if k != stream_mark[0]),
             key=lambda k: marks[k]["at"],
         )
-        marks.pop(victim)
+        dropped = marks.pop(victim)
+        if seq - dropped["at"] <= STREAM_MARKS_CAP:
+            # advanced within the last CAP commits: likely an ACTIVE
+            # lineage whose replay protection is being voided — say so
+            # (r16 ADVICE fix) instead of silently dropping it
+            import warnings
+
+            warnings.warn(
+                f"stream watermark for lineage {victim!r} evicted while "
+                f"recently active ({seq - dropped['at']} commits ago) — "
+                "more than ANN_INDEX_STREAM_MARKS_CAP="
+                f"{STREAM_MARKS_CAP} takedown lineages are interleaving "
+                "on this index; raise the cap or its replay protection "
+                "is silently void",
+                stacklevel=4,
+            )
     meta["stream_marks"] = marks
 
 

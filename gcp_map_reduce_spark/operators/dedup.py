@@ -1212,6 +1212,16 @@ def _narrow_session(spark, width: int):
     had set (3rd review pass)."""
     key = (spark.sparkContext.applicationId, width)
     with _NARROW_SESSIONS_LOCK:
+        # r16 ADVICE fix: evict clones whose SparkContext is stopped — a
+        # long-lived driver creating contexts serially would otherwise
+        # pin one session per dead application forever
+        for k in [
+            k
+            for k, s in _NARROW_SESSIONS.items()
+            if s.sparkContext._jsc is None
+            or s.sparkContext._jsc.sc().isStopped()
+        ]:
+            del _NARROW_SESSIONS[k]
         narrow = _NARROW_SESSIONS.get(key)
         if narrow is None:
             narrow = spark.newSession()
@@ -1527,9 +1537,15 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     # 2 x n_pairs rows; no second count job (r16)
     n_edges = 2 * n_pairs
     session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    loop_width = min(
-        session_width, max(1, -(-n_edges // CC_EDGES_PER_PARTITION))
-    )
+    # width bucketed to the next power of two (r16 ADVICE fix): the
+    # clone cache below is keyed on (application, width), so raw widths
+    # could accumulate up to session-width distinct never-released
+    # clones on a driver processing many graph sizes; pow2 tiers bound
+    # it at ~log2(session width) entries. Rounding UP only — never past
+    # the session width — so no graph gets fewer partitions than the
+    # clamp intended, and partition count does not affect results.
+    raw_width = max(1, -(-n_edges // CC_EDGES_PER_PARTITION))
+    loop_width = min(session_width, 1 << (raw_width - 1).bit_length())
     small_graph = n_edges <= FRONTIER_BROADCAST_MAX
     if loop_width >= session_width:
         return _cc_loop(edges, small_graph)

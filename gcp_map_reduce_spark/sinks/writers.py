@@ -507,6 +507,35 @@ def write_sorted_layout(
     )
 
 
+def _staging_tree_age(root: str) -> float:
+    """Seconds since the NEWEST mtime anywhere under ``root`` (the dir
+    itself included) — the liveness signal for a foreign staging dir.
+    A live Spark write refreshes leaf files/dirs, not the top-level
+    staging dir, so the top-level mtime alone would age a mid-write
+    publish into sweep range (r16 ADVICE fix). Bounded walk: returns
+    early the moment anything fresh enough (< TTL) is seen. Errors
+    (entries vanishing mid-walk) read as age 0 — the owner is handling
+    the dir; never sweep on uncertainty."""
+    now = time.time()
+    try:
+        newest = os.stat(root).st_mtime
+    except OSError:
+        return 0.0
+    if now - newest < FOREIGN_STAGING_TTL_S:
+        return now - newest
+    for dirpath, dirnames, filenames in os.walk(root):
+        for entry in dirnames + filenames:
+            try:
+                m = os.stat(os.path.join(dirpath, entry)).st_mtime
+            except OSError:
+                return 0.0
+            if m > newest:
+                newest = m
+                if now - newest < FOREIGN_STAGING_TTL_S:
+                    return now - newest
+    return now - newest
+
+
 def publish_atomic(path: str, write_fn) -> None:
     """Write-then-swap publish for any Spark directory sink: run
     ``write_fn(staging_path)`` (typically ``lambda p: df.write...
@@ -604,16 +633,16 @@ def publish_atomic(path: str, write_fn) -> None:
         # finding 4): no live publish stages for days, so an ancient
         # foreign dir is a crash relic whose own namespace never ran a
         # sweeper, and skipping it forever turns the safe trade into a
-        # permanent leak. Age by dir mtime — a LIVE foreign write_fn
-        # refreshes it with every file it lands.
+        # permanent leak. Age by the NEWEST mtime across the staging
+        # TREE (r16 ADVICE fix): Spark writers land files in
+        # subdirectories (staging/vectors/part-*), which do not refresh
+        # the top-level dir's mtime — aging by the top dir alone could
+        # rmtree a live foreign publish mid-write. The walk is bounded:
+        # it can stop at the first fresh-enough entry.
         if len(parts) >= 4 and parts[3] != scope:
-            try:
-                age = time.time() - os.stat(
-                    os.path.join(parent, name)
-                ).st_mtime
-            except OSError:
-                continue  # vanished mid-listing: its owner is handling it
-            if age > FOREIGN_STAGING_TTL_S:
+            if _staging_tree_age(os.path.join(parent, name)) > (
+                FOREIGN_STAGING_TTL_S
+            ):
                 shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
             continue
         if not _pid_alive(pid):

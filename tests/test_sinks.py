@@ -874,3 +874,43 @@ def test_publish_atomic_sweeps_ancient_foreign_scope_staging(tmp_path):
     assert os.path.isdir(new_foreign)      # fresh foreign: kept
     assert os.path.isdir(live_local)       # our namespace, live pid: kept
     assert os.path.isdir(target)
+
+
+def test_publish_atomic_keeps_foreign_staging_with_fresh_subtree(tmp_path):
+    """r16 ADVICE fix: Spark writers land files in SUBDIRECTORIES of the
+    staging dir (staging/vectors/part-*), which do not refresh the
+    top-level dir's mtime — a live foreign publish older than the TTL
+    at the top level must still survive the sweep when anything under
+    it is fresh. An all-old tree is still swept."""
+    import subprocess
+    import time as _time
+
+    from gcp_map_reduce_spark.sinks import writers
+
+    target = str(tmp_path / "ds4")
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    scope = writers._publish_scope()
+    foreign_scope = "0" * 8 if scope != "0" * 8 else "1" * 8
+    live_mid_write = (
+        f"{target}.staging-publish-{dead.pid}-11vewr1t-{foreign_scope}"
+    )
+    relic = f"{target}.staging-publish-{dead.pid}-o1drel1c-{foreign_scope}"
+    ancient = _time.time() - writers.FOREIGN_STAGING_TTL_S - 3600
+    for p in (live_mid_write, relic):
+        sub = os.path.join(p, "vectors")
+        os.makedirs(sub)
+        with open(os.path.join(sub, "part-00000"), "w") as fh:
+            fh.write("x")
+        # age the top-level dir AND the subdir past the TTL
+        os.utime(p, (ancient, ancient))
+        os.utime(sub, (ancient, ancient))
+        os.utime(os.path.join(sub, "part-00000"), (ancient, ancient))
+    # the live publish just landed a fresh part file deep in the tree
+    with open(os.path.join(live_mid_write, "vectors", "part-00001"), "w") as fh:
+        fh.write("y")
+    os.utime(live_mid_write, (ancient, ancient))  # top stays old
+    writers.publish_atomic(target, os.makedirs)
+    assert os.path.isdir(live_mid_write)  # fresh leaf: kept
+    assert not os.path.isdir(relic)       # whole tree old: swept
+    assert os.path.isdir(target)
