@@ -1186,8 +1186,20 @@ CC_EDGES_PER_PARTITION = 250_000
 # the loop-width clamp above: at 100 TB edge counts the fast path never
 # fires. Exactness is pinned by tests/test_connected_components.py,
 # which checks BOTH paths against the same reference union-find.
-CC_DRIVER_MAX_EDGES = int(
-    os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", str(CC_EDGES_PER_PARTITION))
+# Hard ceiling on the env override (r17 VERDICT task): the fast path
+# collect()s the edge list into driver memory, so an operator-set
+# SPARK_GRAFT_CC_DRIVER_MAX_EDGES could otherwise point a query path at
+# an unbounded driver collect. 2M edges is ~32 MB of raw longs
+# (hundreds of MB as driver Rows) and already past where the
+# distributed loop wins; larger graphs always take the loop.
+CC_DRIVER_MAX_EDGES_CEILING = 2_000_000
+CC_DRIVER_MAX_EDGES = min(
+    CC_DRIVER_MAX_EDGES_CEILING,
+    int(
+        os.environ.get(
+            "SPARK_GRAFT_CC_DRIVER_MAX_EDGES", str(CC_EDGES_PER_PARTITION)
+        )
+    ),
 )
 
 # One cloned narrow session per (application, width), reused across CC
@@ -1515,7 +1527,13 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     # count is known for free conceptually, but the loop needs it
     # anyway for its width clamp; both paths share the one count job.
     n_pairs = pairs.count()
-    if 2 * n_pairs <= CC_DRIVER_MAX_EDGES:
+    # mixed-width endpoint columns (e.g. doc_a int, doc_b long) take the
+    # loop path, whose union widens both sides naturally — _cc_driver
+    # builds its output schema from column 0 alone and would coerce or
+    # fail on values drawn from a wider column 1 (r16 ADVICE fix)
+    if 2 * n_pairs <= CC_DRIVER_MAX_EDGES and (
+        pairs.schema[0].dataType == pairs.schema[1].dataType
+    ):
         return _cc_driver(pairs)
     fwd = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
     rev = pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))

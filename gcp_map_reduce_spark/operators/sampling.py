@@ -188,6 +188,12 @@ def corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     |survivors| skinny rows; 1.83 -> 1.46 s at sf1 stress and
     0.79 -> 0.64 s at sf0.1 (adding a degenerate-split fan-out on top
     measured WORSE at sf0.1 — the cumsum path shuffles anyway).
+
+    EAGER at plan-build (r16 contract, documented per r16 ADVICE):
+    calling this function runs Spark jobs — the mixture checkpoint and
+    the 1-row ``hi`` scalar collect — before any action on the returned
+    DataFrame; plan-only consumers pay that compute (the text_tfidf
+    scalar-literal tradeoff).
     """
     mix = materialize(
         corpus_mixture(spark, sf_dir).select("doc_id", "lang", "n_tokens")

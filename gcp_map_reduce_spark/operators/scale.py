@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -89,7 +90,14 @@ def materialize(df: DataFrame) -> DataFrame:
 # only ever cost performance (an extra or missing Exchange), never
 # correctness. Callers probing arbitrary relations (streaming
 # micro-batches) pass no key and keep the uncached probe.
-_EP_CACHE: dict[tuple, bool] = {}
+#
+# r17 (VERDICT task): entries for stopped applications are swept on
+# access (the ``_NARROW_SESSIONS`` eviction discipline, dedup.py) — a
+# long-lived driver running applications serially no longer grows the
+# dict unboundedly. The sweep needs a live context to ask, so each
+# entry carries the session that created it alongside the bool.
+_EP_CACHE: dict[tuple, tuple] = {}
+_EP_CACHE_LOCK = threading.Lock()
 
 
 def ensure_parallelism(
@@ -124,7 +132,13 @@ def ensure_parallelism(
     — see ``_EP_CACHE``. The caller owns key completeness: the key must
     determine the scan (all call sites pass ``corpus_key(sf_dir,
     table)``, whose mtime/size fold makes in-place regeneration
-    self-invalidating).
+    self-invalidating). One more caller obligation (r17, ADVICE): the
+    memo stores only a BOOL, so a hit replays ``repartition`` without
+    re-probing THIS df's plan shape — every call site sharing a key must
+    therefore pass the same plain-scan plan (they all do: bare
+    ``load_table`` projections). Do not pass a key for a df that may
+    already carry an Exchange; the row-group branch's has-Exchange
+    decline would be skipped on hits.
     """
     if cache_key is not None:
         k = (
@@ -132,12 +146,21 @@ def ensure_parallelism(
             cache_key,
             min_partitions,
         )
-        hit = _EP_CACHE.get(k)
+        with _EP_CACHE_LOCK:
+            for stale in [
+                sk
+                for sk, (s, _) in _EP_CACHE.items()
+                if s.sparkContext._jsc is None
+                or s.sparkContext._jsc.sc().isStopped()
+            ]:
+                del _EP_CACHE[stale]
+            hit = _EP_CACHE.get(k)
         if hit is None:
             out = ensure_parallelism(df, min_partitions)
-            _EP_CACHE[k] = out is not df
+            with _EP_CACHE_LOCK:
+                _EP_CACHE[k] = (df.sparkSession, out is not df)
             return out
-        return df.repartition(min_partitions) if hit else df
+        return df.repartition(min_partitions) if hit[1] else df
     if df.rdd.getNumPartitions() < min_partitions:
         return df.repartition(min_partitions)
     try:

@@ -533,6 +533,14 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 then), because the exchange is now paid once instead of once
     per recompute; the checkpoint is |distinct (doc, word)| rows, the
     standard cut at 100 TB.
+
+    EAGER at plan-build (r16 contract, documented per r16 ADVICE):
+    calling this function runs Spark jobs — the tf checkpoint and the
+    1-row n_docs scalar collect — before any action on the returned
+    DataFrame. Plan-only consumers (explain/plan-capture tooling,
+    composition that may discard the plan) pay that compute; this is the
+    measured bench tradeoff of the scalar-literal pattern, shared with
+    :func:`gcp_map_reduce_spark.operators.sampling.corpus_shards`.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docs = ensure_parallelism(

@@ -96,3 +96,82 @@ def test_no_bare_ts_epoch_casts_in_package():
         "TIMESTAMP_NTZ inputs); use .cast('timestamp').cast('long'):\n"
         + "\n".join(offenders)
     )
+
+
+class _StoppedSC:
+    """Stub mimicking a stopped SparkContext (``_jsc is None`` is the
+    post-stop state py4j leaves behind)."""
+
+    applicationId = "app-dead"
+    _jsc = None
+
+
+class _StoppedSession:
+    sparkContext = _StoppedSC()
+
+
+def test_df_cache_sweeps_stopped_sessions(spark):
+    # r17 ADVICE fix: the plan memo must not pin dead sessions' entries
+    from gcp_map_reduce_spark.sources import tables
+
+    dead_key = ("app-dead", 0)
+    with tables._DF_CACHE_LOCK:
+        tables._DF_CACHE[dead_key] = (_StoppedSession(), {})
+    load_table(spark, SF_ORACLE, "documents")  # any call sweeps
+    with tables._DF_CACHE_LOCK:
+        assert dead_key not in tables._DF_CACHE
+        live = [
+            k for k, (s, _) in tables._DF_CACHE.items() if s is spark
+        ]
+    assert live, "live session's entry must survive the sweep"
+
+
+def test_df_cache_drops_stale_corpus_generation(spark, tmp_path):
+    # regenerating a corpus in place must REPLACE the cached plan, not
+    # accumulate a second generation
+    import shutil
+
+    from gcp_map_reduce_spark.sources import tables
+
+    import os as _os
+    import time as _time
+
+    sf_dir = str(tmp_path)
+    src = pathlib.Path(SF_ORACLE, "documents.parquet")
+    dst = pathlib.Path(sf_dir, "documents.parquet")
+    if src.is_dir():
+        shutil.copytree(src, dst)
+    else:
+        shutil.copy2(src, dst)
+    load_table(spark, sf_dir, "documents")
+    # regenerate in place: bump the dataset mtime (1s forward — the
+    # fingerprint must actually change)
+    later = _time.time() + 5
+    targets = list(dst.rglob("*")) if dst.is_dir() else [dst]
+    for p in targets:
+        _os.utime(p, (later, later))
+    load_table(spark, sf_dir, "documents")
+    with tables._DF_CACHE_LOCK:
+        entry = next(
+            e for k, e in tables._DF_CACHE.items() if e[0] is spark
+        )
+        gens = [k for k in entry[1] if k == (sf_dir, "documents")]
+    assert len(gens) == 1
+
+
+def test_ep_cache_sweeps_stopped_applications(spark):
+    # r17 VERDICT task: decision memo evicts stopped apps' entries
+    from gcp_map_reduce_spark.operators import scale
+
+    with scale._EP_CACHE_LOCK:
+        scale._EP_CACHE[("app-dead", ("k",), 4)] = (_StoppedSession(), True)
+    df = load_table(spark, SF_ORACLE, "documents")
+    scale.ensure_parallelism(df, 2, cache_key=("sweep-test-key",))
+    with scale._EP_CACHE_LOCK:
+        assert ("app-dead", ("k",), 4) not in scale._EP_CACHE
+        live = [
+            k
+            for k, (s, _) in scale._EP_CACHE.items()
+            if k[1] == ("sweep-test-key",)
+        ]
+    assert live, "live probe decision must be memoized"
