@@ -157,9 +157,17 @@ def similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query leg pre-filters the scan so only N_QUERIES rows pay the
     # feature fold; the corpus leg keeps the expression form — here the
     # pair-dot fold dominates regardless, and bruteforce is explicitly
-    # not the scale path (precompute norms + run LSH instead).
+    # not the scale path (precompute norms + run LSH instead). The leg
+    # is constant-bound (vec_id < |Q| reaches the scan as a
+    # PushedFilter), so it skips the degenerate-split fan-out guard
+    # (r17): the guard's RoundRobin repartition was a 32-task Exchange
+    # over <= 10 rows feeding the broadcast build.
     qs = F.broadcast(
-        _with_norm2(_emb(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES)).select(
+        _with_norm2(
+            load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") < N_QUERIES
+            )
+        ).select(
             F.col("vec_id").alias("query_id"),
             F.col("e").alias("qe"),
             F.col("n2").alias("qn2"),
@@ -1332,8 +1340,11 @@ def similarity_ivf_ann(
     Plan shape for 100 TB: the K-row codebook is aggregated into ONE
     row of struct arrays and broadcast, so cell assignment is a per-row
     ``array_min`` — ZERO shuffle over the corpus; the probe join then
-    keys on cell_id, touching only probed cells' rows. At scale, raise
-    K and let AQE split any residual hot cells.
+    keys on cell_id with the PROBE side explicitly broadcast (r17 —
+    the |Q| x n_probe side is the only one that stays broadcastable at
+    any corpus size; see the inline rationale), touching only probed
+    cells' rows. At scale, raise K and let AQE split any residual hot
+    cells.
 
     ``rerank`` selects the candidate-cosine implementation: ``"expr"``
     (default) is the JVM expression fold; ``"arrow"`` is the
@@ -1359,8 +1370,15 @@ def similarity_ivf_ann(
             f"codebook must be 'sampled' or 'kmeans', got {codebook!r}"
         )
     emb = _with_norm2(_emb(spark, sf_dir))
+    # r17: the filtered legs are constant-bound (vec_id < max(K, |Q|)
+    # reaches the scan as a PushedFilter), so the degenerate-split
+    # fan-out guard is pure overhead on them — the r16 plan carried a
+    # 32-task RoundRobin Exchange over <= 16 rows on each of three tiny
+    # legs (plans/r16/similarity_ivf_ann_before.txt nodes 3/8/26).
     small = _with_norm2(
-        _emb(spark, sf_dir).filter(F.col("vec_id") < max(IVF_CELLS, N_QUERIES))
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < max(IVF_CELLS, N_QUERIES)
+        )
     )
     if codebook == "kmeans":
         from gcp_map_reduce_spark.operators.clustering import kmeans_fit
@@ -1379,6 +1397,19 @@ def similarity_ivf_ann(
             F.col("e").alias("ce"),
             F.col("n2").alias("cn2"),
         )
+    # r17, MEASURED AND REJECTED: folding the collected codebook into
+    # the plan as a constant literal (driver collect of the 16 seed
+    # rows + one F.expr array-of-structs). It removed both duplicated
+    # codebook agg subtrees and cut executor CPU ~30% (interleaved A/B:
+    # 1.34/1.91/1.46 vs 2.23/2.04/2.28 CPU-s), but cost ~+0.3 s WALL
+    # per invocation at every steal level (1.66/2.02/3.18 vs
+    # 1.38/1.66/1.95): the seed collect is a SERIAL plan-build job,
+    # while the duplicate agg subtrees it replaced execute concurrently
+    # inside broadcast-build slack. The A/B's real finding was the CPU
+    # cut's source — the planner was broadcasting the ASSIGNED CORPUS
+    # side of the candidate join (BuildRight over every vector + its
+    # payload) — which the broadcast(probes) hint below captures
+    # without the serial collect.
     cb = seeds.agg(F.collect_list(F.struct("cell_id", "ce", "cn2")).alias("cb"))
 
     # (squared-L2 distance, cell_id) per codebook entry; struct ordering
@@ -1416,7 +1447,18 @@ def similarity_ivf_ann(
         )
         .select("query_id", "qe", "qn2", F.col("probe")["cell_id"].alias("cell_id"))
     )
-    cand = probes.join(assigned, "cell_id").filter(
+    # r17: broadcast the PROBE side explicitly. Left to size estimates
+    # (inflated by the crossJoin above), the planner was building the
+    # hash relation from the ASSIGNED side — broadcasting every corpus
+    # vector with its embedding payload (BuildRight in
+    # plans/r16/similarity_ivf_ann_before.txt node 35). The probe side
+    # is |Q| x n_probe rows BY CONSTRUCTION (constants), the only side
+    # that stays broadcastable at ANY corpus size — at 100 TB the old
+    # estimate-driven choice would either OOM or fall back to shuffling
+    # the whole corpus by cell_id. Interleaved A/B at sf0.1: executor
+    # CPU 2.23/2.04/2.28 -> ~1.5 CPU-s (the corpus-wide HashedRelation
+    # build + broadcast drops out), wall flat-to-better.
+    cand = F.broadcast(probes).join(assigned, "cell_id").filter(
         F.col("cand_id") != F.col("query_id")
     )
     if rerank == "arrow":
@@ -1879,9 +1921,12 @@ def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_del = ann_index_for_corpus(spark, sf_dir, attrs=["label"])
     if ann_index_meta(idx_del)["n_deleted"] == 0:
         ann_index_delete_where(spark, idx_del, "label = 3")
-    qvecs = _emb(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    # constant-bound query leg (PushedFilter vec_id < |Q|): skip the
+    # fan-out guard — its RoundRobin repartition was a 32-task Exchange
+    # over <= 10 rows (r17, the similarity_bruteforce rationale)
+    qvecs = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < N_QUERIES
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
     persisted = ann_index_search(
         spark, idx, qvecs, k=TOP_K, n_probe=ANN_INDEX_NPROBE
     )

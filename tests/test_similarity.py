@@ -546,3 +546,37 @@ def test_band_payloads_keep_their_own_sql_mirror(spark):
     ddf = duckdb_conn(SF_ORACLE).execute(_embedding_dedup_oracle()).fetchdf()
     assert len(sdf) == len(ddf) > 0
     assert _canon(sdf).equals(_canon(ddf))
+
+
+def test_ivf_ann_broadcasts_probe_side_not_corpus(spark):
+    """r17 plan pin: the IVF candidate join must build its hash relation
+    from the PROBE side (|Q| x n_probe rows — constants, broadcastable
+    at any corpus size). Left to estimates the planner broadcast the
+    ASSIGNED corpus side with embedding payloads (BuildRight in
+    plans/r16/similarity_ivf_ann_before.txt node 35) — an OOM-or-shuffle
+    at 100 TB. Also pins the tiny-leg fan-out skip: the only RoundRobin
+    repartition left is the corpus leg's degenerate-split guard."""
+    from gcp_map_reduce_spark.operators.similarity import similarity_ivf_ann
+
+    plan = (
+        similarity_ivf_ann(spark, SF_ORACLE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    bhj = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
+    assert bhj and all("BuildLeft" in ln for ln in bhj), bhj
+    assert plan.count("RoundRobinPartitioning") <= 1, plan
+
+
+def test_bruteforce_query_leg_skips_fanout(spark):
+    """r17: semantic_search's broadcast query leg is constant-bound
+    (PushedFilter vec_id < |Q|), so it must NOT carry the fan-out
+    guard's RoundRobin Exchange; only the corpus leg may."""
+    from gcp_map_reduce_spark.operators.similarity import (
+        similarity_bruteforce,
+    )
+
+    plan = (
+        similarity_bruteforce(spark, SF_ORACLE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("RoundRobinPartitioning") <= 1, plan
