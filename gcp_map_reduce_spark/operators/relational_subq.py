@@ -383,12 +383,27 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    l1 = li.alias("l1")
-    l2 = li.hint("shuffle_hash").alias("l2")
-    l3 = li.hint("shuffle_hash").alias("l3")
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
+    # r17: push the finished-orders restriction BELOW the self-joins
+    # (guide §2.3 — shuffle fewer bytes; the analogue of Q21's original
+    # l_receiptdate > l_commitdate prefilter on l1). EXACT because every
+    # sibling line l2/l3 shares l1's l_orderkey — the SAME order — so
+    # restricting all three legs to F-order lines changes no semi/anti
+    # outcome for any l1 row that survives the F restriction itself; and
+    # the former final inner join to orders (unique key, no columns
+    # consumed) becomes redundant — this semi IS that join, moved below
+    # the exchanges. Effect at sf0.1: each self-join exchange carries
+    # only F-order lines (~half of lineitem), one join drops out of the
+    # plan, executor CPU 2.9 -> 1.9-2.3 interleaved. The orders side
+    # stays AQE-decided (broadcast semi at bench scale; on a cluster the
+    # semi shuffles by l_orderkey — the same partitioning every
+    # downstream SHJ leg needs, so no extra exchange appears at scale).
+    lif = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "semi")
+    l1 = lif.alias("l1")
+    l2 = lif.hint("shuffle_hash").alias("l2")
+    l3 = lif.hint("shuffle_hash").alias("l3")
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     sib = (F.col("l2.l_orderkey") == F.col("l1.l_orderkey")) & (
         F.col("l2.l_suppkey") != F.col("l1.l_suppkey")
@@ -401,7 +416,6 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l1.join(l2, sib, "left_semi")
         .join(l3, later, "left_anti")
-        .join(orders, F.col("l1.l_orderkey") == F.col("o_orderkey"))
         .join(supp, F.col("l1.l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
