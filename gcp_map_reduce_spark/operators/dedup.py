@@ -730,20 +730,146 @@ def minhash_features_arrow(th_df: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def doc_text_features_arrow(
+    docs: DataFrame, n: int = 3, want_sig: bool = True, want_arr: bool = True
+) -> DataFrame:
+    """Fused text -> minhash/gram features in ONE Python pass (r17).
+
+    The r16 shape (``_token_hash_expr`` front half + th_arr kernel)
+    evaluated md5 + hex parse PER TOKEN OCCURRENCE in the JVM — the
+    dominant CPU of every md5-family dedup stage (curated_corpus's
+    gram-checkpoint stage profiled 14.7 CPU-s at sf0.1, most of it the
+    per-occurrence md5). Here the whole front half runs inside the same
+    ``mapInPandas`` task that builds the grams: the normalize/tokenize
+    chain is the C-level Python twin the engine-equivalence property
+    tests pin (PY_NORMALIZE rule order; post-ASCII-fold tokens make
+    ``str.split()`` the WS-class split — the proven simhash-kernel
+    replica), and each DISTINCT token is md5-hashed ONCE per task
+    (vocabulary cache — corpus vocabulary is tiny next to occurrences).
+
+    Exactness: ``int(md5(utf8)[:15 hex], 16)`` IS
+    ``conv(substring(md5(w),1,15),16,10)`` (:func:`portable_hash64`),
+    mod the same prime; the rolling-gram / affine-min numpy machinery
+    is byte-for-byte the th_arr kernels'. Bit-equality to the r16 path
+    is pytest-gated and every downstream registered query re-checks
+    against the DuckDB oracle.
+
+    NULL or sub-``n``-token docs produce no output row (the th_arr
+    kernels' ``gcounts <= 0`` drop, made explicit — a NULL text only
+    ever reached the old kernels in theory, where it would raise)."""
+    import string as _string
+
+    import numpy as np
+    import pandas as pd
+
+    ws_chars = " \t\n\x0b\f\r\x1c\x1d\x1e\x1f"
+    punct_del = {ord(c): None for c in _string.punctuation}
+    a_arr = np.array(MINHASH_A, np.int64) if want_sig else None
+    b_arr = np.array(MINHASH_B, np.int64) if want_sig else None
+    if not (want_sig or want_arr):
+        raise ValueError("need at least one of want_sig/want_arr")
+
+    def kernel(batches):
+        import hashlib
+
+        hash_cache: dict[str, int] = {}
+
+        def h64(w: str) -> int:
+            v = hash_cache.get(w)
+            if v is None:
+                v = (
+                    int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                    % MERSENNE31
+                )
+                hash_cache[w] = v
+            return v
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids: list[int] = []
+            ths: list[np.ndarray] = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                if t is None:
+                    continue
+                norm = (
+                    t.translate(punct_del)
+                    .lower()
+                    .encode("ascii", "ignore")
+                    .decode("ascii")
+                    .strip(ws_chars)
+                )
+                toks = norm.split()
+                if len(toks) < n:
+                    continue  # no grams -> no row (gcounts<=0 parity)
+                ids.append(doc_id)
+                ths.append(
+                    np.fromiter((h64(w) for w in toks), np.int64, len(toks))
+                )
+            if not ids:
+                continue
+            # shared rolling-gram machinery (identical to the th_arr
+            # kernels above; every doc here has >= 1 gram)
+            lens = np.fromiter((len(v) for v in ths), np.int64, len(ths))
+            gk = lens - (n - 1)
+            flat = np.concatenate(ths)
+            offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            gstarts = np.concatenate(([0], np.cumsum(gk)))[:-1]
+            idx = np.repeat(offs, gk) + (
+                np.arange(int(gk.sum()), dtype=np.int64) - np.repeat(gstarts, gk)
+            )
+            g = flat[idx]
+            for j in range(1, n):
+                g = (g * ROLL_C + flat[idx + j]) % MERSENNE31
+            out = {"doc_id": pd.Series(ids, dtype="int64")}
+            if want_sig:
+                sig = np.empty((len(gk), NUM_HASHES), np.int64)
+                for i in range(NUM_HASHES):
+                    sig[:, i] = np.minimum.reduceat(
+                        (a_arr[i] * g + b_arr[i]) % MERSENNE31, gstarts
+                    )
+                out["sig"] = list(sig)
+            if want_arr:
+                seg = np.repeat(np.arange(len(gk), dtype=np.int64), gk)
+                order = np.lexsort((g, seg))
+                gs, ss = g[order], seg[order]
+                first = np.ones(len(gs), bool)
+                first[1:] = (gs[1:] != gs[:-1]) | (ss[1:] != ss[:-1])
+                gu, su = gs[first], ss[first]
+                counts = np.bincount(su, minlength=len(gk))
+                out["gh_arr"] = np.split(gu, np.cumsum(counts)[:-1])
+            yield pd.DataFrame(out)
+
+    fields = ["doc_id long"]
+    if want_sig:
+        fields.append("sig array<long>")
+    if want_arr:
+        fields.append("gh_arr array<long>")
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, ", ".join(fields)
+    )
+
+
 def doc_minhash_features(
     spark: SparkSession, sf_dir: str, n: int = 3, fast_hash: bool = False
 ) -> DataFrame:
     """(doc_id, sig, gh_arr) per document — one corpus scan, one Arrow
-    pass (see :func:`minhash_features_arrow`)."""
+    pass (see :func:`minhash_features_arrow`). The portable-md5 family
+    routes through the fused text kernel (r17,
+    :func:`doc_text_features_arrow` — md5 per DISTINCT token per task);
+    ``fast_hash`` keeps the JVM xxhash64 front half, which has no
+    Python twin."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docs = ensure_parallelism(
         docs,
         spark.sparkContext.defaultParallelism,
         cache_key=corpus_key(sf_dir, "documents"),
     )
-    return minhash_features_arrow(
-        docs.select("doc_id", _token_hash_expr(fast_hash).alias("th_arr")), n
-    )
+    if fast_hash:
+        return minhash_features_arrow(
+            docs.select("doc_id", _token_hash_expr(True).alias("th_arr")), n
+        )
+    return doc_text_features_arrow(docs, n)
 
 
 def doc_gram_hash_arrays(
@@ -759,9 +885,13 @@ def doc_gram_hash_arrays(
         spark.sparkContext.defaultParallelism,
         cache_key=corpus_key(sf_dir, "documents"),
     )
-    return gram_hash_arrays_arrow(
-        docs.select("doc_id", _token_hash_expr(fast_hash).alias("th_arr")), n
-    )
+    if fast_hash:
+        return gram_hash_arrays_arrow(
+            docs.select("doc_id", _token_hash_expr(True).alias("th_arr")), n
+        )
+    # r17: portable-md5 family runs the fused text kernel (md5 per
+    # DISTINCT token per task instead of per occurrence in the JVM)
+    return doc_text_features_arrow(docs, n, want_sig=False)
 
 
 def minhash_signatures(
@@ -795,10 +925,14 @@ def minhash_signatures(
         spark.sparkContext.defaultParallelism,
         cache_key=corpus_key(sf_dir, "documents"),
     )
-    th_df = docs.select(
-        "doc_id", _token_hash_expr(fast_hash).alias("th_arr")
-    )
-    return minhash_signatures_arrow(th_df, n=3)
+    if fast_hash:
+        return minhash_signatures_arrow(
+            docs.select("doc_id", _token_hash_expr(True).alias("th_arr")),
+            n=3,
+        )
+    # r17: portable-md5 family runs the fused text kernel (md5 per
+    # DISTINCT token per task instead of per occurrence in the JVM)
+    return doc_text_features_arrow(docs, n=3, want_arr=False)
 
 
 def _minhash_oracle() -> str:

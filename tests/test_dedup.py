@@ -268,3 +268,37 @@ def test_choose_edge_source_probe_and_decision(spark, tmp_path):
     dense_dir = str(tmp_path / "dense")
     dense.write.parquet(dense_dir + "/documents.parquet")
     assert choose_edge_source(spark, dense_dir) == "minhash"
+
+
+def test_fused_text_kernel_bit_equal_to_expr_front_half(spark):
+    """r17: the fused text->features kernel (normalize+tokenize+md5 in
+    Python, md5 per DISTINCT token) must be BIT-identical to the r16
+    shape (JVM _token_hash_expr front half + th_arr kernel) — same
+    rows, same sig vectors, same sorted gram arrays."""
+    from gcp_map_reduce_spark.operators.dedup import (
+        _token_hash_expr,
+        doc_text_features_arrow,
+        minhash_features_arrow,
+    )
+    from gcp_map_reduce_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    old = minhash_features_arrow(
+        docs.select("doc_id", _token_hash_expr(False).alias("th_arr")), 3
+    )
+    new = doc_text_features_arrow(docs, 3)
+    a = {r["doc_id"]: (list(r["sig"]), list(r["gh_arr"])) for r in old.collect()}
+    b = {r["doc_id"]: (list(r["sig"]), list(r["gh_arr"])) for r in new.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_fused_text_kernel_drops_null_and_short_docs(spark, tmp_path):
+    from gcp_map_reduce_spark.operators.dedup import doc_text_features_arrow
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, None), (2, "one two"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    rows = doc_text_features_arrow(docs, 3).collect()
+    assert [r["doc_id"] for r in rows] == [0]
