@@ -56,6 +56,7 @@ from pyspark.sql import functions as F
 
 from gcp_map_reduce_spark.operators.dedup import (
     _token_hash_expr,
+    doc_text_features_arrow,
     minhash_band_rows,
     minhash_features_arrow,
 )
@@ -296,9 +297,19 @@ def run_streaming_curated_corpus(
             F.broadcast(seen_hits), "text_hash", "left_anti"
         ).select("doc_id")
 
-        # 2. near-dup features + verified drop set for the WHOLE batch
-        feats = minhash_features_arrow(
-            batch.select("doc_id", _token_hash_expr(fast_hash).alias("th_arr"))
+        # 2. near-dup features + verified drop set for the WHOLE batch.
+        # md5 family routes through the fused text kernel (r17 — md5 per
+        # DISTINCT token per task, bit-equal to the expr front half,
+        # same routing as the batch operators); xxhash64 keeps the JVM
+        # front half (no Python twin).
+        feats = (
+            doc_text_features_arrow(batch.select("doc_id", "text"))
+            if not fast_hash
+            else minhash_features_arrow(
+                batch.select(
+                    "doc_id", _token_hash_expr(True).alias("th_arr")
+                )
+            )
         ).localCheckpoint(eager=True)
         dups = _verified_dup_ids(ss, feats, sig_store_dir, batch_id)
 

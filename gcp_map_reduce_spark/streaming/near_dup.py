@@ -46,6 +46,7 @@ from gcp_map_reduce_spark.operators.dedup import (
     BANDS,
     NUM_HASHES,
     _token_hash_expr,
+    doc_text_features_arrow,
     minhash_band_rows,
     minhash_signatures_arrow,
 )
@@ -548,9 +549,18 @@ def run_streaming_near_dup_dedup(
             if spread_batch
             else batch_df
         )
-        sigs = minhash_signatures_arrow(
-            spread.select(
-                "doc_id", _token_hash_expr(fast_hash).alias("th_arr")
+        # md5 family routes through the fused text kernel (r17 — md5
+        # per DISTINCT token per task, bit-equal; see dedup.py);
+        # xxhash64 keeps the JVM front half (no Python twin)
+        sigs = (
+            doc_text_features_arrow(
+                spread.select("doc_id", "text"), want_arr=False
+            )
+            if not fast_hash
+            else minhash_signatures_arrow(
+                spread.select(
+                    "doc_id", _token_hash_expr(True).alias("th_arr")
+                )
             )
         )
         if collected_accept:
