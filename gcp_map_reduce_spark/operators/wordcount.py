@@ -166,10 +166,17 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``sort_array(collect_set(...))`` pins the set-iteration nondeterminism
     the reference exhibits (``scripts/invertedindex_reduce.py:14-15``).
+
+    r17: aggregates the RAW token stream in one shuffle —
+    ``collect_set`` dedups per (word, doc_id) by itself, so the former
+    ``distinct()`` pre-pass added a second full Exchange plus a
+    HashAggregate pair for work the set aggregation already does
+    (``n_docs`` = the set's size, exactly count-distinct). The flat
+    deduped-pairs form stays registered as ``inverted_index_pairs``.
     """
-    pairs = inverted_index_pairs(spark, sf_dir)
-    return pairs.groupBy("word").agg(
-        F.count("doc_id").alias("n_docs"),
+    toks = doc_tokens(spark, sf_dir)
+    return toks.groupBy("word").agg(
+        F.size(F.collect_set("doc_id")).cast("long").alias("n_docs"),
         F.array_join(
             F.sort_array(F.collect_set("doc_id")).cast("array<string>"), ","
         ).alias("docs"),
