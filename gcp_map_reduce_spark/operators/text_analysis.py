@@ -127,6 +127,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(
         load_table(spark, sf_dir, "documents"),
         spark.sparkContext.defaultParallelism,
+        cache_key=corpus_key(sf_dir, "documents"),
     )
     return text_quality_df(docs)
 
@@ -249,6 +250,7 @@ def text_profile(
     docs = ensure_parallelism(
         load_table(spark, sf_dir, "documents"),
         spark.sparkContext.defaultParallelism,
+        cache_key=corpus_key(sf_dir, "documents"),
     )
     metrics = (
         profile_metrics_arrow(docs)
